@@ -1,0 +1,202 @@
+"""Cubed-sphere halo exchange as precomputed gathers (single-process form).
+
+The reference exchanges halos via MPI (pace.util
+CubedSphereCommunicator.start_halo_update, used at
+external/fv3fit/fv3fit/_shared/halos.py:76-160) with special handling of
+the 12 cube edges and 8 corners.  On TPU, when the whole cube lives on one
+chip as a ``[6, ..., ny, nx]`` array, a halo update is a *gather*: static
+index tables (derived from the geometric topology in
+fv3net_tpu.grid.geometry.derive_topology) map each halo cell to its source
+cell, and XLA compiles the update to on-chip copies — no communication
+machinery at all.  The multi-device form (shard_map + collectives) lives in
+fv3net_tpu.parallel.sharded and reuses these tables.
+
+Two-phase fill: west/east halos first from neighbor interiors, then
+south/north rows across the full extended width, so that the 8 cube
+corners (3 tiles meeting) receive third-tile data through the
+north/south neighbor — the standard treatment.
+
+Vector fields are exchanged componentwise with no rotation because the
+dycore carries horizontal vectors in 3-D Cartesian components.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fv3net_tpu.grid.geometry import EdgeMatch, NUM_TILES
+
+WEST, EAST, SOUTH, NORTH = 0, 1, 2, 3
+
+
+def _neighbor_cell(ne: int, d: np.ndarray, s: np.ndarray, n: int):
+    """Interior cell (j, i) at depth ``d`` from neighbor edge ``ne``,
+    running index ``s`` along that edge."""
+    if ne == WEST:
+        return s, d
+    if ne == EAST:
+        return s, n - 1 - d
+    if ne == SOUTH:
+        return d, s
+    if ne == NORTH:
+        return n - 1 - d, s
+    raise ValueError(ne)
+
+
+def _neighbor_ext_row(ne: int, d: np.ndarray, s_ext: np.ndarray, n: int, h: int):
+    """Extended-array coords of neighbor cells at depth d from edge ne,
+    where ``s_ext`` is an extended running index in [-h, n+h)."""
+    if ne == WEST:
+        return h + s_ext, h + d
+    if ne == EAST:
+        return h + s_ext, h + n - 1 - d
+    if ne == SOUTH:
+        return h + d, h + s_ext
+    if ne == NORTH:
+        return h + n - 1 - d, h + s_ext
+    raise ValueError(ne)
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloTables:
+    """Static gather tables for halo width ``h`` on a C{n} cube."""
+
+    n: int
+    h: int
+    # phase A: west/east halos [6, n, h] (j, depth) source indices
+    we_tile: np.ndarray
+    we_j: np.ndarray
+    we_i: np.ndarray
+    # destination i for the west/east block, [2*h]
+    we_dst_i: np.ndarray
+    # phase B: south/north rows [6, 2h, n+2h] source indices into EXT arrays
+    sn_tile: np.ndarray
+    sn_j: np.ndarray
+    sn_i: np.ndarray
+    sn_dst_j: np.ndarray
+
+
+def build_halo_tables(
+    topology: Dict[Tuple[int, int], EdgeMatch], n: int, h: int
+) -> HaloTables:
+    # ---- phase A: west+east, interior sources ------------------------------
+    we_tile = np.zeros((NUM_TILES, n, 2 * h), np.int32)
+    we_j = np.zeros((NUM_TILES, n, 2 * h), np.int32)
+    we_i = np.zeros((NUM_TILES, n, 2 * h), np.int32)
+    we_dst_i = np.concatenate([np.arange(h), h + n + np.arange(h)]).astype(np.int32)
+
+    ss = np.arange(n)
+    dd = np.arange(h)
+    S, D = np.meshgrid(ss, dd, indexing="ij")  # [n, h]
+    for t in range(NUM_TILES):
+        for which, e in enumerate((WEST, EAST)):
+            m = topology[(t, e)]
+            s_nbr = (n - 1 - S) if m.reversed else S
+            jj, ii = _neighbor_cell(m.neighbor_edge, D, s_nbr, n)
+            cols = slice(0, h) if e == WEST else slice(h, 2 * h)
+            we_tile[t, :, cols] = m.neighbor_tile
+            # west halo: dst i = h-1-d -> store depth-reversed so dst columns
+            # are in increasing i order
+            if e == WEST:
+                we_j[t, :, 0:h] = jj[:, ::-1]
+                we_i[t, :, 0:h] = ii[:, ::-1]
+            else:
+                we_j[t, :, h : 2 * h] = jj
+                we_i[t, :, h : 2 * h] = ii
+
+    # ---- phase B: south+north rows over full extended width ---------------
+    width = n + 2 * h
+    sn_tile = np.zeros((NUM_TILES, 2 * h, width), np.int32)
+    sn_j = np.zeros((NUM_TILES, 2 * h, width), np.int32)
+    sn_i = np.zeros((NUM_TILES, 2 * h, width), np.int32)
+    sn_dst_j = np.concatenate([np.arange(h), h + n + np.arange(h)]).astype(np.int32)
+
+    s_ext = np.arange(-h, n + h)  # extended running index
+    D2, SE = np.meshgrid(dd, s_ext, indexing="ij")  # [h, width]
+    for t in range(NUM_TILES):
+        for which, e in enumerate((SOUTH, NORTH)):
+            m = topology[(t, e)]
+            s_nbr = (n - 1 - SE) if m.reversed else SE
+            jj, ii = _neighbor_ext_row(m.neighbor_edge, D2, s_nbr, n, h)
+            rows = slice(0, h) if e == SOUTH else slice(h, 2 * h)
+            sn_tile[t, rows, :] = m.neighbor_tile
+            if e == SOUTH:
+                # dst j = h-1-d: store depth-reversed
+                sn_j[t, 0:h, :] = jj[::-1, :]
+                sn_i[t, 0:h, :] = ii[::-1, :]
+            else:
+                sn_j[t, h : 2 * h, :] = jj
+                sn_i[t, h : 2 * h, :] = ii
+
+    return HaloTables(
+        n=n,
+        h=h,
+        we_tile=we_tile,
+        we_j=we_j,
+        we_i=we_i,
+        we_dst_i=we_dst_i,
+        sn_tile=sn_tile,
+        sn_j=sn_j,
+        sn_i=sn_i,
+        sn_dst_j=sn_dst_j,
+    )
+
+
+@lru_cache(maxsize=None)
+def _cached_tables(n: int, h: int) -> HaloTables:
+    # topology depends only on the face layout, which is fixed; derive from
+    # a small grid to keep this cheap.
+    from fv3net_tpu.grid.geometry import make_grid
+
+    topo = make_grid(min(n, 4)).topology
+    return build_halo_tables(topo, n, h)
+
+
+def halo_append(field: jnp.ndarray, h: int, tables: HaloTables = None) -> jnp.ndarray:
+    """Append an ``h``-deep halo to ``field`` of shape [6, ..., ny, nx].
+
+    Returns an array of shape [6, ..., ny+2h, nx+2h] whose interior equals
+    ``field`` and whose border cells hold the adjacent tiles' data.
+    """
+    n = field.shape[-1]
+    if field.shape[-2] != n:
+        raise ValueError(f"expected square tiles, got {field.shape}")
+    if tables is None:
+        tables = _cached_tables(n, h)
+
+    lead_shape = field.shape[1:-2]
+    B = int(np.prod(lead_shape)) if lead_shape else 1
+    f = field.reshape(NUM_TILES, B, n, n)
+
+    # phase A: gather west/east halo blocks [6, B, n, 2h]
+    we = f[tables.we_tile[:, None, :, :], jnp.arange(B)[None, :, None, None],
+           tables.we_j[:, None, :, :], tables.we_i[:, None, :, :]]
+
+    ext = jnp.zeros((NUM_TILES, B, n + 2 * h, n + 2 * h), field.dtype)
+    ext = ext.at[:, :, h : h + n, h : h + n].set(f)
+    ext = ext.at[:, :, h : h + n, tables.we_dst_i].set(we)
+
+    # phase B: gather south/north rows [6, B, 2h, n+2h] from ext.  Applied
+    # twice: corner cells whose source lies in a neighbor's own south/north
+    # halo (when my S/N edge matches the neighbor's W/E edge) only become
+    # valid after the first pass has filled that neighbor halo.
+    for _ in range(2):
+        sn = ext[tables.sn_tile[:, None, :, :], jnp.arange(B)[None, :, None, None],
+                 tables.sn_j[:, None, :, :], tables.sn_i[:, None, :, :]]
+        ext = ext.at[:, :, tables.sn_dst_j, :].set(sn)
+
+    return ext.reshape((NUM_TILES,) + tuple(lead_shape) + (n + 2 * h, n + 2 * h))
+
+
+def halo_append_vector(fields, h: int, tables: HaloTables = None):
+    """Halo-append each Cartesian component of a 3-D tangent-vector field.
+
+    No rotation is required: components are in a global frame.  (Contrast
+    with the reference, which must rotate lat-lon / D-grid components at
+    tile boundaries.)
+    """
+    return tuple(halo_append(c, h, tables) for c in fields)
