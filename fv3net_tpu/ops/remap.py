@@ -1,0 +1,628 @@
+"""Mass-conserving PPM vertical remap, fully vectorized for TPU.
+
+TPU-native replacement for the reference's Fortran ``mappm`` extension
+(reference: external/mappm/mappm/mappm.f90:11 ``mappm`` and its helpers
+``ppm_profile``/``ppm_limiters``/``cs_profile``/``cs_limiters``, plus
+interpolate_2d.f90:1), which vcm drives column-by-column through f2py
+(reference: external/vcm/vcm/cubedsphere/regridz.py:304-341).
+
+Re-design, not a translation:
+
+- The Fortran remap walks each column with data-dependent ``goto`` loops.
+  Here the remap is formulated through the *cumulative mass function*
+  M(p) = integral of q dp from model top, evaluated exactly from the
+  piecewise-parabolic reconstruction.  Then
+  ``q2[k] = (M(pe2[k+1]) - M(pe2[k])) / (pe2[k+1] - pe2[k])`` — identical
+  in exact arithmetic, but expressed as batched gathers + elementwise math
+  that XLA fuses across every column at once (no scalar control flow).
+- The PPM reconstruction (edge values + limiters) is computed for all
+  columns with shifted-array arithmetic; the single sequential piece
+  (the cs_profile tridiagonal solve) is a ``lax.scan`` over the (short)
+  vertical axis, batched over all columns.
+
+Conventions: vertical axis last; level 0 = model top (as in FV3);
+``pe1``/``pe2`` are layer-edge pressures, one longer than the field.
+
+Supported options (matching reference usage, regridz.py:227-245):
+``iv`` in {-1, 0, 1, 2}; ``kord`` in {1..7} -> ppm_profile path,
+``kord`` > 7 -> cs_profile path (with |kord|>16 = unlimited linear and
+kord=9 Huynh-constrained variants).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+R3 = 1.0 / 3.0
+R23 = 2.0 / 3.0
+
+
+def _a6(q, al, ar):
+    return 3.0 * (2.0 * q - (al + ar))
+
+
+def _sign(mag, s):
+    """Fortran sign(): |mag| with the sign of s (s==0 -> +)."""
+    return jnp.where(s >= 0, jnp.abs(mag), -jnp.abs(mag))
+
+
+# ---------------------------------------------------------------------------
+# ppm_limiters (reference mappm.f90:668 ppm_limiters)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_limiters(dm, q, al, ar, a6, lmt: int):
+    """Vectorized PPM limiters; lmt 0=standard monotonic, 1=full monotonic,
+    2=positive definite, 3=none."""
+    if lmt == 3:
+        return al, ar, a6
+    if lmt == 0:
+        flat = dm == 0.0
+        da1 = ar - al
+        da2 = da1 * da1
+        a6da = a6 * da1
+        low = a6da < -da2
+        high = a6da > da2
+        a6_low = 3.0 * (al - q)
+        ar_low = al - a6_low
+        a6_high = 3.0 * (ar - q)
+        al_high = ar - a6_high
+        al_n = jnp.where(flat, q, jnp.where(high, al_high, al))
+        ar_n = jnp.where(flat, q, jnp.where(low, ar_low, ar))
+        a6_n = jnp.where(
+            flat, 0.0, jnp.where(low, a6_low, jnp.where(high, a6_high, a6))
+        )
+        return al_n, ar_n, a6_n
+    if lmt == 1:
+        qmp = 2.0 * dm
+        al_n = q - _sign(jnp.minimum(jnp.abs(qmp), jnp.abs(al - q)), qmp)
+        ar_n = q + _sign(jnp.minimum(jnp.abs(qmp), jnp.abs(ar - q)), qmp)
+        return al_n, ar_n, _a6(q, al_n, ar_n)
+    if lmt == 2:
+        cond = jnp.abs(ar - al) < -a6
+        fmin = q + 0.25 * (ar - al) ** 2 / jnp.where(a6 == 0, 1.0, a6) + a6 / 12.0
+        neg = cond & (fmin < 0.0)
+        case_flat = neg & (q < ar) & (q < al)
+        case_r = neg & ~case_flat & (ar > al)
+        case_l = neg & ~case_flat & ~(ar > al)
+        a6_n = jnp.where(
+            case_flat,
+            0.0,
+            jnp.where(
+                case_r,
+                3.0 * (al - q),
+                jnp.where(case_l, 3.0 * (ar - q), a6),
+            ),
+        )
+        al_n = jnp.where(case_flat, q, jnp.where(case_l, ar - a6_n, al))
+        ar_n = jnp.where(case_flat, q, jnp.where(case_r, al - a6_n, ar))
+        return al_n, ar_n, a6_n
+    raise ValueError(f"unknown ppm limiter lmt={lmt}")
+
+
+# ---------------------------------------------------------------------------
+# ppm_profile (reference mappm.f90:614) — kord <= 7 path
+# ---------------------------------------------------------------------------
+
+
+def ppm_profile(q, delp, iv: int, kord: int):
+    """Piecewise-parabolic reconstruction; returns (al, ar, a6) per layer.
+
+    q, delp: (..., km). All indexing below is 0-based with level 0 at the
+    model top (Fortran k=1).
+    """
+    km = q.shape[-1]
+    if km < 5:
+        raise ValueError("ppm_profile requires km >= 5")
+
+    # delq[k] = q[k+1] - q[k], defined for k in [0, km-2]
+    delq = q[..., 1:] - q[..., :-1]
+    # d4[k] = delp[k-1] + delp[k], defined for k in [1, km-1]; store full-km
+    # array with d4[0] unused.
+    d4 = jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), delp[..., :-1] + delp[..., 1:]], axis=-1
+    )
+
+    # interior mismatched slope df2 / monotonized dc for k in [1, km-2]
+    dpk = delp[..., 1:-1]
+    c1 = (delp[..., :-2] + 0.5 * dpk) / d4[..., 2:]
+    c2 = (delp[..., 2:] + 0.5 * dpk) / d4[..., 1:-1]
+    df2_int = (
+        dpk * (c1 * delq[..., 1:] + c2 * delq[..., :-1])
+        / (d4[..., 1:-1] + delp[..., 2:])
+    )
+    qmax3 = jnp.maximum(jnp.maximum(q[..., :-2], q[..., 1:-1]), q[..., 2:])
+    qmin3 = jnp.minimum(jnp.minimum(q[..., :-2], q[..., 1:-1]), q[..., 2:])
+    dc_int = _sign(
+        jnp.minimum(
+            jnp.abs(df2_int),
+            jnp.minimum(qmax3 - q[..., 1:-1], q[..., 1:-1] - qmin3),
+        ),
+        df2_int,
+    )
+    zero = jnp.zeros_like(q[..., :1])
+    dc = jnp.concatenate([zero, dc_int, zero], axis=-1)
+
+    # 4th-order interior edge values al[k] for k in [2, km-2]
+    # (Fortran a4(2,i,k), k=3..km-1); slices:
+    #   delq[k-1] -> delq[1:km-2], delp[k-1] -> delp[1:km-2], d4[k] -> d4[2:km-1]
+    c1e = delq[..., 1 : km - 2] * delp[..., 1 : km - 2] / d4[..., 2 : km - 1]
+    a1 = d4[..., 1 : km - 2] / (d4[..., 2 : km - 1] + delp[..., 1 : km - 2])
+    a2 = d4[..., 3:km] / (d4[..., 2 : km - 1] + delp[..., 2 : km - 1])
+    al_int = q[..., 1 : km - 2] + c1e + 2.0 / (
+        d4[..., 1 : km - 2] + d4[..., 3:km]
+    ) * (
+        delp[..., 2 : km - 1] * (c1e * (a1 - a2) + a2 * dc[..., 1 : km - 2])
+        - delp[..., 1 : km - 2] * a1 * dc[..., 2 : km - 1]
+    )
+
+    # Top boundary: area-preserving cubic with 2nd deriv = 0 at the boundary
+    d1 = delp[..., 0]
+    d2 = delp[..., 1]
+    qm = (d2 * q[..., 0] + d1 * q[..., 1]) / (d1 + d2)
+    dq = 2.0 * (q[..., 1] - q[..., 0]) / (d1 + d2)
+    c1t = 4.0 * (al_int[..., 0] - qm - d2 * dq) / (
+        d2 * (2.0 * d2 * d2 + d1 * (d2 + 3.0 * d1))
+    )
+    c3t = dq - 0.5 * c1t * (d2 * (5.0 * d1 + d2) - 3.0 * d1 * d1)
+    al1 = qm - 0.25 * c1t * d1 * d2 * (d2 + 3.0 * d1)
+    al0 = d1 * (2.0 * c1t * d1 * d1 - c3t) + al1
+    al1 = jnp.clip(
+        al1, jnp.minimum(q[..., 0], q[..., 1]), jnp.maximum(q[..., 0], q[..., 1])
+    )
+    dc0 = 0.5 * (al1 - q[..., 0])
+
+    # top-layer monotonicity by iv
+    if iv == 0:
+        al0 = jnp.maximum(al0, 0.0)
+        al1 = jnp.maximum(al1, 0.0)
+    elif iv == -1:
+        al0 = jnp.where(al0 * q[..., 0] <= 0.0, 0.0, al0)
+
+    # Bottom boundary
+    d1 = delp[..., km - 1]
+    d2 = delp[..., km - 2]
+    qm = (d2 * q[..., km - 1] + d1 * q[..., km - 2]) / (d1 + d2)
+    dq = 2.0 * (q[..., km - 2] - q[..., km - 1]) / (d1 + d2)
+    c1b = (al_int[..., -1] - qm - d2 * dq) / (
+        d2 * (2.0 * d2 * d2 + d1 * (d2 + 3.0 * d1))
+    )
+    c3b = dq - 2.0 * c1b * (d2 * (5.0 * d1 + d2) - 3.0 * d1 * d1)
+    al_km1 = qm - c1b * d1 * d2 * (d2 + 3.0 * d1)
+    ar_km1 = d1 * (8.0 * c1b * d1 * d1 - c3b) + al_km1
+    al_km1 = jnp.clip(
+        al_km1,
+        jnp.minimum(q[..., km - 1], q[..., km - 2]),
+        jnp.maximum(q[..., km - 1], q[..., km - 2]),
+    )
+    dc_km1 = 0.5 * (q[..., km - 1] - al_km1)
+
+    if iv == 0:
+        al_km1 = jnp.maximum(al_km1, 0.0)
+        ar_km1 = jnp.maximum(ar_km1, 0.0)
+    elif iv < 0:
+        ar_km1 = jnp.where(q[..., km - 1] * ar_km1 <= 0.0, 0.0, ar_km1)
+
+    # assemble al over all layers: al[0]=al0, al[1]=al1, al[2:km-1]=al_int,
+    # al[km-1]=al_km1
+    al = jnp.concatenate(
+        [al0[..., None], al1[..., None], al_int, al_km1[..., None]], axis=-1
+    )
+    # ar[k] = al[k+1] except ar[km-1]
+    ar = jnp.concatenate([al[..., 1:], ar_km1[..., None]], axis=-1)
+    dc = dc.at[..., 0].set(dc0).at[..., km - 1].set(dc_km1)
+
+    if abs(iv) == 2:
+        # iv==2 (temperature): flat top-layer left edge (reference
+        # mappm.f90:724-729; the a4(3,1) write there is later overwritten
+        # by the edge-chaining loop, so only al survives)
+        al = al.at[..., 0].set(q[..., 0])
+
+    a6 = _a6(q, al, ar)
+
+    # Top 2 / bottom 2 layers: standard monotonic limiter
+    edge_mask = jnp.zeros(km, dtype=bool).at[:2].set(True).at[-2:].set(True)
+    al_m, ar_m, a6_m = _ppm_limiters(dc, q, al, ar, a6, lmt=0)
+
+    # interior layers [2, km-3]
+    if kord >= 7:
+        # Huynh's 2nd constraint (reference mappm.f90:784-826)
+        h2_int = (
+            2.0
+            * (dc[..., 2:] / delp[..., 2:] - dc[..., :-2] / delp[..., :-2])
+            / (delp[..., 1:-1] + 0.5 * (delp[..., :-2] + delp[..., 2:]))
+            * delp[..., 1:-1] ** 2
+        )
+        h2 = jnp.concatenate([zero, h2_int, zero], axis=-1)
+        fac = 1.5
+        pmp = 2.0 * dc
+        qmp_r = q + pmp
+        lac_r = q + fac * _shift(h2, 1) + dc
+        ar_h = jnp.clip(
+            ar,
+            jnp.minimum(jnp.minimum(q, qmp_r), lac_r),
+            jnp.maximum(jnp.maximum(q, qmp_r), lac_r),
+        )
+        qmp_l = q - pmp
+        lac_l = q + fac * _shift(h2, -1) - dc
+        al_h = jnp.clip(
+            al,
+            jnp.minimum(jnp.minimum(q, qmp_l), lac_l),
+            jnp.maximum(jnp.maximum(q, qmp_l), lac_l),
+        )
+        a6_h = _a6(q, al_h, ar_h)
+        if iv == 0 and kord >= 6:
+            al_h, ar_h, a6_h = _ppm_limiters(dc, q, al_h, ar_h, a6_h, lmt=2)
+        al_i, ar_i, a6_i = al_h, ar_h, a6_h
+    else:
+        lmt = max(0, kord - 3)
+        if iv == 0:
+            lmt = min(2, lmt)
+        a6_i = _a6(q, al, ar) if kord != 4 else a6
+        if kord != 6:
+            al_i, ar_i, a6_i = _ppm_limiters(dc, q, al, ar, a6_i, lmt=lmt)
+        else:
+            al_i, ar_i = al, ar
+
+    al_f = jnp.where(edge_mask, al_m, al_i)
+    ar_f = jnp.where(edge_mask, ar_m, ar_i)
+    a6_f = jnp.where(edge_mask, a6_m, a6_i)
+    return al_f, ar_f, a6_f
+
+
+def _shift(arr, offset: int):
+    """Shift along last axis filling with zeros: offset=+1 -> arr[k-1]."""
+    if offset == 0:
+        return arr
+    pad = jnp.zeros_like(arr[..., :abs(offset)])
+    if offset > 0:
+        return jnp.concatenate([pad, arr[..., :-offset]], axis=-1)
+    return jnp.concatenate([arr[..., -offset:], pad], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# cs_profile (reference mappm.f90:131) — kord > 7 path
+# ---------------------------------------------------------------------------
+
+
+def cs_profile(q, delp, iv: int, kord: int):
+    """Cubic-spline edge reconstruction (S.-J. Lin 2008); (al, ar, a6)."""
+    if iv == -2:
+        raise NotImplementedError("iv=-2 (vertical velocity) not supported yet")
+    km = q.shape[-1]
+
+    # tridiagonal forward sweep (reference mappm.f90:180-205), batched scan
+    grat0 = delp[..., 1] / delp[..., 0]
+    bet0 = grat0 * (grat0 + 0.5)
+    qe0 = ((grat0 + grat0) * (grat0 + 1.0) * q[..., 0] + q[..., 1]) / bet0
+    gam0 = (1.0 + grat0 * (grat0 + 1.5)) / bet0
+
+    def fwd(carry, xs):
+        q_prev, gam_prev = carry
+        qk, qkm1, d4k = xs
+        bet = 2.0 + d4k + d4k - gam_prev
+        qe = (3.0 * (qkm1 + d4k * qk) - q_prev) / bet
+        gam = d4k / bet
+        return (qe, gam), (qe, gam, d4k)
+
+    d4_seq = jnp.moveaxis(delp[..., :-1] / delp[..., 1:], -1, 0)
+    q_seq = jnp.moveaxis(q[..., 1:], -1, 0)
+    qm1_seq = jnp.moveaxis(q[..., :-1], -1, 0)
+    (_, _), (qe_scan, gam_scan, _) = lax.scan(
+        fwd, (qe0, gam0), (q_seq, qm1_seq, d4_seq)
+    )
+    # edge estimates qe[k] for k=0..km-1 (Fortran q(i,1..km))
+    qe = jnp.concatenate(
+        [qe0[None], qe_scan], axis=0
+    )  # (km, ...) leading z axis
+    gam = jnp.concatenate([gam0[None], gam_scan], axis=0)
+
+    d4_last = d4_seq[-1]
+    a_bot = 1.0 + d4_last * (d4_last + 1.5)
+    qe_bot = (
+        2.0 * d4_last * (d4_last + 1.0) * q[..., km - 1]
+        + q[..., km - 2]
+        - a_bot * qe[km - 1]
+    ) / (d4_last * (d4_last + 0.5) - a_bot * gam[km - 1])
+
+    def bwd(q_next, xs):
+        qe_k, gam_k = xs
+        qk = qe_k - gam_k * q_next
+        return qk, qk
+
+    _, qe_rev = lax.scan(bwd, qe_bot, (qe, gam), reverse=True)
+    # full edge array, (km+1, ...) then move axis back
+    edges = jnp.concatenate([qe_rev, qe_bot[None]], axis=0)
+    edges = jnp.moveaxis(edges, 0, -1)  # (..., km+1)
+
+    if abs(kord) > 16:
+        al = edges[..., :-1]
+        ar = edges[..., 1:]
+        return al, ar, _a6(q, al, ar)
+
+    # large-scale constraints (reference mappm.f90:224-262)
+    e = edges
+    e = e.at[..., 1].set(
+        jnp.clip(
+            e[..., 1],
+            jnp.minimum(q[..., 0], q[..., 1]),
+            jnp.maximum(q[..., 0], q[..., 1]),
+        )
+    )
+    # gam2[k] = q[k] - q[k-1], k in [1, km-1]
+    gam2 = q[..., 1:] - q[..., :-1]
+
+    # interior edges k in [2, km-2] (Fortran q(i,k), k=3..km-1)
+    ek = e[..., 2 : km - 1]
+    gkm1 = gam2[..., 0 : km - 3]  # gam(k-1) 1-based -> q[k-2..k-1] diff
+    gkp1 = gam2[..., 2 : km - 1]
+    qk = q[..., 2 : km - 1]
+    qkm1 = q[..., 1 : km - 2]
+    not_extremum = gkm1 * gkp1 > 0.0
+    clipped = jnp.clip(ek, jnp.minimum(qkm1, qk), jnp.maximum(qkm1, qk))
+    local_max = gkm1 > 0.0
+    e_max = jnp.maximum(ek, jnp.minimum(qkm1, qk))
+    e_min = jnp.minimum(ek, jnp.maximum(qkm1, qk))
+    if iv == 0:
+        e_min = jnp.maximum(e_min, 0.0)
+    ek_new = jnp.where(not_extremum, clipped, jnp.where(local_max, e_max, e_min))
+    e = e.at[..., 2 : km - 1].set(ek_new)
+
+    e = e.at[..., km - 1].set(
+        jnp.clip(
+            e[..., km - 1],
+            jnp.minimum(q[..., km - 2], q[..., km - 1]),
+            jnp.maximum(q[..., km - 2], q[..., km - 1]),
+        )
+    )
+
+    al = e[..., :-1]
+    ar = e[..., 1:]
+
+    # extremum detection: first/last layers from edge overshoot, interior
+    # layers from sign change of gam (reference mappm.f90:272-279)
+    gam_full = jnp.concatenate(
+        [jnp.zeros_like(q[..., :1]), gam2], axis=-1
+    )  # gam_full[k] = q[k]-q[k-1], k>=1
+    extm_edge = (al - q) * (ar - q) > 0.0
+    interior = gam2[..., :-1] * gam2[..., 1:] < 0.0
+    mask = jnp.zeros(km, dtype=bool).at[1 : km - 1].set(True)
+    extm = jnp.where(
+        mask,
+        jnp.concatenate(
+            [extm_edge[..., :1], interior, extm_edge[..., -1:]], axis=-1
+        ),
+        extm_edge,
+    )
+
+    x0 = 2.0 * q - (al + ar)
+    x1 = jnp.abs(al - ar)
+    a6 = 3.0 * x0
+    ext5 = jnp.abs(x0) > x1
+    ext6 = jnp.abs(a6) > x1
+
+    # boundary treatment by iv (reference mappm.f90:297-325)
+    if iv == 0:
+        al = al.at[..., 0].set(jnp.maximum(0.0, al[..., 0]))
+    elif iv == -1:
+        al = al.at[..., 0].set(
+            jnp.where(al[..., 0] * q[..., 0] <= 0.0, 0.0, al[..., 0])
+        )
+    elif iv == 2:
+        al = al.at[..., 0].set(q[..., 0])
+        ar = ar.at[..., 0].set(q[..., 0])
+        a6 = a6.at[..., 0].set(0.0)
+
+    if iv != 2:
+        a60 = _a6(q[..., 0], al[..., 0], ar[..., 0])
+        al0, ar0, a60 = _cs_limiters_single(
+            extm[..., 0], q[..., 0], al[..., 0], ar[..., 0], a60, 1
+        )
+        al = al.at[..., 0].set(al0)
+        ar = ar.at[..., 0].set(ar0)
+        a6 = a6.at[..., 0].set(a60)
+
+    a61 = _a6(q[..., 1], al[..., 1], ar[..., 1])
+    al1, ar1, a61 = _cs_limiters_single(
+        extm[..., 1], q[..., 1], al[..., 1], ar[..., 1], a61, 2
+    )
+    al = al.at[..., 1].set(al1)
+    ar = ar.at[..., 1].set(ar1)
+    a6 = a6.at[..., 1].set(a61)
+
+    # interior k in [2, km-3] by kord
+    if km >= 6:
+        # interior layers kk in [2, km-3]; with gam_full[j] = q[j]-q[j-1]:
+        #   gam(k+1) -> gam_full[kk+1] -> [3, km-2]
+        #   gam(k+2) -> gam_full[kk+2] -> [4, km-1]
+        #   gam(k)   -> gam_full[kk]   -> [2, km-3]
+        #   gam(k-1) -> gam_full[kk-1] -> [1, km-4]
+        sl_i = slice(2, km - 2)
+        qk = q[..., sl_i]
+        alk = al[..., sl_i]
+        ark = ar[..., sl_i]
+        pmp_1 = qk - 2.0 * gam_full[..., 3 : km - 1]
+        lac_1 = pmp_1 + 1.5 * gam_full[..., 4:km]
+        pmp_2 = qk + 2.0 * gam_full[..., 2 : km - 2]
+        lac_2 = pmp_2 - 1.5 * gam_full[..., 1 : km - 3]
+
+        al_h = jnp.clip(
+            alk,
+            jnp.minimum(jnp.minimum(qk, pmp_1), lac_1),
+            jnp.maximum(jnp.maximum(qk, pmp_1), lac_1),
+        )
+        ar_h = jnp.clip(
+            ark,
+            jnp.minimum(jnp.minimum(qk, pmp_2), lac_2),
+            jnp.maximum(jnp.maximum(qk, pmp_2), lac_2),
+        )
+
+        if abs(kord) == 9:
+            extm_k = extm[..., sl_i]
+            extm_km1 = extm[..., 1 : km - 3]
+            extm_kp1 = extm[..., 3 : km - 1]
+            wave = extm_k & (extm_km1 | extm_kp1)
+            a6_try = 6.0 * qk - 3.0 * (alk + ark)
+            nonmono = jnp.abs(a6_try) > jnp.abs(alk - ark)
+            al_k = jnp.where(wave, qk, jnp.where(nonmono, al_h, alk))
+            ar_k = jnp.where(wave, qk, jnp.where(nonmono, ar_h, ark))
+            a6_k = jnp.where(
+                wave, 0.0, 6.0 * qk - 3.0 * (al_k + ar_k)
+            )
+        else:
+            # default: recompute a6 from (possibly constrained) edges,
+            # Huynh-constraining everywhere (kord 10/16-family simplified)
+            al_k, ar_k = al_h, ar_h
+            a6_k = _a6(qk, al_k, ar_k)
+
+        if iv == 0:
+            al_k, ar_k, a6_k = _cs_limiters_single(
+                extm[..., sl_i], qk, al_k, ar_k, a6_k, 0
+            )
+
+        al = al.at[..., sl_i].set(al_k)
+        ar = ar.at[..., sl_i].set(ar_k)
+        a6 = a6.at[..., sl_i].set(a6_k)
+
+    # bottom two layers (reference mappm.f90:511-531)
+    if iv == 0:
+        ar = ar.at[..., km - 1].set(jnp.maximum(0.0, ar[..., km - 1]))
+    elif iv == -1:
+        ar = ar.at[..., km - 1].set(
+            jnp.where(ar[..., km - 1] * q[..., km - 1] <= 0.0, 0.0,
+                      ar[..., km - 1])
+        )
+    for kk, lmt in ((km - 2, 2), (km - 1, 1)):
+        a6k = _a6(q[..., kk], al[..., kk], ar[..., kk])
+        alk, ark, a6k = _cs_limiters_single(
+            extm[..., kk], q[..., kk], al[..., kk], ar[..., kk], a6k, lmt
+        )
+        al = al.at[..., kk].set(alk)
+        ar = ar.at[..., kk].set(ark)
+        a6 = a6.at[..., kk].set(a6k)
+
+    return al, ar, a6
+
+
+def _cs_limiters_single(extm, q, al, ar, a6, iv: int):
+    """cs_limiters (reference mappm.f90:535) on a single layer, vectorized."""
+    if iv == 0:
+        nonpos = q <= 0.0
+        cond = jnp.abs(ar - al) < -a6
+        fmin = q + 0.25 * (ar - al) ** 2 / jnp.where(a6 == 0, 1.0, a6) + a6 / 12.0
+        neg = cond & (fmin < 0.0)
+        case_flat = neg & (q < ar) & (q < al)
+        case_r = neg & ~case_flat & (ar > al)
+        case_l = neg & ~case_flat & ~(ar > al)
+        a6_n = jnp.where(
+            case_flat | nonpos,
+            0.0,
+            jnp.where(case_r, 3.0 * (al - q),
+                      jnp.where(case_l, 3.0 * (ar - q), a6)),
+        )
+        al_n = jnp.where(nonpos | case_flat, q, jnp.where(case_l, ar - a6_n, al))
+        ar_n = jnp.where(nonpos | case_flat, q, jnp.where(case_r, al - a6_n, ar))
+        return al_n, ar_n, a6_n
+    if iv == 1:
+        mono = (q - al) * (q - ar) >= 0.0
+    else:
+        mono = extm
+    da1 = ar - al
+    da2 = da1 * da1
+    a6da = a6 * da1
+    low = a6da < -da2
+    high = a6da > da2
+    a6_low = 3.0 * (al - q)
+    a6_high = 3.0 * (ar - q)
+    a6_n = jnp.where(mono, 0.0, jnp.where(low, a6_low, jnp.where(high, a6_high, a6)))
+    al_n = jnp.where(mono, q, jnp.where(high, ar - a6_high, al))
+    ar_n = jnp.where(mono, q, jnp.where(low, al - a6_low, ar))
+    return al_n, ar_n, a6_n
+
+
+# ---------------------------------------------------------------------------
+# the remap itself
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("iv", "kord"))
+def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1):
+    """Mass-flux-preserving remap q1 on edges pe1 -> q2 on edges pe2.
+
+    Equivalent of Fortran ``mappm`` (reference mappm.f90:11) via the
+    cumulative-mass formulation.  Shapes: pe1 (..., km+1), q1 (..., km),
+    pe2 (..., kn+1) -> (..., kn).
+    """
+    km = q1.shape[-1]
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+
+    if kord > 7:
+        al, ar, a6 = cs_profile(q1, dp1, iv, kord)
+    else:
+        al, ar, a6 = ppm_profile(q1, dp1, iv, kord)
+
+    # cumulative mass at source edges: M1[L] = sum_{l<L} q1_l dp1_l
+    m_edges = jnp.concatenate(
+        [jnp.zeros_like(q1[..., :1]), jnp.cumsum(q1 * dp1, axis=-1)], axis=-1
+    )
+
+    def mass_at(p):
+        """M(p) for p clamped into [pe1_top, +inf); exact PPM integral."""
+        # locate source layer: count of edges <= p, minus 1
+        idx = jnp.sum(pe1[..., None, :] <= p[..., :, None], axis=-1) - 1
+        L = jnp.clip(idx, 0, km - 1)
+        pe_L = jnp.take_along_axis(pe1, L, axis=-1)
+        dp_L = jnp.take_along_axis(dp1, L, axis=-1)
+        s = (p - pe_L) / dp_L
+        below = p > pe1[..., -1:]
+        s = jnp.clip(s, 0.0, 1.0)
+        alL = jnp.take_along_axis(al, L, axis=-1)
+        arL = jnp.take_along_axis(ar, L, axis=-1)
+        a6L = jnp.take_along_axis(a6, L, axis=-1)
+        mL = jnp.take_along_axis(m_edges, L, axis=-1)
+        # integral of f(s') = al + s'*(ar-al+a6) - a6*s'^2 from 0 to s
+        integral = alL * s + (arL - alL + a6L) * 0.5 * s * s - a6L * s ** 3 / 3.0
+        m = mL + dp_L * integral
+        # extension below the old surface: constant q1[km-1]
+        m_ext = m_edges[..., -1:] + (p - pe1[..., -1:]) * q1[..., -1:]
+        return jnp.where(below, m_ext, m)
+
+    p_lo = jnp.maximum(pe2[..., :-1], pe1[..., :1])
+    p_hi = jnp.maximum(pe2[..., 1:], pe1[..., :1])
+    dm = mass_at(p_hi) - mass_at(p_lo)
+    dp2_eff = p_hi - p_lo
+    q2 = dm / jnp.where(dp2_eff == 0.0, 1.0, dp2_eff)
+    # degenerate cases, matching Fortran branch structure (mappm.f90:62-67):
+    # whole target layer above old top -> q1[0]; top edge below old
+    # surface -> q1[km-1]; zero-thickness effective layer -> point value
+    q2 = jnp.where(pe2[..., 1:] <= pe1[..., :1], q1[..., :1], q2)
+    q2 = jnp.where(dp2_eff == 0.0, q1[..., :1], q2)
+    q2 = jnp.where(pe2[..., :-1] >= pe1[..., -1:], q1[..., -1:], q2)
+    return q2
+
+
+def interpolate_1d(xp, x, y, fill_value=jnp.nan):
+    """Per-column linear interpolation, the ``interpolate_2d`` equivalent
+    (reference external/mappm/mappm/interpolate_2d.f90:1, wrapped by
+    vcm.interpolate_1d, external/vcm/vcm/interpolate.py:105).
+
+    Args:
+        xp: target coordinates (..., n_out)
+        x: source coordinates, ascending along last axis (..., n_in)
+        y: source values (..., n_in)
+        fill_value: value outside [x[0], x[-1]]
+    """
+    n_in = x.shape[-1]
+    idx = jnp.sum(x[..., None, :] <= xp[..., :, None], axis=-1) - 1
+    lo = jnp.clip(idx, 0, n_in - 2)
+    x0 = jnp.take_along_axis(x, lo, axis=-1)
+    x1 = jnp.take_along_axis(x, lo + 1, axis=-1)
+    y0 = jnp.take_along_axis(y, lo, axis=-1)
+    y1 = jnp.take_along_axis(y, lo + 1, axis=-1)
+    w = (xp - x0) / (x1 - x0)
+    out = y0 * (1.0 - w) + y1 * w
+    inside = (xp >= x[..., :1]) & (xp <= x[..., -1:])
+    return jnp.where(inside, out, fill_value)
