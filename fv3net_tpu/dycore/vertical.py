@@ -1,0 +1,71 @@
+"""Hybrid sigma-pressure vertical coordinate + Lagrangian-to-Eulerian remap.
+
+The reference model's vertical coordinate comes from the Fortran dycore's
+ak/bk tables; its vertical remap is the Fortran ``mappm``/fv_mapz PPM
+machinery (reference: external/mappm/mappm/mappm.f90:1-11).  Here the
+coordinate is generated analytically and the remap is the batched PPM
+kernel from fv3net_tpu.ops.remap.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from fv3net_tpu.core.constants import TOA_PRESSURE
+from fv3net_tpu.ops import remap as _remap
+
+
+def hybrid_coordinate(
+    nz: int, ptop: float = TOA_PRESSURE, ps0: float = 1.0e5,
+    sigma_exp: float = 1.6, pure_pressure_frac: float = 0.2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generate ak/bk interface coefficients: pe(k) = ak(k) + bk(k) * ps.
+
+    Pure-pressure levels in the top ``pure_pressure_frac`` of interfaces,
+    transitioning to terrain-following sigma at the surface — the standard
+    hybrid structure of FV3GFS's 79-level coordinate.
+    """
+    k = np.arange(nz + 1) / nz
+    # reference interface pressures for ps = ps0: stretched to resolve
+    # the boundary layer and upper levels
+    pe_ref = ptop + (ps0 - ptop) * k ** sigma_exp
+    kt = pure_pressure_frac
+    bk = np.where(k <= kt, 0.0, ((k - kt) / (1.0 - kt)) ** 1.5)
+    bk[-1] = 1.0
+    ak = pe_ref - bk * ps0
+    ak[0] = ptop
+    ak[-1] = 0.0
+    # enforce monotone interfaces for any ps in [500 hPa, 1100 hPa]
+    for ps in (5.0e4, 1.1e5):
+        pe = ak + bk * ps
+        if not (np.diff(pe) > 0).all():
+            raise ValueError("generated hybrid coordinate is not monotone")
+    return ak, bk
+
+
+def target_interfaces(ak, bk, ps):
+    """pe2[..., k] = ak[k] + bk[k] * ps[...]."""
+    return ak + bk * ps[..., None]
+
+
+def remap_column_fields(
+    pe1, pe2, pt, wind_xyz, tracers, kord: int = 9
+):
+    """Remap θ_v, Cartesian winds and tracers from Lagrangian interfaces
+    ``pe1`` to target interfaces ``pe2`` (both (..., nz+1), z last).
+
+    Wind components use iv=-1 (winds), θ uses iv=2 (temperature-like),
+    tracers iv=0 (positive definite), matching fv_mapz conventions noted
+    at reference external/vcm/vcm/cubedsphere/regridz.py:240-245.
+    """
+    pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord)
+    wind2 = tuple(
+        _remap.remap_ppm(pe1, w, pe2, iv=-1, kord=kord) for w in wind_xyz
+    )
+    tracers2 = {
+        name: _remap.remap_ppm(pe1, q, pe2, iv=0, kord=kord)
+        for name, q in tracers.items()
+    }
+    return pt2, wind2, tracers2

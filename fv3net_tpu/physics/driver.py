@@ -1,0 +1,133 @@
+"""Physics driver: radiation -> surface -> PBL -> microphysics.
+
+The jittable pure-function replacement for the reference's Fortran
+physics sequence (``step_pre_radiation`` / ``step_radiation`` /
+``step_post_radiation_physics`` / ``apply_physics``, reference:
+workflows/prognostic_c48_run/runtime/loop.py:384-426).  Operates on the
+dycore state (dynamics layout [6, nz, ny, nx]); internally transposes to
+z-last columns so every scheme is batched over all 6*ny*nx columns.
+
+Diagnostics use the reference's physics naming conventions
+(e.g. ``PRATEsfc``, ``LHTFLsfc``, ``SHTFLsfc``, flux names as in
+external/vcm/vcm/derived_mapping.py:198-383).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fv3net_tpu.core.constants import CP_AIR, GRAVITY, KAPPA, REFERENCE_SURFACE_PRESSURE
+from fv3net_tpu.dycore.state import (
+    DycoreState,
+    temperature_from_theta_v,
+    theta_v_from_temperature,
+)
+from fv3net_tpu.ops import thermo
+from fv3net_tpu.physics import microphysics as mp
+from fv3net_tpu.physics import pbl as pbl_mod
+from fv3net_tpu.physics import radiation_gray as rad
+from fv3net_tpu.physics import surface as sfc
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    ptop: float = 300.0
+    radiation: rad.GrayRadiationParams = rad.GrayRadiationParams()
+    surface: sfc.SurfaceParams = sfc.SurfaceParams()
+    pbl: pbl_mod.PBLParams = pbl_mod.PBLParams()
+    microphysics: mp.MicrophysicsParams = mp.MicrophysicsParams()
+
+
+def _zlast(x):
+    """[6, nz, ny, nx] -> [6, ny, nx, nz]."""
+    return jnp.moveaxis(x, 1, -1)
+
+
+def _zmid(x):
+    return jnp.moveaxis(x, -1, 1)
+
+
+def physics_step(
+    state: DycoreState,
+    t_surface: jnp.ndarray,  # [6, ny, nx]
+    cos_zenith: jnp.ndarray,  # [6, ny, nx]
+    lat: jnp.ndarray,  # [6, ny, nx] radians
+    dt: float,
+    cfg: PhysicsConfig = PhysicsConfig(),
+) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
+    """Apply one physics interval; returns (new_state, diagnostics)."""
+    delp = _zlast(state.delp)
+    pt = _zlast(state.pt)
+    q = _zlast(state.tracers["sphum"])
+    qc = _zlast(state.tracers["cloud_water"])
+    wind = jnp.stack([_zlast(state.wind[c]) for c in range(3)])
+
+    pe = thermo.pressure_at_interface(delp, toa_pressure=cfg.ptop)
+    pmid = thermo.pressure_at_midpoint_log(delp, toa_pressure=cfg.ptop)
+    T = temperature_from_theta_v(pt, pmid, q)
+    T0, q0 = T, q
+
+    # ---- radiation ------------------------------------------------------
+    heating, rad_diags = rad.gray_radiation(
+        T, delp, t_surface, cos_zenith, lat, cfg.radiation
+    )
+    T = T + dt * heating
+
+    # ---- surface fluxes -------------------------------------------------
+    wind_sfc = wind[..., -1]
+    speed = jnp.sqrt((wind_sfc ** 2).sum(axis=0))
+    fluxes = sfc.bulk_surface_fluxes(
+        T[..., -1], q[..., -1], pe[..., -1], delp[..., -1], speed, t_surface,
+        cfg.surface,
+    )
+    mass_sfc = delp[..., -1] / GRAVITY
+    T = T.at[..., -1].add(dt * fluxes["SHTFLsfc"] / (CP_AIR * mass_sfc))
+    q = q.at[..., -1].add(dt * fluxes["evaporation"] / mass_sfc)
+    drag = jnp.exp(-dt * fluxes["drag_factor"])
+    wind = wind.at[..., -1].multiply(drag[None])
+
+    # ---- PBL implicit diffusion ----------------------------------------
+    dz = jnp.abs(thermo.hydrostatic_dz(T, q, delp, toa_pressure=cfg.ptop))
+    dz_if = 0.5 * (dz[..., :-1] + dz[..., 1:])
+    dm = thermo.layer_mass(delp)
+    sigma_if = (pe[..., 1:-1]) / pe[..., -1:]
+    K_if = pbl_mod.diffusivity_profile(sigma_if, cfg.pbl)
+    theta_d = T * (REFERENCE_SURFACE_PRESSURE / pmid) ** KAPPA
+    theta_d = pbl_mod.implicit_diffusion(theta_d, K_if, dz_if, dm, dt)
+    T = theta_d * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+    q = pbl_mod.implicit_diffusion(q, K_if, dz_if, dm, dt)
+    wind = jnp.stack(
+        [
+            pbl_mod.implicit_diffusion(wind[c], K_if, dz_if, dm, dt)
+            for c in range(3)
+        ]
+    )
+
+    # ---- microphysics ---------------------------------------------------
+    T, q, qc, precip = mp.microphysics_step(
+        T, q, qc, pmid, delp, dt, cfg.microphysics
+    )
+
+    pt_new = theta_v_from_temperature(T, pmid, q)
+    new_state = DycoreState(
+        delp=state.delp,
+        pt=_zmid(pt_new),
+        wind=jnp.stack([_zmid(wind[c]) for c in range(3)]),
+        tracers={"sphum": _zmid(q), "cloud_water": _zmid(qc)},
+        phis=state.phis,
+    )
+
+    diags = dict(rad_diags)
+    diags["PRATEsfc"] = precip
+    diags["LHTFLsfc"] = fluxes["LHTFLsfc"]
+    diags["SHTFLsfc"] = fluxes["SHTFLsfc"]
+    diags["tendency_of_air_temperature_due_to_fv3_physics"] = _zmid(
+        (T - T0) / dt
+    )
+    diags["tendency_of_specific_humidity_due_to_fv3_physics"] = _zmid(
+        (q - q0) / dt
+    )
+    return new_state, diags

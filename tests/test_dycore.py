@@ -1,0 +1,146 @@
+"""Dycore integration tests: conservation, rest-state preservation,
+stability (mirrors the conservation-based correctness guarding noted in
+SURVEY §5.2 — the reference relies on conservation diagnostics +
+regression, not unit-level dycore tests)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fv3net_tpu.grid.geometry import make_grid
+from fv3net_tpu.dycore import DycoreConfig, DycoreState, dynamics_step, init_state
+from fv3net_tpu.dycore.core import GridArrays
+from fv3net_tpu.dycore import vertical
+
+jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    grid = make_grid(12)
+    g = GridArrays.from_grid(grid, dtype=jnp.float64)
+    return grid, g
+
+
+def total_mass(state, grid):
+    return float(
+        (np.asarray(state.delp) * grid.area[:, None]).sum()
+    )
+
+
+def test_hybrid_coordinate_monotone():
+    ak, bk = vertical.hybrid_coordinate(32)
+    for ps in (6e4, 1e5, 1.08e5):
+        pe = ak + bk * ps
+        assert (np.diff(pe) > 0).all()
+    assert ak[0] == pytest.approx(300.0)
+    assert bk[-1] == 1.0 and bk[0] == 0.0
+
+
+def test_resting_atmosphere_stays_at_rest(setup):
+    grid, g = setup
+    state, ak, bk = init_state(grid, nz=12, dtype=jnp.float64)
+    cfg = DycoreConfig(dt=900.0, n_split=2, diff_coef=0.0)
+    out = dynamics_step(state, g, jnp.asarray(ak), jnp.asarray(bk), cfg)
+    # no motion develops; delp unchanged (remap of an unchanged column is
+    # the identity up to roundoff)
+    np.testing.assert_allclose(np.asarray(out.wind), 0.0, atol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(out.delp), np.asarray(state.delp), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.pt), np.asarray(state.pt), rtol=1e-9
+    )
+
+
+def test_gravity_wave_conserves_mass_and_stays_finite(setup):
+    grid, g = setup
+    state, ak, bk = init_state(
+        grid, nz=12, dtype=jnp.float64, perturbation=5.0
+    )
+    cfg = DycoreConfig(dt=900.0, n_split=3)
+    m0 = total_mass(state, grid)
+    for _ in range(10):
+        state = dynamics_step(state, g, jnp.asarray(ak), jnp.asarray(bk), cfg)
+    m1 = total_mass(state, grid)
+    assert np.isfinite(np.asarray(state.pt)).all()
+    assert np.isfinite(np.asarray(state.wind)).all()
+    np.testing.assert_allclose(m1, m0, rtol=1e-10)
+    # wind magnitudes stay physical for a 5 K bump
+    assert np.abs(np.asarray(state.wind)).max() < 60.0
+
+
+def test_tracer_transport_conserves_and_bounded(setup):
+    grid, g = setup
+    state, ak, bk = init_state(
+        grid, nz=12, dtype=jnp.float64, perturbation=3.0
+    )
+    # tracer blob in [0, 1]
+    lon = grid.lon[:, None, :, :]
+    lat = grid.lat[:, None, :, :]
+    blob = np.exp(-((lon - 1.0) ** 2 + lat ** 2) / 0.1) * np.ones(
+        (6, 12, grid.n, grid.n)
+    )
+    state = DycoreState(
+        delp=state.delp,
+        pt=state.pt,
+        wind=state.wind,
+        tracers={"sphum": jnp.asarray(blob)},
+        phis=state.phis,
+    )
+    cfg = DycoreConfig(dt=900.0, n_split=3)
+    tm0 = float((np.asarray(state.tracers["sphum"] * state.delp)
+                 * grid.area[:, None]).sum())
+    for _ in range(5):
+        state = dynamics_step(state, g, jnp.asarray(ak), jnp.asarray(bk), cfg)
+    q = np.asarray(state.tracers["sphum"])
+    tm1 = float((q * np.asarray(state.delp) * grid.area[:, None]).sum())
+    np.testing.assert_allclose(tm1, tm0, rtol=1e-9)
+    # upwind transport + positive-definite remap keep q in physical bounds
+    assert q.min() > -1e-10
+    assert q.max() < 1.0 + 1e-6
+
+
+def test_uniform_tracer_stays_uniform(setup):
+    grid, g = setup
+    state, ak, bk = init_state(
+        grid, nz=12, dtype=jnp.float64, perturbation=3.0
+    )
+    state = DycoreState(
+        delp=state.delp,
+        pt=state.pt,
+        wind=state.wind,
+        tracers={"sphum": jnp.full_like(state.delp, 0.5)},
+        phis=state.phis,
+    )
+    cfg = DycoreConfig(dt=900.0, n_split=2)
+    for _ in range(3):
+        state = dynamics_step(state, g, jnp.asarray(ak), jnp.asarray(bk), cfg)
+    np.testing.assert_allclose(
+        np.asarray(state.tracers["sphum"]), 0.5, rtol=1e-9
+    )
+
+
+def test_green_gauss_gradient_of_linear_function(setup):
+    """Gradient of a linear-in-xyz scalar ~ tangent-projected constant."""
+    from fv3net_tpu.dycore.core import _green_gauss_gradient, _ext
+
+    grid, g = setup
+    # s = z coordinate of cell center (a smooth function on the sphere)
+    s = jnp.asarray(grid.centers_xyz[..., 2])[:, None]  # [6, 1, n, n]
+    grad = np.asarray(_green_gauss_gradient(_ext(s), g))[:, :, 0]
+    # analytic surface gradient of f = z/R on unit sphere: (zhat - z khat)/R
+    khat = np.moveaxis(grid.centers_xyz, -1, 0)
+    zhat = np.zeros_like(khat)
+    zhat[2] = 1.0
+    want = (zhat - grid.centers_xyz[..., 2][None] * khat) / grid.radius
+    err = np.abs(grad - want)
+    scale = np.abs(want).max()
+    # interior cells (excluding the edge/corner bands, where the
+    # midpoint-face Green-Gauss operator is lower-order on the skewed
+    # cube-corner cells — a known cubed-sphere artifact the del-2 damping
+    # controls; to be upgraded with corner-aware weights)
+    interior = err[:, :, 2:-2, 2:-2]
+    assert interior.max() < 0.02 * scale
+    # global mean error small
+    assert err.mean() < 0.02 * scale
