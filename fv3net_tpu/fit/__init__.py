@@ -1,0 +1,26 @@
+"""ML library: the fv3fit analog, JAX-native.
+
+Reference surface being matched (reference: external/fv3fit/fv3fit):
+- ``Predictor`` protocol with ``input_variables``/``output_variables``
+  and ``predict(Dataset) -> Dataset`` (_shared/predictor.py:44-90)
+- ``dump``/``load`` serialization registry dispatching on a ``name`` file
+  in the artifact directory (_shared/io.py:17-92)
+- ``@register_training_function(name, HyperparamCls)`` trainer registry
+  (_shared/training_config.py) with the ``dense`` trainer
+  (keras/_models/dense.py:90) re-designed as a pure-JAX MLP + optax loop
+- packers stacking named variables into [sample, feature] arrays
+  (_shared/packer.py:52-182)
+
+The compute path is pure JAX: model application is a jittable function of
+a weight pytree, so predictors run *inside* the jitted time loop — unlike
+the reference, which crosses into TF/sklearn per step.
+"""
+from fv3net_tpu.fit.predictor import Predictor  # noqa: F401
+from fv3net_tpu.fit.io import register, dump, load  # noqa: F401
+from fv3net_tpu.fit.train import (  # noqa: F401
+    TrainingConfig,
+    get_training_function,
+    register_training_function,
+)
+from fv3net_tpu.fit import dense  # noqa: F401  (registers "dense")
+from fv3net_tpu.fit import testing  # noqa: F401  (registers "constant-output")
