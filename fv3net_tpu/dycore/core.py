@@ -57,6 +57,10 @@ class GridArrays:
     f_coriolis: jnp.ndarray  # [6, n, n]
     dist_x: jnp.ndarray  # [6, n+1, n] center-to-center across x-edges
     dist_y: jnp.ndarray  # [6, n, n+1] center-to-center across y-edges
+    east: jnp.ndarray  # [3, 6, n, n] unit east at centers
+    north: jnp.ndarray  # [3, 6, n, n] unit north at centers
+    lat: jnp.ndarray  # [6, n, n] radians
+    lon: jnp.ndarray  # [6, n, n] radians
 
     @classmethod
     def from_grid(cls, grid: Grid, dtype=jnp.float32) -> "GridArrays":
@@ -82,6 +86,10 @@ class GridArrays:
             f_coriolis=jnp.asarray(grid.f_coriolis, dtype),
             dist_x=jnp.asarray(dist_x, dtype),
             dist_y=jnp.asarray(dist_y, dtype),
+            east=jnp.asarray(np.moveaxis(grid.east, -1, 0), dtype),
+            north=jnp.asarray(np.moveaxis(grid.north, -1, 0), dtype),
+            lat=jnp.asarray(grid.lat, dtype),
+            lon=jnp.asarray(grid.lon, dtype),
         )
 
 

@@ -32,7 +32,7 @@ def hybrid_coordinate(
     # the boundary layer and upper levels
     pe_ref = ptop + (ps0 - ptop) * k ** sigma_exp
     kt = pure_pressure_frac
-    bk = np.where(k <= kt, 0.0, ((k - kt) / (1.0 - kt)) ** 1.5)
+    bk = np.where(k <= kt, 0.0, (np.maximum(k - kt, 0.0) / (1.0 - kt)) ** 1.5)
     bk[-1] = 1.0
     ak = pe_ref - bk * ps0
     ak[0] = ptop

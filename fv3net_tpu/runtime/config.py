@@ -1,0 +1,143 @@
+"""Runtime configuration dataclasses, strictly parsed from dicts.
+
+reference: workflows/prognostic_c48_run/runtime/config.py:24-108 — a
+single config file whose reserved model keys configure the (there:
+Fortran) model and whose remaining keys parse strictly into nested
+dataclasses via dacite; here a small built-in strict parser plays the
+dacite role.
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing
+from typing import Any, List, Mapping, Optional, Sequence
+
+import yaml
+
+# keys consumed by the model core itself (the FV3CONFIG_KEYS analog,
+# reference config.py:24-37)
+MODEL_KEYS = {
+    "namelist",
+    "initial_conditions",
+}
+
+
+@dataclasses.dataclass
+class MachineLearningConfig:
+    """reference: runtime/steppers/machine_learning.py MachineLearningConfig"""
+
+    model: List[str] = dataclasses.field(default_factory=list)
+    use_mse_conserving_humidity_limiter: bool = True
+    online: bool = True
+
+
+@dataclasses.dataclass
+class NudgingConfig:
+    restarts_path: str = ""
+    timescale_hours: Mapping[str, float] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class DiagnosticFileConfig:
+    """reference: runtime/diagnostics/manager.py:26-96"""
+
+    name: str = "diags.zarr"
+    variables: List[str] = dataclasses.field(default_factory=list)
+    times: "TimeConfig" = None
+
+    def __post_init__(self):
+        if self.times is None:
+            self.times = TimeConfig()
+
+
+@dataclasses.dataclass
+class TimeConfig:
+    """reference: runtime/diagnostics/time.py:17-153 — kinds:
+    every | interval | interval-average | selected"""
+
+    kind: str = "every"
+    frequency: Optional[float] = None  # seconds, for interval kinds
+    times: Optional[List[str]] = None  # for kind == selected
+
+
+@dataclasses.dataclass
+class NamelistConfig:
+    """Core model parameters (plays the Fortran namelist's role)."""
+
+    npx: int = 48  # cells per tile side
+    npz: int = 32  # vertical levels
+    dt_atmos: float = 900.0
+    n_split: int = 2
+    kord: int = 9
+    diff_coef: float = 0.015
+    hydrostatic: bool = True
+
+
+@dataclasses.dataclass
+class UserConfig:
+    """Top-level runtime config (reference: runtime/config.py:40-80)."""
+
+    namelist: NamelistConfig = dataclasses.field(default_factory=NamelistConfig)
+    diagnostics: List[DiagnosticFileConfig] = dataclasses.field(
+        default_factory=list
+    )
+    scikit_learn: Optional[MachineLearningConfig] = None
+    nudging: Optional[NudgingConfig] = None
+    prephysics: Optional[List[dict]] = None
+    duration_seconds: float = 3600.0
+    initial_time: str = "2016-08-01T00:00:00"
+
+
+def _from_dict(cls, d: Mapping[str, Any]):
+    """Strict nested dataclass construction (the dacite.from_dict analog,
+    reference config.py:89-99): unknown keys raise."""
+    if d is None:
+        return None
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(fields)
+    if unknown:
+        raise ValueError(f"unknown config keys for {cls.__name__}: {unknown}")
+    kwargs = {}
+    for key, value in d.items():
+        ftype = fields[key].type
+        origin = typing.get_origin(ftype) if isinstance(ftype, type) is False else None
+        resolved = _resolve(ftype)
+        if dataclasses.is_dataclass(resolved) and isinstance(value, Mapping):
+            kwargs[key] = _from_dict(resolved, value)
+        elif (
+            typing.get_origin(resolved) in (list, List)
+            and value is not None
+            and dataclasses.is_dataclass(_resolve(typing.get_args(resolved)[0]))
+        ):
+            inner = _resolve(typing.get_args(resolved)[0])
+            kwargs[key] = [
+                _from_dict(inner, v) if isinstance(v, Mapping) else v
+                for v in value
+            ]
+        else:
+            kwargs[key] = value
+    return cls(**kwargs)
+
+
+def _resolve(ftype):
+    """Resolve Optional[...]/string annotations to the inner type."""
+    if isinstance(ftype, str):
+        ns = globals()
+        ftype = ns.get(ftype.strip('"'), ftype)
+        if isinstance(ftype, str):
+            return ftype
+    if typing.get_origin(ftype) is typing.Union:
+        args = [a for a in typing.get_args(ftype) if a is not type(None)]
+        if len(args) == 1:
+            return args[0]
+    return ftype
+
+
+def get_config(d: Mapping[str, Any]) -> UserConfig:
+    """Parse a config dict (e.g. loaded from fv3config.yml) strictly."""
+    return _from_dict(UserConfig, dict(d))
+
+
+def load_config(path: str) -> UserConfig:
+    with open(path) as f:
+        return get_config(yaml.safe_load(f))

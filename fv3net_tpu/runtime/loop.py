@@ -1,0 +1,184 @@
+"""TimeLoop: the prognostic main loop.
+
+reference: workflows/prognostic_c48_run/runtime/loop.py:106-664 — an
+iterator over (time, diagnostics) pairs, stepping
+dynamics -> physics -> postphysics (ML/nudging) -> apply-tendencies,
+with Monitor-computed tendency diagnostics for each substep.  Here every
+substep is a jitted pure function over the on-device state; the Python
+loop only sequences substeps and handles I/O boundaries.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import logging
+from typing import Callable, Dict, Iterator, List, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fv3net_tpu.core.quantity import Quantity
+from fv3net_tpu.dycore import DycoreConfig, dynamics_step, init_state
+from fv3net_tpu.dycore.core import GridArrays
+from fv3net_tpu.grid.geometry import make_grid
+from fv3net_tpu.ops import zenith
+from fv3net_tpu.physics import PhysicsConfig, physics_step
+from fv3net_tpu.runtime import names
+from fv3net_tpu.runtime.config import UserConfig
+from fv3net_tpu.runtime.derived_state import (
+    DerivedState,
+    DIMS_2D,
+    DIMS_3D,
+    ModelState,
+)
+from fv3net_tpu.runtime.monitor import Monitor
+from fv3net_tpu.runtime.steppers.machine_learning import (
+    MultiModelAdapter,
+    PureMLStepper,
+    add_tendency,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def aquaplanet_sst(lat) -> jnp.ndarray:
+    """Zonally symmetric SST profile (QOBS-like)."""
+    return 300.15 - 30.0 * jnp.sin(lat) ** 2
+
+
+class TimeLoop:
+    """Iterator over (time, diagnostics) (reference loop.py:106-181
+    construction, :633-664 per-step pipeline)."""
+
+    def __init__(
+        self,
+        config: UserConfig,
+        postphysics_stepper=None,
+        prephysics_steppers: Optional[List] = None,
+        dtype=jnp.float32,
+    ):
+        nml = config.namelist
+        self._config = config
+        self.grid = make_grid(nml.npx)
+        self._g = GridArrays.from_grid(self.grid, dtype=dtype)
+        dstate, ak, bk = init_state(self.grid, nml.npz, dtype=dtype)
+        self._ak = jnp.asarray(ak, dtype)
+        self._bk = jnp.asarray(bk, dtype)
+        sst = aquaplanet_sst(self._g.lat).astype(dtype)
+        self.state = ModelState(
+            dycore=dstate,
+            surface={
+                names.TSFC: sst,
+                names.SST: sst,
+                names.MASK: jnp.zeros_like(sst),  # all ocean
+            },
+        )
+        self.time = datetime.datetime.fromisoformat(config.initial_time)
+        self._timestep = nml.dt_atmos
+        self._dyn_cfg = DycoreConfig(
+            dt=nml.dt_atmos,
+            n_split=nml.n_split,
+            kord=nml.kord,
+            diff_coef=nml.diff_coef,
+        )
+        self._phys_cfg = PhysicsConfig()
+        self._postphysics_stepper = postphysics_stepper or (
+            self._build_ml_stepper(config) if config.scikit_learn else None
+        )
+        self._prephysics_steppers = prephysics_steppers or []
+        self.monitor = Monitor(
+            [names.TEMP, names.SPHUM, names.CLOUD], self._timestep
+        )
+        self._lon_deg = np.rad2deg(self.grid.lon)
+        self._lat_deg = np.rad2deg(self.grid.lat)
+
+    @property
+    def timestep(self) -> float:
+        return self._timestep
+
+    def _build_ml_stepper(self, config: UserConfig):
+        from fv3net_tpu import fit
+
+        models = [fit.load(path) for path in config.scikit_learn.model]
+        adapter = MultiModelAdapter(models)
+        return PureMLStepper(
+            adapter,
+            self._timestep,
+            mse_conserving_limiter=(
+                config.scikit_learn.use_mse_conserving_humidity_limiter
+            ),
+        )
+
+    # -- substeps ---------------------------------------------------------
+    def _derived(self) -> DerivedState:
+        return DerivedState(self.state, self._g, ptop=self._dyn_cfg.ptop)
+
+    def _step_dynamics(self) -> Dict[str, Quantity]:
+        self.state.dycore = dynamics_step(
+            self.state.dycore, self._g, self._ak, self._bk, self._dyn_cfg
+        )
+        return {}
+
+    def _cos_zenith(self) -> jnp.ndarray:
+        days = zenith.days_from_2000(self.time)
+        return zenith.cos_zenith_angle(days, self._lon_deg, self._lat_deg)
+
+    def _step_physics(self) -> Dict[str, Quantity]:
+        cosz = self._cos_zenith().astype(self.state.dycore.pt.dtype)
+        new_dycore, raw = physics_step(
+            self.state.dycore,
+            self.state.surface[names.TSFC],
+            cosz,
+            self._g.lat,
+            self._timestep,
+            self._phys_cfg,
+        )
+        self.state.dycore = new_dycore
+        diags: Dict[str, Quantity] = {}
+        for key, arr in raw.items():
+            dims = DIMS_3D if arr.ndim == 4 else DIMS_2D
+            diags[key] = Quantity(arr, dims)
+        diags["cos_zenith_angle"] = Quantity(cosz, DIMS_2D)
+        # reference surface precip name (kg/m2/s)
+        diags[names.PHYSICS_PRECIP_RATE] = diags["PRATEsfc"]
+        return diags
+
+    def _apply_stepper(self, stepper) -> Dict[str, Quantity]:
+        state = self._derived()
+        tendencies, diagnostics, state_updates = stepper(self.time, state)
+        add_tendency(state, tendencies, self._timestep)
+        for key, value in state_updates.items():
+            state[key] = value
+        self.state = state.state
+        out = dict(diagnostics)
+        for key, tend in tendencies.items():
+            out[f"{key}_{stepper.label}"] = tend
+        return out
+
+    def _step_postphysics(self) -> Dict[str, Quantity]:
+        if self._postphysics_stepper is None:
+            return {}
+        return self._apply_stepper(self._postphysics_stepper)
+
+    # -- iteration --------------------------------------------------------
+    def __iter__(self) -> Iterator[Tuple[datetime.datetime, Dict[str, Quantity]]]:
+        n_steps = int(self._config.duration_seconds // self._timestep)
+        for _ in range(n_steps):
+            self.time += datetime.timedelta(seconds=self._timestep)
+            diags: Dict[str, Quantity] = {}
+            state = self._derived()
+            for stepper in self._prephysics_steppers:
+                diags.update(self._apply_stepper(stepper))
+            diags.update(
+                self.monitor("dynamics", self._step_dynamics, state)
+            )
+            diags.update(
+                self.monitor("fv3_physics", self._step_physics, state)
+            )
+            diags.update(
+                self.monitor(
+                    "python", self._step_postphysics, state
+                )
+            )
+            yield self.time, diags
