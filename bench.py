@@ -1,0 +1,59 @@
+"""Headline benchmark: C48 hybrid prognostic step throughput in SYPD.
+
+Target (BASELINE.md): >= 5 simulated years per day per TPU chip for the
+C48 hybrid run (dycore + physics + ML corrective step, dt_atmos = 900 s,
+reference workload definition at
+workflows/prognostic_c48_run/tests/test_regression.py:40-46).
+
+Prints exactly one JSON line:
+{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+import json
+import time
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the tunnel-attached TPU pays a large
+    # per-compile latency; cache XLA executables across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    state, ml_params, sst, cosz = args
+    dt_atmos = 900.0
+
+    # warmup/compile
+    out = fn(*args)
+    jax.block_until_ready(out.pt)
+
+    # steady-state timing: chain steps to keep the device busy
+    n_steps = 20
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(n_steps):
+        s = fn(s, ml_params, sst, cosz)
+    jax.block_until_ready(s.pt)
+    elapsed = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / elapsed
+    sim_seconds_per_wall_second = dt_atmos * steps_per_sec
+    sypd = sim_seconds_per_wall_second * 86400.0 / (365.0 * 86400.0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "c48_hybrid_prognostic_throughput",
+                "value": round(sypd, 3),
+                "unit": "SYPD",
+                "vs_baseline": round(sypd / 5.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

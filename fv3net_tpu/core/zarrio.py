@@ -45,7 +45,10 @@ class ZarrArray:
         self.shape = tuple(meta["shape"])
         self.chunks = tuple(meta["chunks"])
         self.dtype = np.dtype(meta["dtype"])
-        self.fill_value = meta.get("fill_value", 0)
+        fv = meta.get("fill_value", 0)
+        if isinstance(fv, str):  # zarr v2 encodes NaN/Infinity as strings
+            fv = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}[fv]
+        self.fill_value = fv
         comp = meta.get("compressor")
         self.compressed = comp is not None and comp.get("id") == "zlib"
         self.attrs: Dict[str, Any] = {}
@@ -74,8 +77,13 @@ class ZarrArray:
         shape = tuple(int(s) for s in shape)
         chunks = tuple(int(c) for c in (chunks or shape))
         dtype = np.dtype(dtype)
-        if fill_value is not None and np.issubdtype(dtype, np.floating):
-            fill_value = float(fill_value)
+        if isinstance(fill_value, str):
+            pass  # already a zarr v2 special-float token ("NaN", ...)
+        elif fill_value is not None and np.issubdtype(dtype, np.floating):
+            if np.isnan(fill_value):
+                fill_value = "NaN"
+            else:
+                fill_value = float(fill_value)
         meta = {
             "zarr_format": 2,
             "shape": list(shape),
@@ -94,6 +102,24 @@ class ZarrArray:
         with open(os.path.join(path, ".zattrs"), "w") as f:
             json.dump(all_attrs, f)
         return cls(path)
+
+    def resize(self, shape: Sequence[int]) -> None:
+        """Grow (or shrink) the logical shape; chunk layout unchanged —
+        the append-along-time primitive used by diagnostics and segmented
+        runs (the role of zarr-python's Array.resize / the reference's
+        segment-appending, workflows/post_process_run/fv3post/append.py)."""
+        shape = tuple(int(s) for s in shape)
+        meta_path = os.path.join(self.path, ".zarray")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["shape"] = list(shape)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+        self.shape = shape
+
+    def resize_time(self, n: int) -> None:
+        """Resize the leading (time) axis to ``n``."""
+        self.resize((n,) + self.shape[1:])
 
     # -- chunk io -----------------------------------------------------------
     def _chunk_path(self, idx: Tuple[int, ...]) -> str:

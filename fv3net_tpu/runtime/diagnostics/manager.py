@@ -1,0 +1,143 @@
+"""Diagnostic files: running time averages flushed to zarr.
+
+reference: workflows/prognostic_c48_run/runtime/diagnostics/
+manager.py:98-178 — DiagnosticFile.observe accumulates per-variable sums
+keyed by the time container's indicator; completed buckets are stored to
+a zarr store (there via pace.util.ZarrMonitor per MPI rank; here one
+host writes the whole cube, and under sharding each host writes its
+shard region).
+"""
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from fv3net_tpu.core.dataset import Dataset
+from fv3net_tpu.core.quantity import Quantity
+from fv3net_tpu.core import zarrio
+from fv3net_tpu.runtime.diagnostics.times import (
+    IntervalAveragedTimes,
+    time_container_from_config,
+)
+
+
+class DiagnosticFile:
+    """One output zarr with its own variable set and time selection."""
+
+    def __init__(self, path: str, variables: Sequence[str], times):
+        self._path = path
+        self._variables = list(variables)
+        self._times = times
+        self._sums: Dict[str, np.ndarray] = {}
+        self._counts = 0
+        self._current_label: Optional[datetime.datetime] = None
+        self._stored_times: List[datetime.datetime] = []
+        self._store: Optional[zarrio.ZarrGroup] = None
+        self._averaging = isinstance(times, IntervalAveragedTimes)
+
+    def observe(self, time: datetime.datetime,
+                diagnostics: Mapping[str, Quantity]) -> None:
+        label = self._times.indicator(time)
+        if label is None:
+            return
+        if self._averaging:
+            if self._current_label is not None and label != self._current_label:
+                self._flush()
+            self._current_label = label
+            for name in self._variables:
+                if name not in diagnostics:
+                    continue
+                arr = np.asarray(diagnostics[name].data, dtype=np.float64)
+                if name in self._sums:
+                    self._sums[name] = self._sums[name] + arr
+                else:
+                    self._sums[name] = arr.copy()
+                    self._dims = getattr(self, "_dims", {})
+                    self._dims[name] = diagnostics[name].dims
+            self._counts += 1
+        else:
+            self._current_label = label
+            self._dims = getattr(self, "_dims", {})
+            for name in self._variables:
+                if name in diagnostics:
+                    self._sums[name] = np.asarray(
+                        diagnostics[name].data, dtype=np.float64
+                    )
+                    self._dims[name] = diagnostics[name].dims
+            self._counts = 1
+            self._flush()
+
+    def _flush(self) -> None:
+        if self._counts == 0 or not self._sums:
+            self._sums = {}
+            self._counts = 0
+            return
+        mean = {k: v / self._counts for k, v in self._sums.items()}
+        t_index = len(self._stored_times)
+        if self._store is None:
+            self._store = zarrio.ZarrGroup.create(self._path)
+            for name, arr in mean.items():
+                dims = ("time",) + tuple(self._dims[name])
+                self._store.create_array(
+                    name,
+                    shape=(0,) + arr.shape,
+                    chunks=(1,) + arr.shape,
+                    dtype="float32",
+                    dims=dims,
+                    fill_value="NaN",
+                )
+        for name, arr in mean.items():
+            za = self._store[name]
+            za.resize_time(t_index + 1)
+            za[(t_index,)] = arr.astype(np.float32)
+        self._stored_times.append(self._current_label)
+        self._write_times()
+        self._sums = {}
+        self._counts = 0
+
+    def _write_times(self) -> None:
+        # time coordinate in hours since the first stored time
+        t0 = self._stored_times[0]
+        hours = np.array(
+            [(t - t0).total_seconds() / 3600.0 for t in self._stored_times]
+        )
+        if "time" not in self._store.array_names():
+            self._store.create_array(
+                "time",
+                shape=(0,),
+                chunks=(1024,),
+                dtype="float64",
+                dims=("time",),
+                attrs={"units": f"hours since {t0.isoformat()}"},
+            )
+        za = self._store["time"]
+        za.resize_time(len(hours))
+        za[:] = hours
+
+    def close(self) -> None:
+        if self._averaging:
+            self._flush()
+
+
+class DiagnosticsManager:
+    """All configured diagnostic files (reference manager.py:181-200
+    get_diagnostic_files)."""
+
+    def __init__(self, configs, initial_time: datetime.datetime,
+                 output_dir: str):
+        self.files = []
+        for cfg in configs:
+            times = time_container_from_config(cfg.times, initial_time)
+            path = os.path.join(output_dir, cfg.name)
+            self.files.append(DiagnosticFile(path, cfg.variables, times))
+
+    def observe(self, time, diagnostics) -> None:
+        for f in self.files:
+            f.observe(time, diagnostics)
+
+    def close(self) -> None:
+        for f in self.files:
+            f.close()

@@ -1,0 +1,94 @@
+"""create/append segmented-run API.
+
+reference: runtime/segmented_run/api.py + append.py:17-88 — a run URL
+holds fv3config.yml + artifacts/<timestamp>/ per segment; ``append``
+locates the last segment's RESTART and continues from it.
+"""
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+from typing import Optional
+
+import yaml
+
+from fv3net_tpu.runtime import metrics
+from fv3net_tpu.runtime.checkpoint import load_state, save_state
+from fv3net_tpu.runtime.config import UserConfig, get_config
+from fv3net_tpu.runtime.diagnostics import DiagnosticsManager
+from fv3net_tpu.runtime.loop import TimeLoop
+from fv3net_tpu.runtime import names
+
+logger = logging.getLogger(__name__)
+
+CONFIG_NAME = "fv3config.yml"
+
+
+def create(url: str, config: dict) -> str:
+    """Initialize a run directory with its config (reference api.create)."""
+    os.makedirs(url, exist_ok=True)
+    get_config({k: v for k, v in config.items()})  # validate
+    with open(os.path.join(url, CONFIG_NAME), "w") as f:
+        yaml.safe_dump(config, f)
+    return url
+
+
+def read_run_config(url: str) -> UserConfig:
+    with open(os.path.join(url, CONFIG_NAME)) as f:
+        return get_config(yaml.safe_load(f))
+
+
+def read_last_segment(url: str) -> Optional[str]:
+    """Last artifacts/<timestamp> dir containing a RESTART
+    (reference append.py:17-29)."""
+    artifacts = os.path.join(url, "artifacts")
+    if not os.path.isdir(artifacts):
+        return None
+    segments = sorted(os.listdir(artifacts))
+    for seg in reversed(segments):
+        restart = os.path.join(artifacts, seg, "RESTART")
+        if os.path.isdir(restart):
+            return os.path.join(artifacts, seg)
+    return None
+
+
+def run_segment(
+    config: UserConfig, output_dir: str, restart_from: Optional[str] = None
+) -> TimeLoop:
+    """Run one segment, writing diagnostics + RESTART to output_dir
+    (the run.py:50 run_segment analog, minus the MPI subprocess: the
+    'ranks' are the devices of the JAX mesh)."""
+    os.makedirs(output_dir, exist_ok=True)
+    loop = TimeLoop(config)
+    if restart_from is not None:
+        state, time = load_state(os.path.join(restart_from, "RESTART"))
+        loop.state = state
+        loop.time = time
+    diag_mgr = DiagnosticsManager(
+        config.diagnostics, loop.time, output_dir
+    )
+    area = loop.grid.area
+    for time, diags in loop:
+        diag_mgr.observe(time, diags)
+        scalars = metrics.globally_average_2d_diagnostics(diags, area)
+        metrics.log_scalar(time, scalars)
+    diag_mgr.close()
+    save_state(loop.state, loop.time, os.path.join(output_dir, "RESTART"))
+    return loop
+
+
+def append_segment(url: str) -> str:
+    """Run the next segment of the run at ``url``
+    (reference append.py:38-88)."""
+    config = read_run_config(url)
+    last = read_last_segment(url)
+    # segment label = its start time
+    if last is not None:
+        _, start_time = load_state(os.path.join(last, "RESTART"))
+    else:
+        start_time = datetime.datetime.fromisoformat(config.initial_time)
+    label = start_time.strftime("%Y%m%d.%H%M%S")
+    output_dir = os.path.join(url, "artifacts", label)
+    run_segment(config, output_dir, restart_from=last)
+    return output_dir

@@ -1,0 +1,71 @@
+"""DiagnosticFile time-averaging + zarr output tests
+(reference behavior: runtime/diagnostics/manager.py:98-178)."""
+import datetime
+
+import numpy as np
+import jax.numpy as jnp
+
+from fv3net_tpu.core import zarrio
+from fv3net_tpu.core.quantity import Quantity
+from fv3net_tpu.runtime.config import DiagnosticFileConfig, TimeConfig
+from fv3net_tpu.runtime.diagnostics import DiagnosticsManager
+
+T0 = datetime.datetime(2016, 8, 1)
+
+
+def diags_at(value):
+    return {
+        "a": Quantity(jnp.full((6, 4, 4), value), ("tile", "y", "x")),
+        "ignored": Quantity(jnp.zeros((6, 4, 4)), ("tile", "y", "x")),
+    }
+
+
+def test_every_step_output(tmp_path):
+    cfg = DiagnosticFileConfig(
+        name="every.zarr", variables=["a"], times=TimeConfig(kind="every")
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    for i in range(3):
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(float(i)))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "every.zarr"))
+    assert ds["a"].shape == (3, 6, 4, 4)
+    np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [0.0, 1.0, 2.0])
+    assert "ignored" not in ds
+    np.testing.assert_allclose(ds.coords["time"], [0.0, 0.25, 0.5])
+
+
+def test_interval_average_output(tmp_path):
+    cfg = DiagnosticFileConfig(
+        name="avg.zarr",
+        variables=["a"],
+        times=TimeConfig(kind="interval-average", frequency=1800.0),
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    for i in range(4):  # two 1800 s windows of two 900 s steps each
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(float(i)))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "avg.zarr"))
+    assert ds["a"].shape == (2, 6, 4, 4)
+    np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [0.5, 2.5])
+
+
+def test_interval_output_subsamples(tmp_path):
+    cfg = DiagnosticFileConfig(
+        name="int.zarr",
+        variables=["a"],
+        times=TimeConfig(kind="interval", frequency=1800.0),
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    for i in range(4):
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(float(i)))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "int.zarr"))
+    # only the 1800 s multiples: steps 1 and 3 (i=1, 3)
+    np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [1.0, 3.0])
