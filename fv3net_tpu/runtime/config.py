@@ -94,13 +94,13 @@ def _from_dict(cls, d: Mapping[str, Any]):
     if d is None:
         return None
     fields = {f.name: f for f in dataclasses.fields(cls)}
+    hints = typing.get_type_hints(cls)
     unknown = set(d) - set(fields)
     if unknown:
         raise ValueError(f"unknown config keys for {cls.__name__}: {unknown}")
     kwargs = {}
     for key, value in d.items():
-        ftype = fields[key].type
-        origin = typing.get_origin(ftype) if isinstance(ftype, type) is False else None
+        ftype = hints.get(key, fields[key].type)
         resolved = _resolve(ftype)
         if dataclasses.is_dataclass(resolved) and isinstance(value, Mapping):
             kwargs[key] = _from_dict(resolved, value)
