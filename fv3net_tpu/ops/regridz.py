@@ -38,7 +38,8 @@ PRESSURE_GRID = np.array(
 def _hcoarsen_weighted(x_yxz, weights_yx, factor: int):
     """Weighted block average over the (y, x) axes of a (..., y, x, z) array."""
     x = jnp.moveaxis(x_yxz, -1, -3)  # (..., z, y, x)
-    out = _coarsen.weighted_block_average(x, weights_yx, factor)
+    w = jnp.expand_dims(weights_yx, -3)  # align (..., y, x) under the z axis
+    out = _coarsen.weighted_block_average(x, w, factor)
     return jnp.moveaxis(out, -3, -1)
 
 
@@ -97,7 +98,7 @@ def regrid_to_edge_weighted_pressure(
     """
     delp_stag = jnp.moveaxis(delp_staggered, -1, -3)
     coarse = _coarsen.edge_weighted_block_average(
-        delp_stag, length, coarsening_factor, edge=edge
+        delp_stag, jnp.expand_dims(length, -3), coarsening_factor, edge=edge
     )
     # upsample back to the fine staggered grid: repeat along the coarsen
     # axis, and along the subsampled axis each coarse row represents the
@@ -147,7 +148,14 @@ def _regrid_given_delp(
         )
         mask = pfull_coarse < phalf_fine[..., -1:]
     else:
-        mask = phalf_coarse[..., 1:] < phalf_fine[..., -1:]
+        # <= with a rounding tolerance (reference uses strict <,
+        # regridz.py:219): at exact equality the coarse layer lies
+        # entirely within the fine column so the value is valid, and
+        # cumsum rounding must not flip the comparison — otherwise a
+        # uniform-ps cube masks its whole bottom layer to 0/0
+        ps_fine = phalf_fine[..., -1:]
+        tol = 8 * jnp.finfo(ps_fine.dtype).eps * ps_fine
+        mask = phalf_coarse[..., 1:] <= ps_fine + tol
     masked_weights = jnp.where(mask, weights[..., None], 0.0)
     return regridded, masked_weights
 
