@@ -64,8 +64,14 @@ class GridArrays:
 
     @classmethod
     def from_grid(cls, grid: Grid, dtype=jnp.float32) -> "GridArrays":
-        centers = jnp.asarray(np.moveaxis(grid.centers_xyz, -1, 0), jnp.float64)
-        ext = halo_append(jnp.moveaxis(centers, 0, 1).reshape(6, 3, grid.n, grid.n), 1)
+        # center-distance tables are precomputed host-side in float64
+        # (numpy), then moved to the requested device dtype
+        centers_np = np.moveaxis(grid.centers_xyz, -1, 0)
+        ext = halo_append(
+            jnp.asarray(np.moveaxis(centers_np, 0, 1).reshape(
+                6, 3, grid.n, grid.n
+            ), dtype), 1,
+        )
         # ext: [6, 3, n+2, n+2] unit center vectors incl. neighbors
         def gc_dist(a, b):
             cross = jnp.linalg.norm(jnp.cross(a, b, axis=1), axis=1)
