@@ -1,0 +1,165 @@
+"""``prognostic-run-diags`` CLI: compute / metrics / report.
+
+reference: workflows/diagnostics/fv3net/diagnostics/prognostic_run/
+cli.py:16-47 — subcommands computing diagnostics from a run URL, scalar
+metrics from the computed file, and an HTML report.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _load_run(url: str):
+    """Concatenate diagnostics zarrs across run segments in time."""
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.core.dataset import Dataset
+    from fv3net_tpu.core.quantity import Quantity
+
+    artifacts = os.path.join(url, "artifacts")
+    datasets = []
+    if os.path.isdir(artifacts):
+        for seg in sorted(os.listdir(artifacts)):
+            p = os.path.join(artifacts, seg, "diags.zarr")
+            if os.path.isdir(p):
+                datasets.append(zarrio.open_zarr(p))
+    elif url.endswith(".zarr"):
+        datasets.append(zarrio.open_zarr(url))
+    if not datasets:
+        raise FileNotFoundError(f"no diagnostics zarrs found under {url}")
+    if len(datasets) == 1:
+        return datasets[0]
+    merged = {}
+    for name in datasets[0]:
+        arrs = [np.asarray(d[name].data) for d in datasets if name in d]
+        merged[name] = Quantity(
+            np.concatenate(arrs, axis=0), datasets[0][name].dims,
+            datasets[0][name].units,
+        )
+    return Dataset(merged)
+
+
+def _grid_for(ds) -> Dict[str, np.ndarray]:
+    from fv3net_tpu.grid.geometry import make_grid
+
+    n = next(iter(ds.values())).shape[-1]
+    grid = make_grid(n)
+    return {
+        "lat": np.rad2deg(grid.lat),
+        "lon": np.rad2deg(grid.lon),
+        "area": grid.area,
+        "land_sea_mask": np.zeros_like(grid.area),
+        "_grid": grid,
+    }
+
+
+def compute_cmd(url: str, output: str, verification: Optional[str] = None) -> None:
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.core.dataset import Dataset
+    from fv3net_tpu.diagnostics.prognostic.compute import compute_all
+
+    run = _load_run(url)
+    grid = _grid_for(run)
+    verif = _load_run(verification) if verification else None
+    diags = compute_all(run, grid, verif)
+    out = Dataset({k: v for k, v in diags.items() if v.ndim > 0})
+    zarrio.to_zarr(out, output)
+    scalars = {k: float(np.asarray(v.data)) for k, v in diags.items()
+               if v.ndim == 0}
+    if scalars:
+        with open(output + ".scalars.json", "w") as f:
+            json.dump(scalars, f)
+
+
+def metrics_cmd(diags_path: str, output: str) -> None:
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.diagnostics.prognostic.metrics import (
+        compute_metrics,
+        dump_metrics,
+    )
+
+    diags = zarrio.open_zarr(diags_path)
+    metrics = compute_metrics({k: diags[k] for k in diags})
+    dump_metrics(metrics, output)
+
+
+def report_cmd(diags_path: str, output_dir: str, title: str = "Prognostic run report") -> None:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.diagnostics.prognostic.metrics import compute_metrics
+    from fv3net_tpu.report import ImagePlot, create_report
+
+    diags = zarrio.open_zarr(diags_path)
+    sections = {"Time series": [], "Zonal means": [], "Maps": []}
+    for name in sorted(diags):
+        q = diags[name]
+        arr = np.asarray(q.data)
+        if name.endswith("_spatial_mean_global") or name.endswith("_rms_global"):
+            fig, ax = plt.subplots(figsize=(6, 3))
+            ax.plot(arr)
+            ax.set_title(name)
+            ax.set_xlabel("output time index")
+            sections["Time series"].append(ImagePlot(fig, caption=name))
+            plt.close(fig)
+        elif name.endswith("_zonal_and_time_mean"):
+            fig, ax = plt.subplots(figsize=(6, 3))
+            lat = np.asarray(q.attrs.get("latitude", range(arr.shape[-1])))
+            ax.plot(lat, arr)
+            ax.set_title(name)
+            ax.set_xlabel("latitude [deg]")
+            sections["Zonal means"].append(ImagePlot(fig, caption=name))
+            plt.close(fig)
+        elif name.endswith("_time_mean_value") and arr.ndim == 3:
+            from fv3net_tpu.grid.geometry import make_grid
+            from fv3net_tpu.viz import plot_cube
+
+            grid = make_grid(arr.shape[-1])
+            fig, ax, _ = plot_cube(grid, arr, title=name)
+            sections["Maps"].append(ImagePlot(fig, caption=name))
+            plt.close(fig)
+    metrics = {
+        k: f"{v['value']:.4g} {v['units']}"
+        for k, v in compute_metrics({k: diags[k] for k in diags}).items()
+    }
+    path = create_report(sections, title, output_dir, metrics=metrics)
+    print(path)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser("prognostic-run-diags")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("compute")
+    p.add_argument("url")
+    p.add_argument("output")
+    p.add_argument("--verification", default=None)
+
+    p = sub.add_parser("metrics")
+    p.add_argument("diags")
+    p.add_argument("output")
+
+    p = sub.add_parser("report")
+    p.add_argument("diags")
+    p.add_argument("output_dir")
+
+    args = parser.parse_args(argv)
+    if args.command == "compute":
+        compute_cmd(args.url, args.output, args.verification)
+    elif args.command == "metrics":
+        metrics_cmd(args.diags, args.output)
+    elif args.command == "report":
+        report_cmd(args.diags, args.output_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
