@@ -26,3 +26,4 @@ from fv3net_tpu.fit import dense  # noqa: F401  (registers "dense")
 from fv3net_tpu.fit import testing  # noqa: F401  (registers "constant-output")
 from fv3net_tpu.fit import models  # noqa: F401  (registers wrapper models)
 from fv3net_tpu.fit import novelty  # noqa: F401  (registers novelty detectors)
+from fv3net_tpu.fit import convolutional  # noqa: F401  (registers "convolutional")
