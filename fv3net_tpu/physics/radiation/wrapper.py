@@ -1,0 +1,84 @@
+"""Radiation wrapper: the reference's driver API over jnp backends
+(reference: external/radiation/radiation/wrapper_api.py:119-349)."""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+
+from fv3net_tpu.ops import zenith
+from fv3net_tpu.physics import radiation_gray as gray
+
+
+@dataclasses.dataclass
+class RadiationConfig:
+    """(reference wrapper_api.py:40-78 GFSPhysicsControl subset)"""
+
+    scheme: str = "gray"  # gray | rrtmg
+    gray: gray.GrayRadiationParams = gray.GrayRadiationParams()
+    # RRTMG namelist-style options retained for config compatibility
+    iovr_lw: int = 1
+    iovr_sw: int = 1
+    isol: int = 0
+    ico2: int = 0
+    iaer: int = 0
+
+
+class Radiation:
+    """validate() / init_driver() / __call__(time, state) driver."""
+
+    def __init__(self, config: RadiationConfig, timestep: float):
+        self.config = config
+        self.timestep = timestep
+        self._initialized = False
+
+    def validate(self) -> None:
+        if self.config.scheme not in ("gray", "rrtmg"):
+            raise ValueError(f"unknown radiation scheme {self.config.scheme}")
+        if self.config.scheme == "rrtmg":
+            raise NotImplementedError(
+                "RRTMG band solvers require spectral lookup tables that the "
+                "reference downloads from GCS (radiation/config.py:4-5); "
+                "vendor them and select scheme='rrtmg' in a future round"
+            )
+
+    def init_driver(self) -> None:
+        """(reference wrapper_api.py init_driver: table download + driver
+        init; the gray scheme needs no tables)"""
+        self.validate()
+        self._initialized = True
+
+    def __call__(
+        self,
+        time: datetime.datetime,
+        state: Dict[str, jnp.ndarray],
+    ) -> Dict[str, jnp.ndarray]:
+        """Compute radiative heating + flux diagnostics.
+
+        ``state`` must hold z-last column arrays: air_temperature [...,nz],
+        pressure_thickness_of_atmospheric_layer [...,nz],
+        surface_temperature [...], latitude (radians) [...],
+        longitude (radians) [...].
+        """
+        if not self._initialized:
+            self.init_driver()
+        days = zenith.days_from_2000(time)
+        cosz = zenith.cos_zenith_angle(
+            days,
+            jnp.rad2deg(state["longitude"]),
+            jnp.rad2deg(state["latitude"]),
+        )
+        heating, diags = gray.gray_radiation(
+            state["air_temperature"],
+            state["pressure_thickness_of_atmospheric_layer"],
+            state["surface_temperature"],
+            cosz,
+            state["latitude"],
+            self.config.gray,
+        )
+        out = dict(diags)
+        out["tendency_of_air_temperature_due_to_radiation"] = heating
+        out["cos_zenith_angle"] = cosz
+        return out
