@@ -22,24 +22,35 @@ def main():
 
     from __graft_entry__ import entry
 
+    import jax.numpy as jnp
+    from jax import lax
+
     fn, args = entry()
     state, ml_params, sst, cosz = args
     dt_atmos = 900.0
 
+    # chain CHUNK steps inside one XLA program: measures true device
+    # throughput rather than per-dispatch host/tunnel latency
+    CHUNK = 8
+
+    @jax.jit
+    def multi_step(s):
+        return lax.fori_loop(0, CHUNK, lambda _, st: fn(st, ml_params, sst,
+                                                        cosz), s)
+
     # warmup/compile
-    out = fn(*args)
+    out = multi_step(state)
     jax.block_until_ready(out.pt)
 
-    # steady-state timing: chain steps to keep the device busy
-    n_steps = 20
+    n_calls = 4
     t0 = time.perf_counter()
     s = state
-    for _ in range(n_steps):
-        s = fn(s, ml_params, sst, cosz)
+    for _ in range(n_calls):
+        s = multi_step(s)
     jax.block_until_ready(s.pt)
     elapsed = time.perf_counter() - t0
 
-    steps_per_sec = n_steps / elapsed
+    steps_per_sec = n_calls * CHUNK / elapsed
     sim_seconds_per_wall_second = dt_atmos * steps_per_sec
     sypd = sim_seconds_per_wall_second * 86400.0 / (365.0 * 86400.0)
 

@@ -1,0 +1,63 @@
+"""C384 -> C48 coarsening throughput: Pallas kernel vs XLA path.
+
+BASELINE config 1: the reference does this as a dask/xarray CPU batch
+job (workflows/coarsen_c384_diagnostics); here it is an on-device
+streaming kernel.  Prints one JSON line per variant with effective
+HBM-read bandwidth.
+"""
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from fv3net_tpu.ops import coarsen as xla_c
+    from fv3net_tpu.ops.pallas_kernels import weighted_block_average_pallas
+
+    nz = 79
+    n_fine = 384
+    factor = 8
+    rng = np.random.RandomState(0)
+    # one 3-D field on the full cube: [6*nz, 384, 384] f32 = 5.5 GB is too
+    # big for host transfer through the tunnel; use one tile's worth and
+    # scale: [nz, 384, 384] = 46 MB per array
+    x = jnp.asarray(rng.rand(nz, n_fine, n_fine), jnp.float32)
+    w = jnp.asarray(rng.rand(n_fine, n_fine), jnp.float32)
+    wb = jnp.broadcast_to(w, x.shape)
+
+    results = {}
+    for name, fn in (
+        ("pallas", lambda: weighted_block_average_pallas(x, wb, factor)),
+        ("xla", lambda: xla_c.weighted_block_average(x, wb, factor)),
+    ):
+        out = fn()
+        jax.block_until_ready(out)
+        n_calls = 20
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            out = fn()
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n_calls
+        read_bytes = 2 * x.size * 4  # x and w, one pass
+        results[name] = read_bytes / dt / 1e9
+
+    print(
+        json.dumps(
+            {
+                "metric": "c384_to_c48_coarsen_bandwidth",
+                "value": round(max(results.values()), 2),
+                "unit": "GB/s",
+                "pallas_GBps": round(results["pallas"], 2),
+                "xla_GBps": round(results["xla"], 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

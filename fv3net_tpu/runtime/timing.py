@@ -1,0 +1,74 @@
+"""Per-substep wall-clock timing.
+
+reference: pace.util.Timer used around every TimeLoop substep
+(reference runtime/loop.py:140,662) with an MPI-reduced min/max/mean
+table logged at run end (loop.py:439-455).  Here: a context-manager
+Timer accumulating named clocks; the cross-device reduction is a no-op
+single-host or a psum under sharding.  For kernel-level profiles use
+jax.profiler traces.
+"""
+from __future__ import annotations
+
+import contextlib
+import json
+import logging
+import time
+from typing import Dict, List
+
+logger = logging.getLogger("profiles")
+
+
+class Timer:
+    """Accumulates wall-clock durations by name (pace.util.Timer API)."""
+
+    def __init__(self):
+        self._times: Dict[str, float] = {}
+        self._hits: Dict[str, int] = {}
+        self._active: Dict[str, float] = {}
+
+    def start(self, name: str) -> None:
+        if name in self._active:
+            raise ValueError(f"clock {name!r} already started")
+        self._active[name] = time.perf_counter()
+
+    def stop(self, name: str) -> None:
+        t0 = self._active.pop(name)
+        dt = time.perf_counter() - t0
+        self._times[name] = self._times.get(name, 0.0) + dt
+        self._hits[name] = self._hits.get(name, 0) + 1
+
+    @contextlib.contextmanager
+    def clock(self, name: str):
+        self.start(name)
+        try:
+            yield
+        finally:
+            self.stop(name)
+
+    @property
+    def times(self) -> Dict[str, float]:
+        return dict(self._times)
+
+    @property
+    def hits(self) -> Dict[str, int]:
+        return dict(self._hits)
+
+    def reset(self) -> None:
+        self._times.clear()
+        self._hits.clear()
+        self._active.clear()
+
+
+def log_times(timer: Timer, label: str = "cumulative_timings") -> Dict:
+    """JSON timing report (the loop.py:439-455 analog; min/max/mean
+    degenerate to the single-host value without an MPI communicator)."""
+    report = {
+        name: {
+            "total_seconds": total,
+            "hits": timer.hits[name],
+            "mean_seconds": total / max(timer.hits[name], 1),
+        }
+        for name, total in timer.times.items()
+    }
+    logger.info(json.dumps({label: report}))
+    return report
