@@ -194,15 +194,36 @@ class ZarrArray:
             self._write_chunk(idx, chunk)
 
     def read(self) -> np.ndarray:
+        import itertools
+
         grid = _chunk_grid(self.shape, self.chunks)
+        idxs = list(itertools.product(*[range(g) for g in grid]))
+
+        # native threaded read path (fv3net_tpu/native/chunkio.cpp)
+        try:
+            from fv3net_tpu import native
+
+            paths = []
+            starts = np.empty((len(idxs), len(self.shape)), np.int64)
+            for k, idx in enumerate(idxs):
+                p = self._chunk_path(idx)
+                paths.append(p if os.path.exists(p) else None)
+                starts[k] = [i * c for i, c in zip(idx, self.chunks)]
+            out = native.assemble_chunks(
+                paths, starts, self.chunks, self.shape,
+                self.compressed, self.fill_value, self.dtype,
+            )
+            if out is not None:
+                return out
+        except Exception:
+            pass  # fall through to the pure-python path
+
         out = np.full(
             tuple(g * c for g, c in zip(grid, self.chunks)),
             self.fill_value,
             self.dtype,
         )
-        import itertools
-
-        for idx in itertools.product(*[range(g) for g in grid]):
+        for idx in idxs:
             sel = tuple(
                 slice(i * c, (i + 1) * c) for i, c in zip(idx, self.chunks)
             )
