@@ -109,6 +109,7 @@ class DycoreConfig:
     ptop: float = TOA_PRESSURE
     diff_coef: float = 0.015  # nondim del-2 damping (x dx^2 / dt_sub)
     remap: bool = True
+    advection_order: int = 2  # 1 = upwind, 2 = monotone van Leer MUSCL
 
 
 def _ext(field, h: int = 1):
@@ -187,22 +188,60 @@ def _project_tangent(wind, khat):
     return wind - radial[None] * khat[:, :, None]
 
 
+def _minmod(a, b):
+    return jnp.where(
+        a * b > 0.0, jnp.where(jnp.abs(a) < jnp.abs(b), a, b), 0.0
+    )
+
+
+def _face_values_2nd(q_ext2, vn_y, vn_x):
+    """Monotone 2nd-order (van Leer / minmod MUSCL) upwind face values
+    from an h=2 extended array [6, nz, n+4, n+4]."""
+    # --- y-edges (faces between (j, i-1) and (j, i)), i_edge = 0..n ------
+    qm = q_ext2[..., 2:-2, 0:-3]   # q[i-2]
+    ql = q_ext2[..., 2:-2, 1:-2]   # q[i-1]
+    qr = q_ext2[..., 2:-2, 2:-1]   # q[i]
+    qp = q_ext2[..., 2:-2, 3:]     # q[i+1]
+    slope_l = _minmod(ql - qm, qr - ql)
+    slope_r = _minmod(qr - ql, qp - qr)
+    qy = jnp.where(vn_y > 0, ql + 0.5 * slope_l, qr - 0.5 * slope_r)
+    # --- x-edges ---------------------------------------------------------
+    qm = q_ext2[..., 0:-3, 2:-2]
+    ql = q_ext2[..., 1:-2, 2:-2]
+    qr = q_ext2[..., 2:-1, 2:-2]
+    qp = q_ext2[..., 3:, 2:-2]
+    slope_l = _minmod(ql - qm, qr - ql)
+    slope_r = _minmod(qr - ql, qp - qr)
+    qx = jnp.where(vn_x > 0, ql + 0.5 * slope_l, qr - 0.5 * slope_r)
+    return qy, qx
+
+
 def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     delp, pt, wind, tracers = state.delp, state.pt, state.wind, state.tracers
+    order = cfg.advection_order
+    h = 2 if order == 2 else 1
 
     # ---- halo extension -------------------------------------------------
-    delp_e = _ext(delp)
-    pt_e = _ext(pt)
-    tr_e = {k: _ext(v) for k, v in tracers.items()}
-    wind_e = jnp.stack([_ext(wind[c]) for c in range(3)])
+    delp_e = _ext(delp, h)
+    pt_e = _ext(pt, h)
+    tr_e = {k: _ext(v, h) for k, v in tracers.items()}
+    wind_e = jnp.stack([_ext(wind[c], h) for c in range(3)])
+    wind_e1 = wind_e[..., h - 1 : wind_e.shape[-2] - (h - 1),
+                     h - 1 : wind_e.shape[-1] - (h - 1)]
 
-    vn_y, vn_x = _edge_normal_wind(wind_e, g)
+    vn_y, vn_x = _edge_normal_wind(wind_e1, g)
+
+    def faces(q_ext):
+        if order == 2:
+            return _face_values_2nd(q_ext, vn_y, vn_x)
+        qy = _upwind(vn_y, q_ext[..., 1:-1, :-1], q_ext[..., 1:-1, 1:])
+        qx = _upwind(vn_x, q_ext[..., :-1, 1:-1], q_ext[..., 1:, 1:-1])
+        return qy, qx
 
     # ---- mass fluxes ----------------------------------------------------
     ly = g.edge_len_y[:, None]
     lx = g.edge_len_x[:, None]
-    dply = _upwind(vn_y, delp_e[..., 1:-1, :-1], delp_e[..., 1:-1, 1:])
-    dplx = _upwind(vn_x, delp_e[..., :-1, 1:-1], delp_e[..., 1:, 1:-1])
+    dply, dplx = faces(delp_e)
     fy_m = vn_y * ly * dply
     fx_m = vn_x * lx * dplx
     div_m = _divergence(fy_m, fx_m, g.area[:, None])
@@ -210,8 +249,7 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
 
     # ---- consistent scalar transport -----------------------------------
     def transport(q_ext, q_c):
-        qy = _upwind(vn_y, q_ext[..., 1:-1, :-1], q_ext[..., 1:-1, 1:])
-        qx = _upwind(vn_x, q_ext[..., :-1, 1:-1], q_ext[..., 1:, 1:-1])
+        qy, qx = faces(q_ext)
         div_q = _divergence(fy_m * qy, fx_m * qx, g.area[:, None])
         return (q_c * delp - dt * div_q) / delp_new
 
@@ -260,9 +298,11 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         dx2 = g.area.mean()  # ~ dx^2
         nu = cfg.diff_coef * dx2 / dt
         wind_new = wind_new + dt * jnp.stack(
-            [_del2(wind_e[c], g, nu) for c in range(3)]
+            [_del2(wind_e1[c], g, nu) for c in range(3)]
         )
-        pt_new = pt_new + dt * _del2(pt_e, g, nu)
+        pt_e1 = pt_e[..., h - 1 : pt_e.shape[-2] - (h - 1),
+                     h - 1 : pt_e.shape[-1] - (h - 1)]
+        pt_new = pt_new + dt * _del2(pt_e1, g, nu)
 
     wind_new = _project_tangent(wind_new, g.khat)
 
