@@ -61,11 +61,17 @@ def remap_column_fields(
     at reference external/vcm/vcm/cubedsphere/regridz.py:240-245.
     """
     pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord)
-    wind2 = tuple(
-        _remap.remap_ppm(pe1, w, pe2, iv=-1, kord=kord) for w in wind_xyz
+    # batch same-iv fields into single remap calls (one reconstruction +
+    # one one-hot contraction each, instead of per-field kernels)
+    wind_stack = jnp.stack(wind_xyz)
+    wind2_stack = _remap.remap_ppm(
+        pe1[None], wind_stack, pe2[None], iv=-1, kord=kord
     )
-    tracers2 = {
-        name: _remap.remap_ppm(pe1, q, pe2, iv=0, kord=kord)
-        for name, q in tracers.items()
-    }
+    wind2 = tuple(wind2_stack[c] for c in range(len(wind_xyz)))
+    names = list(tracers)
+    tr_stack = jnp.stack([tracers[n] for n in names])
+    tr2_stack = _remap.remap_ppm(
+        pe1[None], tr_stack, pe2[None], iv=0, kord=kord
+    )
+    tracers2 = {n: tr2_stack[i] for i, n in enumerate(names)}
     return pt2, wind2, tracers2

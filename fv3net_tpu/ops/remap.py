@@ -557,6 +557,12 @@ def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1):
     pe2 (..., kn+1) -> (..., kn).
     """
     km = q1.shape[-1]
+    # broadcast edge arrays against the field's leading (batch) dims so
+    # same-iv fields can share one call with pe1[None]/pe2[None]
+    lead = jnp.broadcast_shapes(pe1.shape[:-1], q1.shape[:-1])
+    pe1 = jnp.broadcast_to(pe1, lead + pe1.shape[-1:])
+    pe2 = jnp.broadcast_to(pe2, lead + pe2.shape[-1:])
+    q1 = jnp.broadcast_to(q1, lead + q1.shape[-1:])
     dp1 = pe1[..., 1:] - pe1[..., :-1]
 
     if kord > 7:
