@@ -121,6 +121,19 @@ class CubeToLatLon:
         out = jnp.where(self._den > 0, mean, fallback)
         return out.reshape(lead + (self.nlat, self.nlon))
 
+    def sample_points(self, field: jnp.ndarray, lat_deg, lon_deg):
+        """Nearest-cell sampling of (..., 6, n, n) at arbitrary points
+        (the ``vcm.interpolate_unstructured`` nearest-neighbor path,
+        reference external/vcm/vcm/interpolate.py:251) using the analytic
+        inverse projection."""
+        t, j, i = _containing_cell(
+            np.deg2rad(np.asarray(lat_deg)), np.deg2rad(np.asarray(lon_deg)),
+            self._n,
+        )
+        flat = jnp.asarray((t * self._n * self._n + j * self._n + i).ravel())
+        out = field.reshape(field.shape[:-3] + (-1,))[..., flat]
+        return out.reshape(field.shape[:-3] + np.shape(lat_deg))
+
     def conservative_sum(self, field: jnp.ndarray) -> jnp.ndarray:
         """Area-weighted integral on the target grid (exact global
         conservation: sums to sum(field * area))."""

@@ -302,29 +302,27 @@ def minus_column_integrated_moistening(dq_dt, delp, axis: int = -1):
     return -KG_M2S_TO_MM_DAY * mass_integrate(dq_dt, delp, axis)
 
 
-def mass_streamfunction(northward_wind_zonal_mean, lat_deg, axis: int = -1):
-    """Meridional mass streamfunction in 1e9 kg/s (reference v.d.py:335).
+def mass_streamfunction(v_zonal_mean, pressure, lat_deg, axis: int = -1):
+    """Meridional mass streamfunction psi(lat, p) in 1e9 kg/s
+    (reference v.d.py:335): psi = 2 pi a cos(lat)/g * int_0^p v dp',
+    integrating from the model top.
 
     Args:
-        northward_wind_zonal_mean: zonal-mean v on pressure levels [Pa],
-            with the pressure axis given by ``axis``; the pressure
-            coordinate must be passed via ``pressure``.
+        v_zonal_mean: zonal-mean northward wind with the pressure axis at
+            ``axis``.
+        pressure: 1-D pressure coordinate [Pa] along that axis.
+        lat_deg: latitudes broadcastable against the non-pressure axes.
     """
-    raise NotImplementedError(
-        "use fv3net_tpu.diagnostics for streamfunction (needs pressure coord)"
-    )
-
-
-def mass_streamfunction_from_pressure(v_zonal_mean, pressure, lat_deg, axis: int = -1):
-    """psi(lat, p) = 2 pi a cos(lat)/g * int v dp, in 1e9 kg/s."""
-    lat = jnp.deg2rad(lat_deg)
+    pressure = jnp.asarray(pressure)
     dp = jnp.gradient(pressure)
     shape = [1] * v_zonal_mean.ndim
     ax = axis % v_zonal_mean.ndim
     shape[ax] = len(dp)
     integrand = v_zonal_mean * dp.reshape(shape)
-    psi = jnp.cumsum(integrand, axis=ax) * (2 * jnp.pi * EARTH_RADIUS / GRAVITY)
-    # cos(lat) broadcast: caller supplies lat_deg broadcastable to output
+    psi = jnp.cumsum(integrand, axis=ax) * (
+        2 * jnp.pi * EARTH_RADIUS / GRAVITY
+    )
+    lat = jnp.deg2rad(jnp.asarray(lat_deg))
     return psi * jnp.cos(lat) / 1e9
 
 
