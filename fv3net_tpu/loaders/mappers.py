@@ -1,0 +1,191 @@
+"""Training-data mappers.
+
+reference: external/loaders/loaders/mappers/ — GeoMapper/LongRunMapper/
+MultiDatasetMapper (_base.py:13-49), open_nudge_to_fine
+(_nudged/_nudged.py:118), open_fine_resolution with Approach enum
+(_fine_res.py:91-230), transforms SubsetTimes/KeyMap/ValMap
+(_transformations.py:10-48).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Callable, Dict, Iterator, List, Mapping, Optional, Sequence
+
+import jax.numpy as jnp
+
+from fv3net_tpu.core.dataset import Dataset
+from fv3net_tpu.core.quantity import Quantity
+from fv3net_tpu.core import zarrio
+from fv3net_tpu.loaders.batches import ZarrMapper
+
+TEMP_TENDENCY = "air_temperature_tendency_due_to_nudging"
+SPHUM_TENDENCY = "specific_humidity_tendency_due_to_nudging"
+
+
+class GeoMapper(Mapping[str, Dataset]):
+    """Base time-keyed mapper (reference mappers/_base.py:13)."""
+
+    def keys(self):
+        raise NotImplementedError
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self.keys())
+
+    def __len__(self) -> int:
+        return len(list(self.keys()))
+
+
+class MergedMapper(GeoMapper):
+    """Merge several time-aligned mappers per key
+    (the merge step of the nudged mappers)."""
+
+    def __init__(self, *mappers: Mapping[str, Dataset]):
+        self._mappers = mappers
+
+    def keys(self):
+        keys = set(self._mappers[0])
+        for m in self._mappers[1:]:
+            keys &= set(m)
+        return sorted(keys)
+
+    def __getitem__(self, key: str) -> Dataset:
+        out: Dict[str, Quantity] = {}
+        for m in self._mappers:
+            ds = m[key]
+            out.update({k: ds[k] for k in ds})
+        return Dataset(out)
+
+
+class MultiDatasetMapper(GeoMapper):
+    """Stack several mappers along a new 'dataset' dimension
+    (reference _base.py MultiDatasetMapper)."""
+
+    def __init__(self, mappers: Sequence[Mapping[str, Dataset]]):
+        self._mappers = list(mappers)
+
+    def keys(self):
+        keys = set(self._mappers[0])
+        for m in self._mappers[1:]:
+            keys &= set(m)
+        return sorted(keys)
+
+    def __getitem__(self, key: str) -> Dataset:
+        dss = [m[key] for m in self._mappers]
+        out = {}
+        for name in dss[0]:
+            arrs = [jnp.asarray(d[name].data) for d in dss]
+            out[name] = Quantity(
+                jnp.stack(arrs), ("dataset",) + dss[0][name].dims,
+                dss[0][name].units,
+            )
+        return Dataset(out)
+
+
+class ValMap(GeoMapper):
+    """Apply a function to every value (reference _transformations.py:10)."""
+
+    def __init__(self, func: Callable[[Dataset], Dataset],
+                 mapper: Mapping[str, Dataset]):
+        self._func = func
+        self._mapper = mapper
+
+    def keys(self):
+        return sorted(self._mapper)
+
+    def __getitem__(self, key: str) -> Dataset:
+        return self._func(self._mapper[key])
+
+
+class KeyMap(GeoMapper):
+    """Apply a function to every key (reference _transformations.py:25)."""
+
+    def __init__(self, func: Callable[[str], str],
+                 mapper: Mapping[str, Dataset]):
+        self._mapper = mapper
+        self._key_map = {func(k): k for k in mapper}
+
+    def keys(self):
+        return sorted(self._key_map)
+
+    def __getitem__(self, key: str) -> Dataset:
+        return self._mapper[self._key_map[key]]
+
+
+class SubsetTimes(GeoMapper):
+    """Skip initial spinup keys and limit count
+    (reference _transformations.py SubsetTimes)."""
+
+    def __init__(self, i_start: int, n_times: Optional[int],
+                 mapper: Mapping[str, Dataset]):
+        keys = sorted(mapper)
+        stop = None if n_times is None else i_start + n_times
+        self._keys = keys[i_start:stop]
+        self._mapper = mapper
+
+    def keys(self):
+        return list(self._keys)
+
+    def __getitem__(self, key: str) -> Dataset:
+        if key not in self._keys:
+            raise KeyError(key)
+        return self._mapper[key]
+
+
+def _rename(ds: Dataset, names: Mapping[str, str]) -> Dataset:
+    return ds.rename({k: v for k, v in names.items() if k in ds})
+
+
+def open_nudge_to_fine(
+    state_zarr: str,
+    nudging_zarr: Optional[str] = None,
+    nudging_variables: Sequence[str] = ("air_temperature",
+                                        "specific_humidity"),
+    consolidated: bool = True,
+) -> GeoMapper:
+    """Nudged-to-fine training data (reference _nudged/_nudged.py:118):
+    state snapshots merged with nudging tendencies, with the tendencies
+    renamed to the corrective-tendency names (dQ1/dQ2)."""
+    state = ZarrMapper(state_zarr)
+    mappers = [state]
+    if nudging_zarr is not None and nudging_zarr != state_zarr:
+        mappers.append(ZarrMapper(nudging_zarr))
+    merged = MergedMapper(*mappers) if len(mappers) > 1 else state
+    rename = {TEMP_TENDENCY: "dQ1", SPHUM_TENDENCY: "dQ2"}
+    return ValMap(lambda ds: _rename(ds, rename), merged)
+
+
+class Approach(enum.Enum):
+    """(reference _fine_res.py:91-95)"""
+
+    apparent_sources_only = "apparent_sources_only"
+    apparent_sources_plus_nudging_tendencies = (
+        "apparent_sources_plus_nudging_tendencies"
+    )
+
+
+def open_fine_resolution(
+    budget_zarr: str,
+    approach: Approach = Approach.apparent_sources_only,
+    nudging_zarr: Optional[str] = None,
+) -> GeoMapper:
+    """Fine-resolution apparent-source training data
+    (reference _fine_res.py:216): budgets from
+    fv3net_tpu.pipelines.fine_res_budget provide Q1/Q2/dQ1/dQ2 directly;
+    the hybrid approach adds coarse-run nudging tendencies."""
+    budgets = ZarrMapper(budget_zarr)
+    if approach == Approach.apparent_sources_only:
+        return budgets
+    if nudging_zarr is None:
+        raise ValueError(f"{approach} requires nudging_zarr")
+    nudge = ZarrMapper(nudging_zarr)
+
+    def add_nudging(ds: Dataset) -> Dataset:
+        for tend, dq in ((TEMP_TENDENCY, "dQ1"), (SPHUM_TENDENCY, "dQ2")):
+            if tend in ds and dq in ds:
+                ds[dq] = Quantity(
+                    jnp.asarray(ds[dq].data) + jnp.asarray(ds[tend].data),
+                    ds[dq].dims, ds[dq].units,
+                )
+        return ds
+
+    return ValMap(add_nudging, MergedMapper(budgets, nudge))
