@@ -610,9 +610,13 @@ def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1):
         m_ext = m_edges[..., -1:] + (p - pe1[..., -1:]) * q1[..., -1:]
         return jnp.where(below, m_ext, m)
 
-    p_lo = jnp.maximum(pe2[..., :-1], pe1[..., :1])
-    p_hi = jnp.maximum(pe2[..., 1:], pe1[..., :1])
-    dm = mass_at(p_hi) - mass_at(p_lo)
+    # evaluate M once on all kn+1 target edges (p_lo/p_hi are adjacent
+    # slices of the same array — halves the contraction work)
+    p_edges = jnp.maximum(pe2, pe1[..., :1])
+    m_at_edges = mass_at(p_edges)
+    p_lo = p_edges[..., :-1]
+    p_hi = p_edges[..., 1:]
+    dm = m_at_edges[..., 1:] - m_at_edges[..., :-1]
     dp2_eff = p_hi - p_lo
     q2 = dm / jnp.where(dp2_eff == 0.0, 1.0, dp2_eff)
     # degenerate cases, matching Fortran branch structure (mappm.f90:62-67):
