@@ -27,3 +27,5 @@ from fv3net_tpu.fit import testing  # noqa: F401  (registers "constant-output")
 from fv3net_tpu.fit import models  # noqa: F401  (registers wrapper models)
 from fv3net_tpu.fit import novelty  # noqa: F401  (registers novelty detectors)
 from fv3net_tpu.fit import convolutional  # noqa: F401  (registers "convolutional")
+from fv3net_tpu.fit import random_forest  # noqa: F401  (registers "sklearn_random_forest")
+from fv3net_tpu.fit import reservoir  # noqa: F401  (registers reservoir trainers)
