@@ -29,3 +29,5 @@ from fv3net_tpu.fit import novelty  # noqa: F401  (registers novelty detectors)
 from fv3net_tpu.fit import convolutional  # noqa: F401  (registers "convolutional")
 from fv3net_tpu.fit import random_forest  # noqa: F401  (registers "sklearn_random_forest")
 from fv3net_tpu.fit import reservoir  # noqa: F401  (registers reservoir trainers)
+from fv3net_tpu.fit import graph  # noqa: F401  (registers "graph")
+from fv3net_tpu.fit import recurrent  # noqa: F401  (registers "fmr")
