@@ -31,3 +31,4 @@ from fv3net_tpu.fit import random_forest  # noqa: F401  (registers "sklearn_rand
 from fv3net_tpu.fit import reservoir  # noqa: F401  (registers reservoir trainers)
 from fv3net_tpu.fit import graph  # noqa: F401  (registers "graph")
 from fv3net_tpu.fit import recurrent  # noqa: F401  (registers "fmr")
+from fv3net_tpu.fit import cyclegan  # noqa: F401  (registers "cyclegan")

@@ -1,0 +1,273 @@
+"""CycleGAN for domain translation on the cubed sphere.
+
+reference: external/fv3fit/fv3fit/pytorch/cyclegan/ — train_cyclegan.py:393
+(trainer "cyclegan") and reloadable.py:43, used for C48<->C384 bias
+correction / statistical super-resolution.
+
+JAX re-design: generators and discriminators are halo-aware convolutional
+networks on [tile, y, x, channels] cube fields (reusing the in-graph cube
+halo exchange of fit.convolutional); LSGAN adversarial losses + cycle and
+identity consistency, optimized with two optax optimizers in one jitted
+update.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fv3net_tpu.core.dataset import Dataset
+from fv3net_tpu.fit import io
+from fv3net_tpu.fit.convolutional import (
+    _channels_to_fields,
+    _fields_to_channels,
+    conv_apply,
+    halos_required,
+    init_conv_params,
+)
+from fv3net_tpu.fit.normalize import StandardScaler
+from fv3net_tpu.fit.packer import PackingInfo
+from fv3net_tpu.fit.predictor import Predictor
+from fv3net_tpu.fit.train import register_training_function
+
+
+@dataclasses.dataclass
+class CycleGANHyperparameters:
+    state_variables: List[str] = dataclasses.field(default_factory=list)
+    generator_filters: int = 32
+    generator_depth: int = 3
+    discriminator_filters: int = 32
+    discriminator_depth: int = 3
+    kernel_size: int = 3
+    cycle_weight: float = 10.0
+    identity_weight: float = 5.0
+    learning_rate: float = 2e-4
+    epochs: int = 5
+    seed: int = 0
+
+
+def _gen_apply(params, x, halo):
+    return conv_apply(params, x, halo)
+
+
+def _disc_apply(params, x, halo):
+    """Patch discriminator: conv stack -> per-cell score -> mean."""
+    score = conv_apply(params, x, halo)
+    return score.mean(axis=(-3, -2, -1))
+
+
+@io.register("cycle_gan")
+class CycleGAN(Predictor):
+    """Holds both generators; ``predict`` applies G: domain A -> B
+    (the reference's convention for applying the trained corrector)."""
+
+    def __init__(self, state_variables, g_ab, g_ba, info, scaler_a,
+                 scaler_b, kernel_size, depth):
+        super().__init__(list(state_variables), list(state_variables))
+        self.state_variables = list(state_variables)
+        self.g_ab = g_ab
+        self.g_ba = g_ba
+        self.info = info
+        self.scaler_a = scaler_a
+        self.scaler_b = scaler_b
+        self.kernel_size = kernel_size
+        self.depth = depth
+
+    @property
+    def halo(self) -> int:
+        return halos_required(self.depth, self.kernel_size)
+
+    def _translate(self, params, x, scaler_in, scaler_out):
+        xn = scaler_in.normalize(x)
+        yn = _gen_apply(params, xn, self.halo)
+        return scaler_out.denormalize(yn)
+
+    def predict(self, X: Dataset) -> Dataset:
+        arr, _ = _fields_to_channels(X, self.state_variables)
+        lead = arr.shape[:-4]
+        flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
+        outs = jnp.stack(
+            [
+                self._translate(self.g_ab, f, self.scaler_a, self.scaler_b)
+                for f in flat
+            ]
+        )
+        out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
+        q0 = X[self.state_variables[0]]
+        prefix = tuple(d for d in q0.dims if d not in ("tile", "z", "y", "x"))
+        return Dataset(
+            _channels_to_fields(
+                out, self.info,
+                prefix + ("tile", "z", "y", "x"), prefix + ("tile", "y", "x"),
+            )
+        )
+
+    def reverse(self, X: Dataset) -> Dataset:
+        """Apply F: domain B -> A."""
+        arr, _ = _fields_to_channels(X, self.state_variables)
+        lead = arr.shape[:-4]
+        flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
+        outs = jnp.stack(
+            [
+                self._translate(self.g_ba, f, self.scaler_b, self.scaler_a)
+                for f in flat
+            ]
+        )
+        out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
+        q0 = X[self.state_variables[0]]
+        prefix = tuple(d for d in q0.dims if d not in ("tile", "z", "y", "x"))
+        return Dataset(
+            _channels_to_fields(
+                out, self.info,
+                prefix + ("tile", "z", "y", "x"), prefix + ("tile", "y", "x"),
+            )
+        )
+
+    def dump(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        flat = {}
+        for tag, params in (("ab", self.g_ab), ("ba", self.g_ba)):
+            for i, l in enumerate(params):
+                flat[f"{tag}_w{i}"] = np.asarray(l["w"])
+                flat[f"{tag}_b{i}"] = np.asarray(l["b"])
+        flat.update(
+            a_mean=np.asarray(self.scaler_a.mean),
+            a_std=np.asarray(self.scaler_a.std),
+            b_mean=np.asarray(self.scaler_b.mean),
+            b_std=np.asarray(self.scaler_b.std),
+        )
+        np.savez(os.path.join(path, "weights.npz"), **flat)
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "state_variables": self.state_variables,
+                    "info": self.info.to_dict(),
+                    "n_layers": len(self.g_ab),
+                    "kernel_size": self.kernel_size,
+                    "depth": self.depth,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "CycleGAN":
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        z = np.load(os.path.join(path, "weights.npz"))
+        g = {
+            tag: [
+                {
+                    "w": jnp.asarray(z[f"{tag}_w{i}"]),
+                    "b": jnp.asarray(z[f"{tag}_b{i}"]),
+                }
+                for i in range(meta["n_layers"])
+            ]
+            for tag in ("ab", "ba")
+        }
+        return cls(
+            meta["state_variables"],
+            g["ab"],
+            g["ba"],
+            PackingInfo.from_dict(meta["info"]),
+            StandardScaler(jnp.asarray(z["a_mean"]), jnp.asarray(z["a_std"])),
+            StandardScaler(jnp.asarray(z["b_mean"]), jnp.asarray(z["b_std"])),
+            meta["kernel_size"],
+            meta["depth"],
+        )
+
+
+@register_training_function("cyclegan", CycleGANHyperparameters)
+def train_cyclegan(
+    hp: CycleGANHyperparameters, train_batches, val=None
+) -> CycleGAN:
+    """Train on a sequence of (domain_a: Dataset, domain_b: Dataset) pairs
+    of cube-shaped samples with dims (time, tile, z, y, x) — unpaired in
+    content, paired only in batch structure (standard CycleGAN setup)."""
+    a_list, b_list = [], []
+    info = None
+    for ds_a, ds_b in train_batches:
+        A, info = _fields_to_channels(ds_a, hp.state_variables)
+        B, _ = _fields_to_channels(ds_b, hp.state_variables)
+        a_list.append(np.asarray(A))
+        b_list.append(np.asarray(B))
+    A = np.concatenate(a_list)  # [time, 6, ny, nx, C]
+    B = np.concatenate(b_list)
+    C = A.shape[-1]
+    scaler_a = StandardScaler.fit(jnp.asarray(A.reshape(-1, C)))
+    scaler_b = StandardScaler.fit(jnp.asarray(B.reshape(-1, C)))
+    An = np.asarray(scaler_a.normalize(jnp.asarray(A)))
+    Bn = np.asarray(scaler_b.normalize(jnp.asarray(B)))
+
+    key = jax.random.PRNGKey(hp.seed)
+    kg = [C] + [hp.generator_filters] * (hp.generator_depth - 1) + [C]
+    kd = [C] + [hp.discriminator_filters] * (hp.discriminator_depth - 1) + [1]
+    keys = jax.random.split(key, 4)
+    gen = {
+        "ab": init_conv_params(keys[0], kg, hp.kernel_size),
+        "ba": init_conv_params(keys[1], kg, hp.kernel_size),
+    }
+    disc = {
+        "a": init_conv_params(keys[2], kd, hp.kernel_size),
+        "b": init_conv_params(keys[3], kd, hp.kernel_size),
+    }
+    halo_g = halos_required(hp.generator_depth, hp.kernel_size)
+    halo_d = halos_required(hp.discriminator_depth, hp.kernel_size)
+
+    tx_g = optax.adam(hp.learning_rate, b1=0.5)
+    tx_d = optax.adam(hp.learning_rate, b1=0.5)
+    opt_g = tx_g.init(gen)
+    opt_d = tx_d.init(disc)
+
+    def gen_loss(gen, disc, a, b):
+        fake_b = _gen_apply(gen["ab"], a, halo_g)
+        fake_a = _gen_apply(gen["ba"], b, halo_g)
+        # LSGAN: generator wants D(fake) -> 1
+        adv = jnp.mean((_disc_apply(disc["b"], fake_b, halo_d) - 1.0) ** 2) + (
+            jnp.mean((_disc_apply(disc["a"], fake_a, halo_d) - 1.0) ** 2)
+        )
+        cyc = jnp.mean(
+            jnp.abs(_gen_apply(gen["ba"], fake_b, halo_g) - a)
+        ) + jnp.mean(jnp.abs(_gen_apply(gen["ab"], fake_a, halo_g) - b))
+        idt = jnp.mean(
+            jnp.abs(_gen_apply(gen["ab"], b, halo_g) - b)
+        ) + jnp.mean(jnp.abs(_gen_apply(gen["ba"], a, halo_g) - a))
+        return adv + hp.cycle_weight * cyc + hp.identity_weight * idt
+
+    def disc_loss(disc, gen, a, b):
+        fake_b = jax.lax.stop_gradient(_gen_apply(gen["ab"], a, halo_g))
+        fake_a = jax.lax.stop_gradient(_gen_apply(gen["ba"], b, halo_g))
+        loss = (
+            jnp.mean((_disc_apply(disc["a"], a, halo_d) - 1.0) ** 2)
+            + jnp.mean(_disc_apply(disc["a"], fake_a, halo_d) ** 2)
+            + jnp.mean((_disc_apply(disc["b"], b, halo_d) - 1.0) ** 2)
+            + jnp.mean(_disc_apply(disc["b"], fake_b, halo_d) ** 2)
+        )
+        return 0.5 * loss
+
+    @jax.jit
+    def update(gen, disc, opt_g, opt_d, a, b):
+        gl, ggrad = jax.value_and_grad(gen_loss)(gen, disc, a, b)
+        gupd, opt_g = tx_g.update(ggrad, opt_g)
+        gen = optax.apply_updates(gen, gupd)
+        dl, dgrad = jax.value_and_grad(disc_loss)(disc, gen, a, b)
+        dupd, opt_d = tx_d.update(dgrad, opt_d)
+        disc = optax.apply_updates(disc, dupd)
+        return gen, disc, opt_g, opt_d, gl, dl
+
+    nt = min(An.shape[0], Bn.shape[0])
+    for _ in range(hp.epochs):
+        for t in range(nt):
+            gen, disc, opt_g, opt_d, gl, dl = update(
+                gen, disc, opt_g, opt_d, jnp.asarray(An[t]), jnp.asarray(Bn[t])
+            )
+
+    return CycleGAN(
+        hp.state_variables, gen["ab"], gen["ba"], info, scaler_a, scaler_b,
+        hp.kernel_size, hp.generator_depth,
+    )
