@@ -62,10 +62,12 @@ def test_log_transform_roundtrip():
 
 
 def test_difference_and_compose():
+    # backward runs in reverse order: the limiter is placed first so it
+    # clips T_out after Difference.backward reconstructs it
     chain = ComposedTransform(
         [
-            Difference(to="dT", before="T_in", after="T_out"),
             LimitValueTransform("T_out", lower=0.0),
+            Difference(to="dT", before="T_in", after="T_out"),
         ]
     )
     x = {"T_in": jnp.asarray([1.0, 2.0]), "T_out": jnp.asarray([1.5, 1.0])}
