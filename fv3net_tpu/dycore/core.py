@@ -346,7 +346,13 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         delp=zmid(pe2[..., 1:] - pe2[..., :-1]),
         pt=zmid(pt2),
         wind=jnp.stack([zmid(w) for w in wind2]),
-        tracers={k: zmid(v) for k, v in tracers2.items()},
+        # floor: flux-form transport of q with independently-limited delp
+        # and q faces can leave O(1e-5) negative tracer transients in f32;
+        # clamp here (the mass error is far below the f32 conservation
+        # noise floor) — the reference relies on Fortran fillz similarly
+        tracers={
+            k: jnp.maximum(zmid(v), 0.0) for k, v in tracers2.items()
+        },
         phis=state.phis,
     )
 

@@ -57,8 +57,18 @@ def physics_step(
     lat: jnp.ndarray,  # [6, ny, nx] radians
     dt: float,
     cfg: PhysicsConfig = PhysicsConfig(),
+    microphysics_emulator=None,
 ) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
-    """Apply one physics interval; returns (new_state, diagnostics)."""
+    """Apply one physics interval; returns (new_state, diagnostics).
+
+    ``microphysics_emulator``: optional callable replacing the native
+    Zhao-Carr scheme (the call_py_fort emulation slot, reference
+    external/emulation/emulation/__init__.py:1-18).  It receives the
+    z-last column state dict {air_temperature, specific_humidity,
+    cloud_water_mixing_ratio, pressure} and returns the same dict with
+    its updates applied (see fv3net_tpu.emulation.MicrophysicsEmulator);
+    precipitation diagnostics then come from the implied column drying.
+    """
     delp = _zlast(state.delp)
     pt = _zlast(state.pt)
     q = _zlast(state.tracers["sphum"])
@@ -107,9 +117,26 @@ def physics_step(
     )
 
     # ---- microphysics ---------------------------------------------------
-    T, q, qc, precip = mp.microphysics_step(
-        T, q, qc, pmid, delp, dt, cfg.microphysics
-    )
+    if microphysics_emulator is None:
+        T, q, qc, precip = mp.microphysics_step(
+            T, q, qc, pmid, delp, dt, cfg.microphysics
+        )
+    else:
+        emu_state = {
+            "air_temperature": T,
+            "specific_humidity": q,
+            "cloud_water_mixing_ratio": qc,
+            "pressure": pmid,
+        }
+        out = microphysics_emulator(emu_state)
+        T_new = out["air_temperature"]
+        q_new = out["specific_humidity"]
+        qc_new = out.get("cloud_water_mixing_ratio", qc)
+        # implied surface precipitation from total-water convergence
+        dm = thermo.layer_mass(delp)
+        dq_col = ((q + qc) - (q_new + qc_new)) * dm
+        precip = jnp.maximum(dq_col.sum(axis=-1) / dt, 0.0)
+        T, q, qc = T_new, q_new, qc_new
 
     pt_new = theta_v_from_temperature(T, pmid, q)
     new_state = DycoreState(
