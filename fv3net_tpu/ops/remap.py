@@ -312,7 +312,7 @@ def cs_profile(q, delp, iv: int, kord: int):
     q_seq = jnp.moveaxis(q[..., 1:], -1, 0)
     qm1_seq = jnp.moveaxis(q[..., :-1], -1, 0)
     (_, _), (qe_scan, gam_scan, _) = lax.scan(
-        fwd, (qe0, gam0), (q_seq, qm1_seq, d4_seq)
+        fwd, (qe0, gam0), (q_seq, qm1_seq, d4_seq), unroll=8
     )
     # edge estimates qe[k] for k=0..km-1 (Fortran q(i,1..km))
     qe = jnp.concatenate(
@@ -333,7 +333,7 @@ def cs_profile(q, delp, iv: int, kord: int):
         qk = qe_k - gam_k * q_next
         return qk, qk
 
-    _, qe_rev = lax.scan(bwd, qe_bot, (qe, gam), reverse=True)
+    _, qe_rev = lax.scan(bwd, qe_bot, (qe, gam), reverse=True, unroll=8)
     # full edge array, (km+1, ...) then move axis back
     edges = jnp.concatenate([qe_rev, qe_bot[None]], axis=0)
     edges = jnp.moveaxis(edges, 0, -1)  # (..., km+1)

@@ -83,10 +83,16 @@ class TimeLoop:
             diff_coef=nml.diff_coef,
         )
         self._phys_cfg = PhysicsConfig()
+        from fv3net_tpu.runtime import factories
+
         self._postphysics_stepper = postphysics_stepper or (
-            self._build_ml_stepper(config) if config.scikit_learn else None
+            factories.get_postphysics_stepper(config, self._timestep)
         )
-        self._prephysics_steppers = prephysics_steppers or []
+        self._prephysics_steppers = (
+            prephysics_steppers
+            if prephysics_steppers is not None
+            else factories.get_prephysics_steppers(config, self._timestep)
+        )
         self.monitor = Monitor(
             [names.TEMP, names.SPHUM, names.CLOUD], self._timestep
         )
