@@ -6,7 +6,11 @@ streaming kernel.  Prints one JSON line per variant with effective
 HBM-read bandwidth.
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -50,9 +50,13 @@ def time_interpolate_func(
     return wrapped
 
 
-def mapper_getter(mapper: Mapping[str, Dataset]) -> Callable:
-    """time -> Dataset from a %Y%m%d.%H%M%S-keyed (or integer-keyed)
-    mapper."""
+def mapper_getter(
+    mapper: Mapping[str, Dataset],
+    initial_time: datetime.datetime = None,
+    frequency: datetime.timedelta = None,
+) -> Callable:
+    """time -> Dataset from a mapper keyed by %Y%m%d.%H%M%S labels, or —
+    given ``initial_time`` + ``frequency`` — by integer indices."""
     keys = sorted(mapper)
     by_time = {}
     for k in keys:
@@ -64,6 +68,13 @@ def mapper_getter(mapper: Mapping[str, Dataset]) -> Callable:
     def getter(time: datetime.datetime) -> Dataset:
         if by_time:
             return mapper[by_time[time]]
+        if initial_time is not None and frequency is not None:
+            idx = round(
+                (time - initial_time).total_seconds()
+                / frequency.total_seconds()
+            )
+            idx = max(0, min(idx, len(keys) - 1))
+            return mapper[keys[idx]]
         raise KeyError(time)
 
     return getter
