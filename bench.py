@@ -9,7 +9,11 @@ Prints exactly one JSON line:
 {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():

@@ -23,15 +23,28 @@ from fv3net_tpu.ops import coarsen as _xla
 
 
 def _wavg_kernel(x_ref, w_ref, num_ref, den_ref, *, factor: int):
-    """One grid cell: a (1, BY*f, BX*f) fine tile -> (1, BY, BX) sums."""
+    """One grid cell: a (1, BY*f, BX*f) fine tile -> (1, BY, BX) sums.
+
+    Mosaic cannot reshape across the lane dimension, so the block
+    reduction is expressed as two matmuls against 0/1 aggregation
+    matrices built from iota — which also puts the reduction on the MXU.
+    """
     x = x_ref[0]
     w = w_ref[0]
-    by = x.shape[0] // factor
-    bx = x.shape[1] // factor
-    xw = (x * w).reshape(by, factor, bx, factor)
-    ww = w.reshape(by, factor, bx, factor)
-    num_ref[0] = xw.sum(axis=(1, 3))
-    den_ref[0] = ww.sum(axis=(1, 3))
+    ny, nx = x.shape
+    by, bx = ny // factor, nx // factor
+    li = jax.lax.broadcasted_iota(jnp.int32, (by, ny), 0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (by, ny), 1) // factor
+    L = (li == lj).astype(x.dtype)  # [by, ny]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (nx, bx), 0) // factor
+    rj = jax.lax.broadcasted_iota(jnp.int32, (nx, bx), 1)
+    R = (ri == rj).astype(x.dtype)  # [nx, bx]
+    xw = x * w
+    # full f32 accumulation (the MXU's default bf16 passes lose ~1e-3
+    # relative accuracy, unacceptable for conservation sums)
+    hi = jax.lax.Precision.HIGHEST
+    num_ref[0] = jnp.dot(jnp.dot(L, xw, precision=hi), R, precision=hi)
+    den_ref[0] = jnp.dot(jnp.dot(L, w, precision=hi), R, precision=hi)
 
 
 @functools.partial(jax.jit, static_argnames=("factor", "interpret"))
