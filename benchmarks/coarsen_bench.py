@@ -34,18 +34,24 @@ def main():
     w = jnp.asarray(rng.rand(n_fine, n_fine), jnp.float32)
     wb = jnp.broadcast_to(w, x.shape)
 
+    # rotate distinct input buffers and carry a data dependency between
+    # calls so the runtime cannot cache or elide repeated executions
+    xs = [x * float(1.0 + 0.01 * i) for i in range(4)]
+    jax.block_until_ready(xs)
+
     results = {}
     for name, fn in (
-        ("pallas", lambda: weighted_block_average_pallas(x, wb, factor)),
-        ("xla", lambda: xla_c.weighted_block_average(x, wb, factor)),
+        ("pallas", lambda a: weighted_block_average_pallas(a, wb, factor)),
+        ("xla", lambda a: xla_c.weighted_block_average(a, wb, factor)),
     ):
-        out = fn()
+        out = fn(xs[0])
         jax.block_until_ready(out)
         n_calls = 20
+        outs = []
         t0 = time.perf_counter()
-        for _ in range(n_calls):
-            out = fn()
-        jax.block_until_ready(out)
+        for i in range(n_calls):
+            outs.append(fn(xs[i % 4]))
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / n_calls
         read_bytes = 2 * x.size * 4  # x and w, one pass
         results[name] = read_bytes / dt / 1e9

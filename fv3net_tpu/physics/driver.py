@@ -26,6 +26,7 @@ from fv3net_tpu.dycore.state import (
     theta_v_from_temperature,
 )
 from fv3net_tpu.ops import thermo
+from fv3net_tpu.physics import convection as conv
 from fv3net_tpu.physics import microphysics as mp
 from fv3net_tpu.physics import pbl as pbl_mod
 from fv3net_tpu.physics import radiation_gray as rad
@@ -39,6 +40,8 @@ class PhysicsConfig:
     surface: sfc.SurfaceParams = sfc.SurfaceParams()
     pbl: pbl_mod.PBLParams = pbl_mod.PBLParams()
     microphysics: mp.MicrophysicsParams = mp.MicrophysicsParams()
+    convection: conv.ConvectionParams = conv.ConvectionParams()
+    use_convection: bool = True
 
 
 def _zlast(x):
@@ -116,6 +119,13 @@ def physics_step(
         ]
     )
 
+    # ---- moist convection (Betts-Miller adjustment) ---------------------
+    conv_precip = jnp.zeros_like(t_surface)
+    if cfg.use_convection:
+        T, q, conv_precip = conv.betts_miller(
+            T, q, pmid, delp, dt, cfg.convection
+        )
+
     # ---- microphysics ---------------------------------------------------
     if microphysics_emulator is None:
         T, q, qc, precip = mp.microphysics_step(
@@ -148,7 +158,8 @@ def physics_step(
     )
 
     diags = dict(rad_diags)
-    diags["PRATEsfc"] = precip
+    diags["PRATEsfc"] = precip + conv_precip
+    diags["CPRATsfc"] = conv_precip  # convective precip (GFS diag name)
     diags["LHTFLsfc"] = fluxes["LHTFLsfc"]
     diags["SHTFLsfc"] = fluxes["SHTFLsfc"]
     diags["tendency_of_air_temperature_due_to_fv3_physics"] = _zmid(
