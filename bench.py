@@ -42,16 +42,25 @@ def main():
         return lax.fori_loop(0, CHUNK, lambda _, st: fn(st, ml_params, sst,
                                                         cosz), s)
 
+    import numpy as np
+
+    def sync(st):
+        # force a device->host read: through the tunnel-attached runtime,
+        # block_until_ready can return before execution completes, but a
+        # host read cannot (execution is in-order, so reading the last
+        # output waits for the whole chain)
+        return float(np.asarray(st.pt[0, 0, 0, 0]))
+
     # warmup/compile
     out = multi_step(state)
-    jax.block_until_ready(out.pt)
+    sync(out)
 
     n_calls = 4
     t0 = time.perf_counter()
     s = state
     for _ in range(n_calls):
         s = multi_step(s)
-    jax.block_until_ready(s.pt)
+    sync(s)
     elapsed = time.perf_counter() - t0
 
     steps_per_sec = n_calls * CHUNK / elapsed

@@ -44,14 +44,20 @@ def main():
         ("pallas", lambda a: weighted_block_average_pallas(a, wb, factor)),
         ("xla", lambda a: xla_c.weighted_block_average(a, wb, factor)),
     ):
+        def sync(o):
+            # host read: execution is in-order, so this waits for all
+            # queued work (block_until_ready is unreliable through the
+            # tunnel runtime)
+            return float(np.asarray(o[0, 0, 0]))
+
         out = fn(xs[0])
-        jax.block_until_ready(out)
+        sync(out)
         n_calls = 20
-        outs = []
+        out = None
         t0 = time.perf_counter()
         for i in range(n_calls):
-            outs.append(fn(xs[i % 4]))
-        jax.block_until_ready(outs)
+            out = fn(xs[i % 4])
+        sync(out)
         dt = (time.perf_counter() - t0) / n_calls
         read_bytes = 2 * x.size * 4  # x and w, one pass
         results[name] = read_bytes / dt / 1e9
