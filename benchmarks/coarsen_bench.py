@@ -23,13 +23,10 @@ def main():
     from fv3net_tpu.ops import coarsen as xla_c
     from fv3net_tpu.ops.pallas_kernels import weighted_block_average_pallas
 
-    nz = 79
+    nz = 474  # all 6 tiles x 79 levels: 280 MB per input array
     n_fine = 384
     factor = 8
     rng = np.random.RandomState(0)
-    # one 3-D field on the full cube: [6*nz, 384, 384] f32 = 5.5 GB is too
-    # big for host transfer through the tunnel; use one tile's worth and
-    # scale: [nz, 384, 384] = 46 MB per array
     x = jnp.asarray(rng.rand(nz, n_fine, n_fine), jnp.float32)
     w = jnp.asarray(rng.rand(n_fine, n_fine), jnp.float32)
     wb = jnp.broadcast_to(w, x.shape)
