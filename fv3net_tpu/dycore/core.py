@@ -57,6 +57,15 @@ class GridArrays:
     f_coriolis: jnp.ndarray  # [6, n, n]
     dist_x: jnp.ndarray  # [6, n+1, n] center-to-center across x-edges
     dist_y: jnp.ndarray  # [6, n, n+1] center-to-center across y-edges
+    # distance-based interpolation weight of the LEFT (lower-index) cell at
+    # each edge midpoint; 0.5 in the uniform interior, asymmetric at cube
+    # edges/corners where the stencil is skewed
+    wleft_x: jnp.ndarray  # [6, n+1, n]
+    wleft_y: jnp.ndarray  # [6, n, n+1]
+    # least-squares gradient coefficients: grad_c = sum_k C[k] (s_k - s_c)
+    # over the 4 face neighbors (W, E, S, N); exact for linear fields on
+    # every cell including the skewed cube corners
+    lsq_coeff: jnp.ndarray  # [4, 3, 6, n, n]
     east: jnp.ndarray  # [3, 6, n, n] unit east at centers
     north: jnp.ndarray  # [3, 6, n, n] unit north at centers
     lat: jnp.ndarray  # [6, n, n] radians
@@ -82,6 +91,46 @@ class GridArrays:
         dist_y = gc_dist(ext[:, :, 1:-1, :-1], ext[:, :, 1:-1, 1:])
         # across x-edges
         dist_x = gc_dist(ext[:, :, :-1, 1:-1], ext[:, :, 1:, 1:-1])
+
+        # edge midpoints for distance-weighted face interpolation: the
+        # interpolated value at the edge midpoint is
+        #   w_left * s_left + (1 - w_left) * s_right
+        # with w_left = d(right_center, edge_mid) / (d_left + d_right)
+        corners = jnp.asarray(
+            np.moveaxis(grid.corners_xyz, -1, 1), dtype
+        )  # [6, 3, n+1, n+1]
+        mid_y = corners[:, :, :-1, :] + corners[:, :, 1:, :]  # y-edge mids
+        mid_y = mid_y / jnp.linalg.norm(mid_y, axis=1, keepdims=True)
+        mid_x = corners[:, :, :, :-1] + corners[:, :, :, 1:]
+        mid_x = mid_x / jnp.linalg.norm(mid_x, axis=1, keepdims=True)
+
+        dl_y = gc_dist(ext[:, :, 1:-1, :-1], mid_y)
+        dr_y = gc_dist(mid_y, ext[:, :, 1:-1, 1:])
+        wleft_y = dr_y / (dl_y + dr_y)
+        dl_x = gc_dist(ext[:, :, :-1, 1:-1], mid_x)
+        dr_x = gc_dist(mid_x, ext[:, :, 1:, 1:-1])
+        wleft_x = dr_x / (dl_x + dr_x)
+
+        # least-squares gradient tables (numpy, float64)
+        ext_np = np.asarray(ext, np.float64) * grid.radius  # [6,3,n+2,n+2]
+        c = ext_np[:, :, 1:-1, 1:-1]
+        disp = np.stack(
+            [
+                ext_np[:, :, 1:-1, :-2] - c,  # W
+                ext_np[:, :, 1:-1, 2:] - c,  # E
+                ext_np[:, :, :-2, 1:-1] - c,  # S
+                ext_np[:, :, 2:, 1:-1] - c,  # N
+            ]
+        )  # [4, 6, 3, n, n]
+        k_np = np.moveaxis(grid.centers_xyz, -1, 1)  # [6, 3, n, n]
+        # normal equations with the radial direction regularized out:
+        # M = sum_k d d^T + R^2 khat khat^T; C_k = M^-1 d_k
+        M = np.einsum("ktaij,ktbij->tijab", disp, disp)
+        M += grid.radius ** 2 * np.einsum(
+            "taij,tbij->tijab", k_np, k_np
+        )
+        Minv = np.linalg.inv(M)  # [6, n, n, 3, 3]
+        lsq = np.einsum("tijab,ktbij->katij", Minv, disp)  # [4,3,6,n,n]
         return cls(
             area=jnp.asarray(grid.area, dtype),
             edge_len_x=jnp.asarray(grid.edge_len_x, dtype),
@@ -92,6 +141,9 @@ class GridArrays:
             f_coriolis=jnp.asarray(grid.f_coriolis, dtype),
             dist_x=jnp.asarray(dist_x, dtype),
             dist_y=jnp.asarray(dist_y, dtype),
+            wleft_x=jnp.asarray(wleft_x, dtype),
+            wleft_y=jnp.asarray(wleft_y, dtype),
+            lsq_coeff=jnp.asarray(lsq, dtype),
             east=jnp.asarray(np.moveaxis(grid.east, -1, 0), dtype),
             north=jnp.asarray(np.moveaxis(grid.north, -1, 0), dtype),
             lat=jnp.asarray(grid.lat, dtype),
@@ -141,13 +193,17 @@ def _green_gauss_gradient(s_ext, g: GridArrays):
     """Tangent-plane gradient of a scalar [6, nz, n+2, n+2] -> [3, 6, nz, n, n].
 
     grad s = (1/A) sum_edges (s_face - s_center) n_out L; exact zero for
-    constant fields by construction.
+    constant fields by construction.  Face values use distance-weighted
+    interpolation at the edge midpoints — plain midpoint averaging is
+    inconsistent (zeroth-order) on the skewed cube-corner cells.
     """
     s_c = s_ext[..., 1:-1, 1:-1]
     # y-edge face values (i-direction neighbors)
-    sy = 0.5 * (s_ext[..., 1:-1, :-1] + s_ext[..., 1:-1, 1:])
+    wy = g.wleft_y[:, None]
+    sy = wy * s_ext[..., 1:-1, :-1] + (1.0 - wy) * s_ext[..., 1:-1, 1:]
     # x-edge face values
-    sx = 0.5 * (s_ext[..., :-1, 1:-1] + s_ext[..., 1:, 1:-1])
+    wx = g.wleft_x[:, None]
+    sx = wx * s_ext[..., :-1, 1:-1] + (1.0 - wx) * s_ext[..., 1:, 1:-1]
     ly = g.edge_len_y[:, None]
     lx = g.edge_len_x[:, None]
     ny = g.normal_y[:, :, None]
@@ -164,6 +220,22 @@ def _green_gauss_gradient(s_ext, g: GridArrays):
         - south[None] * nx[..., :-1, :]
     ) / g.area[None, :, None]
     return grad
+
+
+def _lsq_gradient(s_ext, g: GridArrays):
+    """Least-squares tangent-plane gradient of [6, nz, n+2, n+2]
+    -> [3, 6, nz, n, n]; exact for linear fields on every cell."""
+    s_c = s_ext[..., 1:-1, 1:-1]
+    diffs = jnp.stack(
+        [
+            s_ext[..., 1:-1, :-2] - s_c,
+            s_ext[..., 1:-1, 2:] - s_c,
+            s_ext[..., :-2, 1:-1] - s_c,
+            s_ext[..., 2:, 1:-1] - s_c,
+        ]
+    )  # [4, 6, nz, n, n]
+    coeff = g.lsq_coeff[:, :, :, None]  # [4, 3, 6, 1, n, n]
+    return (coeff * diffs[:, None]).sum(axis=0)
 
 
 def _del2(s_ext, g: GridArrays, nu):
@@ -283,8 +355,8 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     ) + state.phis[:, None]
     phi_mid = phi_below + RDGAS * tv * (lnpe[:, 1:] - jnp.log(pmid))
 
-    grad_phi = _green_gauss_gradient(_ext(phi_mid), g)
-    grad_lnp = _green_gauss_gradient(_ext(jnp.log(pmid)), g)
+    grad_phi = _lsq_gradient(_ext(phi_mid), g)
+    grad_lnp = _lsq_gradient(_ext(jnp.log(pmid)), g)
     pgf = -grad_phi - RDGAS * tv[None] * grad_lnp
 
     # ---- Coriolis -------------------------------------------------------

@@ -121,14 +121,15 @@ def test_uniform_tracer_stays_uniform(setup):
     )
 
 
-def test_green_gauss_gradient_of_linear_function(setup):
-    """Gradient of a linear-in-xyz scalar ~ tangent-projected constant."""
-    from fv3net_tpu.dycore.core import _green_gauss_gradient, _ext
+def test_lsq_gradient_of_linear_function(setup):
+    """The least-squares gradient (used for the PGF) is 2nd-order accurate
+    on EVERY cell, including the 8 skewed cube-corner cells."""
+    from fv3net_tpu.dycore.core import _lsq_gradient, _ext
 
     grid, g = setup
     # s = z coordinate of cell center (a smooth function on the sphere)
     s = jnp.asarray(grid.centers_xyz[..., 2])[:, None]  # [6, 1, n, n]
-    grad = np.asarray(_green_gauss_gradient(_ext(s), g))[:, :, 0]
+    grad = np.asarray(_lsq_gradient(_ext(s), g))[:, :, 0]
     # analytic surface gradient of f = z/R on unit sphere: (zhat - z khat)/R
     khat = np.moveaxis(grid.centers_xyz, -1, 0)
     zhat = np.zeros_like(khat)
@@ -136,11 +137,5 @@ def test_green_gauss_gradient_of_linear_function(setup):
     want = (zhat - grid.centers_xyz[..., 2][None] * khat) / grid.radius
     err = np.abs(grad - want)
     scale = np.abs(want).max()
-    # interior cells (excluding the edge/corner bands, where the
-    # midpoint-face Green-Gauss operator is lower-order on the skewed
-    # cube-corner cells — a known cubed-sphere artifact the del-2 damping
-    # controls; to be upgraded with corner-aware weights)
-    interior = err[:, :, 2:-2, 2:-2]
-    assert interior.max() < 0.02 * scale
-    # global mean error small
-    assert err.mean() < 0.02 * scale
+    assert err.max() < 0.02 * scale  # global, corners included
+    assert err.mean() < 0.005 * scale
