@@ -154,6 +154,33 @@ def open_nudge_to_fine(
     return ValMap(lambda ds: _rename(ds, rename), merged)
 
 
+def open_nudge_to_obs(
+    state_zarr: str,
+    nudging_zarr: Optional[str] = None,
+    rename: Optional[Mapping[str, str]] = None,
+) -> GeoMapper:
+    """Nudged-to-observations training data (reference
+    _nudged/_nudged.py:22 open_nudge_to_obs): like open_nudge_to_fine but
+    with the obs-nudging tendency names (the GFS-analysis convention
+    ``dQ* = -{var}_tendency_due_to_nudging`` sign handled by the caller's
+    transform in the reference; here the rename map is configurable)."""
+    default_rename = {
+        "t_dt_nudge": "dQ1",
+        "q_dt_nudge": "dQ2",
+        "u_dt_nudge": "dQu",
+        "v_dt_nudge": "dQv",
+        TEMP_TENDENCY: "dQ1",
+        SPHUM_TENDENCY: "dQ2",
+    }
+    rename = dict(rename or default_rename)
+    state = ZarrMapper(state_zarr)
+    mappers = [state]
+    if nudging_zarr is not None and nudging_zarr != state_zarr:
+        mappers.append(ZarrMapper(nudging_zarr))
+    merged = MergedMapper(*mappers) if len(mappers) > 1 else state
+    return ValMap(lambda ds: _rename(ds, rename), merged)
+
+
 class Approach(enum.Enum):
     """(reference _fine_res.py:91-95)"""
 

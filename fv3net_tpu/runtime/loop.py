@@ -187,4 +187,15 @@ class TimeLoop:
                     "python", self._step_postphysics, state
                 )
             )
+            # prognostic state fields, so diagnostics configs can record
+            # them (the reference's state_after_timestep.zarr, manager.py)
+            for name in (
+                names.TEMP,
+                names.SPHUM,
+                names.EASTWARD_WIND,
+                names.NORTHWARD_WIND,
+                names.DELP,
+                "surface_pressure",
+            ):
+                diags[name] = state[name]
             yield self.time, diags
