@@ -151,6 +151,11 @@ def main(argv=None) -> int:
     p.add_argument("diags")
     p.add_argument("output_dir")
 
+    p = sub.add_parser(
+        "log-viewer", help="summarize a run's JSON statistics stream"
+    )
+    p.add_argument("logfile")
+
     args = parser.parse_args(argv)
     if args.command == "compute":
         compute_cmd(args.url, args.output, args.verification)
@@ -158,7 +163,31 @@ def main(argv=None) -> int:
         metrics_cmd(args.diags, args.output)
     elif args.command == "report":
         report_cmd(args.diags, args.output_dir)
+    elif args.command == "log-viewer":
+        log_viewer_cmd(args.logfile)
     return 0
+
+
+def log_viewer_cmd(logfile: str) -> None:
+    """Print a table of the per-step statistics stream (the reference's
+    log-viewer subcommand, cli.py:16-33)."""
+    from fv3net_tpu.runtime.logs import loads
+
+    with open(logfile) as f:
+        log = loads(f.read())
+    if not log.times:
+        print("no statistics records found")
+        return
+    names = sorted(log.scalars)
+    print(f"{len(log.times)} steps, {log.times[0]} .. {log.times[-1]}")
+    for name in names:
+        vals = np.asarray(log.scalars[name])
+        finite = vals[np.isfinite(vals)]
+        if len(finite):
+            print(
+                f"  {name}: first={finite[0]:.4g} last={finite[-1]:.4g} "
+                f"min={finite.min():.4g} max={finite.max():.4g}"
+            )
 
 
 if __name__ == "__main__":
