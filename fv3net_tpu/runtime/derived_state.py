@@ -129,6 +129,8 @@ class DerivedState:
     def __setitem__(self, key: str, value: Quantity):
         data = jnp.asarray(value.data if isinstance(value, Quantity) else value)
         d = self.state.dycore
+        # incoming data must not widen the prognostic state's dtype
+        data = data.astype(d.pt.dtype)
         if key == names.TEMP:
             pt = theta_v_from_temperature(data, self._pmid(), d.tracers["sphum"])
             self.state.dycore = dataclasses.replace(d, pt=pt)

@@ -125,7 +125,10 @@ def add_tendency(state: DerivedState, tendencies, dt: float) -> None:
         if target is None:
             continue
         cur = state[target]
+        cur_data = jnp.asarray(cur.data)
+        # cast to the state's dtype: model params may be wider (e.g. f64
+        # under jax_enable_x64) and must not widen the prognostic state
+        tend_data = jnp.asarray(tend.data).astype(cur_data.dtype)
         state[target] = Quantity(
-            jnp.asarray(cur.data) + dt * jnp.asarray(tend.data), cur.dims,
-            cur.units,
+            cur_data + dt * tend_data, cur.dims, cur.units
         )
