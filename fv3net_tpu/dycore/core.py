@@ -409,6 +409,9 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         tuple(zlast(state.wind[c]) for c in range(3)),
         {k: zlast(v) for k, v in state.tracers.items()},
         kord=cfg.kord,
+        # Lagrangian edges drift a tiny fraction of a layer per interval,
+        # so a narrow banded layer search suffices (see remap_ppm docs)
+        window=2,
     )
 
     def zmid(x):

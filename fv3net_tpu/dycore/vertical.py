@@ -51,7 +51,7 @@ def target_interfaces(ak, bk, ps):
 
 
 def remap_column_fields(
-    pe1, pe2, pt, wind_xyz, tracers, kord: int = 9
+    pe1, pe2, pt, wind_xyz, tracers, kord: int = 9, window: int = None
 ):
     """Remap θ_v, Cartesian winds and tracers from Lagrangian interfaces
     ``pe1`` to target interfaces ``pe2`` (both (..., nz+1), z last).
@@ -60,18 +60,18 @@ def remap_column_fields(
     tracers iv=0 (positive definite), matching fv_mapz conventions noted
     at reference external/vcm/vcm/cubedsphere/regridz.py:240-245.
     """
-    pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord)
+    pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord, window=window)
     # batch same-iv fields into single remap calls (one reconstruction +
     # one one-hot contraction each, instead of per-field kernels)
     wind_stack = jnp.stack(wind_xyz)
     wind2_stack = _remap.remap_ppm(
-        pe1[None], wind_stack, pe2[None], iv=-1, kord=kord
+        pe1[None], wind_stack, pe2[None], iv=-1, kord=kord, window=window
     )
     wind2 = tuple(wind2_stack[c] for c in range(len(wind_xyz)))
     names = list(tracers)
     tr_stack = jnp.stack([tracers[n] for n in names])
     tr2_stack = _remap.remap_ppm(
-        pe1[None], tr_stack, pe2[None], iv=0, kord=kord
+        pe1[None], tr_stack, pe2[None], iv=0, kord=kord, window=window
     )
     tracers2 = {n: tr2_stack[i] for i, n in enumerate(names)}
     return pt2, wind2, tracers2
