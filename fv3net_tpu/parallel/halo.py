@@ -147,6 +147,14 @@ def build_halo_tables(
 
 
 @lru_cache(maxsize=None)
+def _cached_topology():
+    """The cube edge topology (independent of resolution)."""
+    from fv3net_tpu.grid.geometry import make_grid
+
+    return make_grid(4).topology
+
+
+@lru_cache(maxsize=None)
 def _cached_tables(n: int, h: int) -> HaloTables:
     # topology depends only on the face layout, which is fixed; derive from
     # a small grid to keep this cheap.
@@ -156,12 +164,11 @@ def _cached_tables(n: int, h: int) -> HaloTables:
     return build_halo_tables(topo, n, h)
 
 
-def halo_append(field: jnp.ndarray, h: int, tables: HaloTables = None) -> jnp.ndarray:
-    """Append an ``h``-deep halo to ``field`` of shape [6, ..., ny, nx].
-
-    Returns an array of shape [6, ..., ny+2h, nx+2h] whose interior equals
-    ``field`` and whose border cells hold the adjacent tiles' data.
-    """
+def halo_append_gather(
+    field: jnp.ndarray, h: int, tables: HaloTables = None
+) -> jnp.ndarray:
+    """Gather-table halo append (reference implementation; see
+    ``halo_append`` for the production static-slice version)."""
     n = field.shape[-1]
     if field.shape[-2] != n:
         raise ValueError(f"expected square tiles, got {field.shape}")
@@ -190,6 +197,101 @@ def halo_append(field: jnp.ndarray, h: int, tables: HaloTables = None) -> jnp.nd
         ext = ext.at[:, :, tables.sn_dst_j, :].set(sn)
 
     return ext.reshape((NUM_TILES,) + tuple(lead_shape) + (n + 2 * h, n + 2 * h))
+
+
+def _oriented_block(src, ne: int, rev: bool, h: int, west_or_south: bool,
+                    offset: int = 0):
+    """Extract the h-deep edge block of a neighbor tile's array ``src``
+    [..., R, C] next to its edge ``ne``, oriented so that axis -2 runs
+    along the shared edge (the destination's running index) and axis -1 is
+    depth from the neighbor's edge.  ``offset`` skips that many rows/cols
+    at the array boundary (h when ``src`` is an extended array whose own
+    halo borders must not be used as depth source).
+
+    All operations are static slices / flips / transposes — no gathers.
+    """
+    C = src.shape[-1]
+    R = src.shape[-2]
+    if ne == WEST:
+        block = src[..., :, offset : offset + h]  # [.., s, d]
+    elif ne == EAST:
+        block = jnp.flip(src[..., :, C - offset - h : C - offset], axis=-1)
+    elif ne == SOUTH:
+        block = jnp.swapaxes(src[..., offset : offset + h, :], -1, -2)
+    elif ne == NORTH:
+        block = jnp.swapaxes(
+            jnp.flip(src[..., R - offset - h : R - offset, :], axis=-2),
+            -1, -2,
+        )
+    else:
+        raise ValueError(ne)
+    if rev:
+        block = jnp.flip(block, axis=-2)
+    # depth currently increases away from the neighbor's edge; the
+    # destination's west/south halo wants columns/rows ordered toward the
+    # interior (i.e. depth decreasing), east/north wants depth increasing
+    if west_or_south:
+        block = jnp.flip(block, axis=-1)
+    return block
+
+
+def halo_append(field: jnp.ndarray, h: int, tables=None) -> jnp.ndarray:
+    """Append an ``h``-deep halo to ``field`` of shape [6, ..., ny, nx].
+
+    Returns [6, ..., ny+2h, nx+2h] whose interior equals ``field`` and
+    whose border holds the adjacent tiles' data (corners included).
+
+    Implementation: every (tile, edge) neighbor relation on the cube is an
+    affine map, so each halo block is a static slice + flip/transpose of
+    the neighbor tile — XLA lowers the whole exchange to copies (the
+    gather-table formulation, kept as ``halo_append_gather``, costs real
+    gather time on TPU).
+    """
+    n = field.shape[-1]
+    if field.shape[-2] != n:
+        raise ValueError(f"expected square tiles, got {field.shape}")
+    topo = _cached_topology()
+
+    lead_shape = field.shape[1:-2]
+    B = int(np.prod(lead_shape)) if lead_shape else 1
+    f = field.reshape(NUM_TILES, B, n, n)
+
+    ext = jnp.zeros((NUM_TILES, B, n + 2 * h, n + 2 * h), field.dtype)
+    ext = ext.at[:, :, h : h + n, h : h + n].set(f)
+
+    # phase A: west/east halos from neighbor interiors
+    for t in range(NUM_TILES):
+        for e in (WEST, EAST):
+            m = topo[(t, e)]
+            block = _oriented_block(
+                f[m.neighbor_tile], m.neighbor_edge, m.reversed, h,
+                west_or_south=(e == WEST),
+            )  # [B, n, h] with axis -2 = destination j
+            if e == WEST:
+                ext = ext.at[t, :, h : h + n, 0:h].set(block)
+            else:
+                ext = ext.at[t, :, h : h + n, h + n :].set(block)
+
+    # phase B: south/north rows over the full extended width, twice (the
+    # second pass fixes corners whose source was a neighbor's own halo)
+    for _ in range(2):
+        for t in range(NUM_TILES):
+            for e in (SOUTH, NORTH):
+                m = topo[(t, e)]
+                src = ext[m.neighbor_tile]  # [B, n+2h, n+2h]
+                block = _oriented_block(
+                    src, m.neighbor_edge, m.reversed, h,
+                    west_or_south=(e == SOUTH), offset=h,
+                )  # [B, n+2h, h], axis -2 = extended running index
+                rows = jnp.swapaxes(block, -1, -2)  # [B, h, n+2h]
+                if e == SOUTH:
+                    ext = ext.at[t, :, 0:h, :].set(rows)
+                else:
+                    ext = ext.at[t, :, h + n :, :].set(rows)
+
+    return ext.reshape(
+        (NUM_TILES,) + tuple(lead_shape) + (n + 2 * h, n + 2 * h)
+    )
 
 
 def halo_append_vector(fields, h: int, tables: HaloTables = None):
