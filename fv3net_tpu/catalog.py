@@ -1,0 +1,93 @@
+"""Named-dataset catalog.
+
+reference: external/vcm/vcm/catalog.py + catalog.yaml — an intake
+catalog of GCS zarr datasets (grid/c48, landseamask/c48,
+wind_rotation/c48, ...) required by the loaders
+(external/loaders/loaders/batches/_batch.py:69-71).
+
+This environment has no GCS; grid entries are *generated* analytically
+(identical semantics: named access to grid geometry datasets), mask and
+wind-rotation entries are synthesized for the aquaplanet configuration
+(all-ocean; identity rotation — this framework's A-grid winds need none),
+and arbitrary local zarr paths can be registered at runtime.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from fv3net_tpu.core.dataset import Dataset
+from fv3net_tpu.core.quantity import Quantity
+
+_REGISTERED: Dict[str, str] = {}  # name -> local zarr path
+
+_GRID_RE = re.compile(r"^grid/c(\d+)$")
+_MASK_RE = re.compile(r"^landseamask/c(\d+)$")
+_ROT_RE = re.compile(r"^wind_rotation/c(\d+)$")
+
+
+def register(name: str, path: str) -> None:
+    """Register a local zarr store under a catalog name."""
+    _REGISTERED[name] = path
+
+
+def get(name: str) -> Dataset:
+    """Load a catalog entry (the ``catalog[name].to_dask()`` analog)."""
+    if name in _REGISTERED:
+        from fv3net_tpu.core import zarrio
+
+        return zarrio.open_zarr(_REGISTERED[name])
+
+    m = _GRID_RE.match(name)
+    if m:
+        from fv3net_tpu.grid.geometry import make_grid
+
+        grid = make_grid(int(m.group(1)))
+        dims = ("tile", "y", "x")
+        return Dataset(
+            {
+                "lat": Quantity(np.rad2deg(grid.lat), dims, "degrees_north"),
+                "lon": Quantity(np.rad2deg(grid.lon), dims, "degrees_east"),
+                "latb": Quantity(
+                    np.rad2deg(grid.lat_corners), ("tile", "y_interface",
+                                                   "x_interface"),
+                    "degrees_north",
+                ),
+                "lonb": Quantity(
+                    np.rad2deg(grid.lon_corners), ("tile", "y_interface",
+                                                   "x_interface"),
+                    "degrees_east",
+                ),
+                "area": Quantity(grid.area, dims, "m^2"),
+            }
+        )
+    m = _MASK_RE.match(name)
+    if m:
+        n = int(m.group(1))
+        return Dataset(
+            {
+                "land_sea_mask": Quantity(
+                    np.zeros((6, n, n)), ("tile", "y", "x")
+                )
+            }
+        )
+    m = _ROT_RE.match(name)
+    if m:
+        n = int(m.group(1))
+        one = np.ones((6, n, n))
+        zero = np.zeros((6, n, n))
+        dims = ("tile", "y", "x")
+        return Dataset(
+            {
+                "eastward_wind_u_coeff": Quantity(one, dims),
+                "eastward_wind_v_coeff": Quantity(zero, dims),
+                "northward_wind_u_coeff": Quantity(zero, dims),
+                "northward_wind_v_coeff": Quantity(one, dims),
+            }
+        )
+    raise KeyError(
+        f"unknown catalog entry {name!r}; register(name, path) local zarrs "
+        "or use grid/cN, landseamask/cN, wind_rotation/cN"
+    )
