@@ -4,12 +4,13 @@ from __future__ import annotations
 
 import dataclasses
 import datetime
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 
 from fv3net_tpu.ops import zenith
 from fv3net_tpu.physics import radiation_gray as gray
+from fv3net_tpu.physics.radiation.driver import DriverConfig, RadiationDriver
 
 
 @dataclasses.dataclass
@@ -18,12 +19,13 @@ class RadiationConfig:
 
     scheme: str = "gray"  # gray | rrtmg
     gray: gray.GrayRadiationParams = gray.GrayRadiationParams()
-    # RRTMG namelist-style options retained for config compatibility
+    # RRTMG namelist-style options (driver.DriverConfig meanings)
     iovr_lw: int = 1
     iovr_sw: int = 1
     isol: int = 0
     ico2: int = 0
-    iaer: int = 0
+    iaer: int = 1
+    icld: int = 1
 
 
 class Radiation:
@@ -33,21 +35,27 @@ class Radiation:
         self.config = config
         self.timestep = timestep
         self._initialized = False
+        self._driver: RadiationDriver | None = None
 
     def validate(self) -> None:
         if self.config.scheme not in ("gray", "rrtmg"):
             raise ValueError(f"unknown radiation scheme {self.config.scheme}")
-        if self.config.scheme == "rrtmg":
-            raise NotImplementedError(
-                "RRTMG band solvers require spectral lookup tables that the "
-                "reference downloads from GCS (radiation/config.py:4-5); "
-                "vendor them and select scheme='rrtmg' in a future round"
-            )
 
     def init_driver(self) -> None:
-        """(reference wrapper_api.py init_driver: table download + driver
-        init; the gray scheme needs no tables)"""
+        """(reference wrapper_api.py init_driver downloads GCS lookup
+        tables; here the spectral data is generated locally once —
+        spectra.py — and cached on device)"""
         self.validate()
+        if self.config.scheme == "rrtmg":
+            self._driver = RadiationDriver(
+                DriverConfig(
+                    iovr=self.config.iovr_lw,
+                    isol=self.config.isol,
+                    ico2=self.config.ico2,
+                    iaer=self.config.iaer,
+                    icld=self.config.icld,
+                )
+            )
         self._initialized = True
 
     def __call__(
@@ -60,10 +68,14 @@ class Radiation:
         ``state`` must hold z-last column arrays: air_temperature [...,nz],
         pressure_thickness_of_atmospheric_layer [...,nz],
         surface_temperature [...], latitude (radians) [...],
-        longitude (radians) [...].
+        longitude (radians) [...]; the rrtmg scheme also uses
+        specific_humidity, cloud_water_mixing_ratio and land_sea_mask
+        when present.
         """
         if not self._initialized:
             self.init_driver()
+        if self.config.scheme == "rrtmg":
+            return self._driver(time, state)
         days = zenith.days_from_2000(time)
         cosz = zenith.cos_zenith_angle(
             days,

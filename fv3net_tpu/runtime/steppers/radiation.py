@@ -36,6 +36,17 @@ class RadiationStepper:
             "latitude": jnp.asarray(state["latitude"].data),
             "longitude": jnp.asarray(state["longitude"].data),
         }
+        # optional fields the band solvers use when available
+        for opt, zdim in (
+            (names.SPHUM, True),
+            (names.CLOUD, True),
+            (names.MASK, False),
+        ):
+            try:
+                q = state[opt]
+            except KeyError:
+                continue
+            cols[opt] = zlast(q) if zdim else jnp.asarray(q.data)
         out = self.radiation(time, cols)
         diagnostics: Dict[str, Quantity] = {}
         tendencies: Dict[str, Quantity] = {}

@@ -32,10 +32,34 @@ def test_radiation_driver_api():
     assert np.isfinite(heat).all()
 
 
-def test_rrtmg_scheme_gated():
-    rad = Radiation(RadiationConfig(scheme="rrtmg"), timestep=900.0)
-    with pytest.raises(NotImplementedError, match="lookup tables"):
-        rad.init_driver()
+def test_rrtmg_stepper_in_time_loop():
+    """RRTMG band solvers driven through the prognostic loop (the
+    reference runs the Python radiation alongside Fortran radiation,
+    runtime/loop.py:390-397)."""
+    from fv3net_tpu.runtime import TimeLoop
+    from fv3net_tpu.runtime.config import NamelistConfig, UserConfig
+    from fv3net_tpu.runtime.steppers.radiation import RadiationStepper
+
+    cfg = UserConfig(
+        namelist=NamelistConfig(npx=6, npz=8), duration_seconds=900.0
+    )
+    stepper = RadiationStepper(
+        Radiation(RadiationConfig(scheme="rrtmg"), 900.0)
+    )
+    loop = TimeLoop(cfg, postphysics_stepper=stepper, dtype=jnp.float64)
+    for _, diags in loop:
+        pass
+    olr = np.asarray(
+        diags[
+            "total_sky_upward_longwave_flux_at_top_of_atmosphere_python"
+        ].data
+    )
+    assert olr.shape == (6, 6, 6) and np.isfinite(olr).all()
+    assert (olr > 100.0).all() and (olr < 400.0).all()
+    heat = np.asarray(
+        diags["tendency_of_air_temperature_due_to_radiation"].data
+    )
+    assert np.isfinite(heat).all()
 
 
 def test_radiation_stepper_in_time_loop():
