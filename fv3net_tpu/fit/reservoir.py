@@ -236,3 +236,223 @@ def train_reservoir_model(hp, train_batches, val=None):
 @register_training_function("hybrid_reservoir", ReservoirHyperparameters)
 def train_hybrid_reservoir_model(hp, train_batches, val=None):
     return _train_reservoir(hp, train_batches, hybrid=True)
+
+
+# ---------------------------------------------------------------------------
+# Spatial (sub-rank subdomain) reservoir — reference fv3fit/reservoir
+# adapters.py:92,163 + domain2.py RankXYDivider: each overlapping
+# subdomain of the cube carries its own reservoir state and readout;
+# W_in/W are shared.  TPU-first: all subdomains update in ONE batched
+# matmul pair ([n_sub, F] @ W_in, [n_sub, N] @ W) and the per-subdomain
+# readouts are one batched einsum — the reference's per-subdomain sklearn
+# regressors collapse to a single MXU-friendly [n_sub, N, out] tensor.
+# ---------------------------------------------------------------------------
+from fv3net_tpu.fit.domain import CubeXYDivider  # noqa: E402
+
+
+@dataclasses.dataclass
+class SubdomainReservoirHyperparameters:
+    """(reference reservoir/train.py ReservoirTrainingConfig subset)"""
+
+    input_variables: List[str] = dataclasses.field(default_factory=list)
+    output_variables: List[str] = dataclasses.field(default_factory=list)
+    subdomain_layout: Tuple[int, int] = (2, 2)
+    overlap: int = 1
+    reservoir: ReservoirHyperparameters = dataclasses.field(
+        default_factory=ReservoirHyperparameters
+    )
+    hybrid: bool = False
+
+
+@io.register("subdomain-reservoir")
+class SubdomainReservoirModel(Predictor):
+    """Cube-spatial ESN: increment consumes [6, ny, nx, nf] fields; the
+    overlap halo crosses tile edges via the cube halo exchange."""
+
+    def __init__(self, input_variables, output_variables, divider:
+                 CubeXYDivider, W_in, W, coefficients, intercept, hp:
+                 SubdomainReservoirHyperparameters, n_features_out: int):
+        super().__init__(list(input_variables), list(output_variables))
+        self.divider = divider
+        self.W_in = W_in
+        self.W = W
+        self.coefficients = coefficients  # [n_sub, feats, out_flat]
+        self.intercept = intercept        # [n_sub, out_flat]
+        self.hp = hp
+        self.n_features_out = n_features_out
+        self.reset_state()
+
+    def reset_state(self, batch_shape=None) -> None:
+        self.state = jnp.zeros(
+            (self.divider.n_subdomains, self.hp.reservoir.state_size),
+            jnp.float32,
+        )
+
+    def _flatten_inputs(self, field: jnp.ndarray) -> jnp.ndarray:
+        subs = self.divider.get_subdomains(field)  # [n_sub, sy+2o, sx+2o, nf]
+        return self.divider.flatten_subdomain_features(subs)
+
+    def increment(self, field: jnp.ndarray) -> None:
+        """field: [6, ny, nx, nf] input features on the cube."""
+        u = self._flatten_inputs(field)
+        self.state = reservoir_increment(
+            self.state, u, self.W_in, self.W, self.hp.reservoir.leakage
+        )
+
+    def predict_from_state(self, field: Optional[jnp.ndarray] = None):
+        """-> [6, ny, nx, n_features_out] merged interior predictions."""
+        feats = self.state
+        if self.hp.hybrid and field is not None:
+            feats = jnp.concatenate(
+                [feats, self._flatten_inputs(field)], axis=-1
+            )
+        flat = (
+            jnp.einsum("sf,sfo->so", feats, self.coefficients)
+            + self.intercept
+        )
+        sy, sx = self.divider.subdomain_extent
+        o = self.divider.overlap
+        interior = flat.reshape(
+            self.divider.n_subdomains, sy - 2 * o, sx - 2 * o,
+            self.n_features_out,
+        )
+        return self.divider.merge_subdomains(interior)
+
+    def predict(self, X: Dataset) -> Dataset:
+        """Offline rollout over a [time, 6, ny, nx, nf] series."""
+        u = jnp.asarray(X["inputs"].data, jnp.float32)
+        model = self
+
+        def step(r, ut):
+            uf = model._flatten_inputs(ut)
+            r = reservoir_increment(
+                r, uf, model.W_in, model.W, model.hp.reservoir.leakage
+            )
+            feats = (
+                jnp.concatenate([r, uf], -1) if model.hp.hybrid else r
+            )
+            flat = (
+                jnp.einsum("sf,sfo->so", feats, model.coefficients)
+                + model.intercept
+            )
+            sy, sx = model.divider.subdomain_extent
+            o = model.divider.overlap
+            interior = flat.reshape(
+                model.divider.n_subdomains, sy - 2 * o, sx - 2 * o,
+                model.n_features_out,
+            )
+            return r, model.divider.merge_subdomains(interior)
+
+        r0 = jnp.zeros(
+            (self.divider.n_subdomains, self.hp.reservoir.state_size),
+            jnp.float32,
+        )
+        _, preds = jax.lax.scan(step, r0, u)
+        return Dataset(
+            {"outputs": Quantity(preds, ("time", "tile", "y", "x", "f"))}
+        )
+
+    def dump(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        np.savez(
+            os.path.join(path, "weights.npz"),
+            W_in=np.asarray(self.W_in),
+            W=np.asarray(self.W),
+            coefficients=np.asarray(self.coefficients),
+            intercept=np.asarray(self.intercept),
+        )
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(
+                {
+                    "input_variables": self.input_variables,
+                    "output_variables": self.output_variables,
+                    "hyperparameters": {
+                        "input_variables": self.hp.input_variables,
+                        "output_variables": self.hp.output_variables,
+                        "subdomain_layout": list(self.hp.subdomain_layout),
+                        "overlap": self.hp.overlap,
+                        "reservoir": dataclasses.asdict(self.hp.reservoir),
+                        "hybrid": self.hp.hybrid,
+                    },
+                    "rank_extent": list(self.divider.rank_extent),
+                    "n_features_out": self.n_features_out,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "SubdomainReservoirModel":
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        hpd = dict(meta["hyperparameters"])
+        hpd["subdomain_layout"] = tuple(hpd["subdomain_layout"])
+        hpd["reservoir"] = ReservoirHyperparameters(**hpd["reservoir"])
+        hp = SubdomainReservoirHyperparameters(**hpd)
+        z = np.load(os.path.join(path, "weights.npz"))
+        divider = CubeXYDivider(
+            hp.subdomain_layout, hp.overlap, tuple(meta["rank_extent"])
+        )
+        return cls(
+            meta["input_variables"], meta["output_variables"], divider,
+            jnp.asarray(z["W_in"]), jnp.asarray(z["W"]),
+            jnp.asarray(z["coefficients"]), jnp.asarray(z["intercept"]),
+            hp, meta["n_features_out"],
+        )
+
+
+@register_training_function(
+    "subdomain_reservoir", SubdomainReservoirHyperparameters
+)
+def train_subdomain_reservoir(hp: SubdomainReservoirHyperparameters,
+                              train_batches, val=None):
+    """Drive the batched subdomain reservoirs through a cube time series
+    and ridge-fit per-subdomain readouts (vmapped closed-form solve).
+
+    train_batches: iterable of Datasets with "inputs" [time, 6, ny, nx, nf]
+    and "outputs" [time, 6, ny, nx, nf_out] (next-step targets).
+    """
+    us, ys = [], []
+    for ds in train_batches:
+        us.append(np.asarray(ds["inputs"].values, np.float32))
+        ys.append(np.asarray(ds["outputs"].values, np.float32))
+    u = jnp.asarray(np.concatenate(us, axis=0))
+    y = jnp.asarray(np.concatenate(ys, axis=0))
+    ny, nx = u.shape[2], u.shape[3]
+    nf_out = y.shape[-1]
+    divider = CubeXYDivider(hp.subdomain_layout, hp.overlap, (ny, nx))
+    rhp = hp.reservoir
+    sub_feats = (
+        divider.subdomain_extent[0] * divider.subdomain_extent[1]
+        * u.shape[-1]
+    )
+    W_in, W = build_reservoir_matrices(sub_feats, rhp)
+
+    def step(r, ut):
+        uf = divider.flatten_subdomain_features(divider.get_subdomains(ut))
+        r = reservoir_increment(r, uf, W_in, W, rhp.leakage)
+        return r, (r, uf)
+
+    r0 = jnp.zeros((divider.n_subdomains, rhp.state_size), jnp.float32)
+    _, (states, uflat) = jax.lax.scan(step, r0, u)  # [t, n_sub, ...]
+    feats = (
+        jnp.concatenate([states, uflat], axis=-1) if hp.hybrid else states
+    )
+
+    # per-subdomain interior targets, flattened: [t, n_sub, out_flat]
+    def interior_targets(yt):
+        subs = divider.get_subdomains(yt)  # overlap included
+        o = hp.overlap
+        if o:
+            subs = subs[:, o:-o, o:-o, :]
+        return subs.reshape(subs.shape[0], -1)
+
+    ty = jax.vmap(interior_targets)(y)
+    solve = jax.vmap(_ridge_solve, in_axes=(1, 1, None))
+    coef, intercept = solve(
+        feats[rhp.n_burn:], ty[rhp.n_burn:], rhp.l2_regularization
+    )
+    return SubdomainReservoirModel(
+        hp.input_variables or ["inputs"],
+        hp.output_variables or ["outputs"],
+        divider, W_in, W, coef, intercept, hp, nf_out,
+    )

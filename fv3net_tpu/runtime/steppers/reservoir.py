@@ -94,7 +94,23 @@ class _ReservoirStepper:
         model._fsm = self._fsm
         self.averager = TimeAverageInputs(self.input_variables)
 
+    @property
+    def _spatial(self) -> bool:
+        """Subdomain (sub-rank) models consume cube-shaped fields with
+        halo overlap (reference reservoir.py:19
+        append_halos_using_mpi; here the overlap comes from the cube
+        halo exchange inside CubeXYDivider)."""
+        return hasattr(self.model, "divider")
+
     def _pull_inputs(self, state: DerivedState) -> jnp.ndarray:
+        if self._spatial:
+            fields = []
+            for v in self.input_variables:
+                arr = jnp.asarray(state[v].data)  # [6(,z),y,x]
+                if arr.ndim == 3:
+                    arr = arr[:, None]
+                fields.append(jnp.moveaxis(arr, 1, -1))  # z last as features
+            return jnp.concatenate(fields, axis=-1)  # [6, y, x, nf]
         cols = []
         for v in self.input_variables:
             q = state[v]
@@ -117,7 +133,10 @@ class ReservoirIncrementOnlyStepper(_ReservoirStepper):
 
     def __call__(self, time, state: DerivedState):
         u = self._pull_inputs(state)
-        if self.model.state.ndim < 2 or self.model.state.shape[0] != u.shape[0]:
+        if not self._spatial and (
+            self.model.state.ndim < 2
+            or self.model.state.shape[0] != u.shape[0]
+        ):
             self.model.reset_state(batch_shape=(u.shape[0],))
         self.model.increment(u)
         self._fsm(self._fsm.INCREMENT)
@@ -136,10 +155,20 @@ class ReservoirPredictStepper(_ReservoirStepper):
             return {}, {}, {}
         u = self._pull_inputs(state)
         pred = self.model.predict_from_state(u)
+        state_updates = {}
+        if self._spatial:
+            nz = state[names.DELP].shape[1]
+            start = 0
+            for v in self.model.output_variables:
+                chunk = pred[..., start : start + nz]  # [6, y, x, z]
+                start += nz
+                state_updates[v] = Quantity(
+                    jnp.moveaxis(chunk, -1, 1), DIMS_3D
+                )
+            return {}, {}, state_updates
         grid_shape = tuple(
             state[names.DELP].shape[i] for i in (0, 2, 3)
         )
-        state_updates = {}
         start = 0
         for v, nf in zip(self.model.output_variables,
                          getattr(self.model, "output_features", None) or []):
