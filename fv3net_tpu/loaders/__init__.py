@@ -11,6 +11,13 @@ from fv3net_tpu.loaders.batches import (  # noqa: F401
     batches_from_config,
     batches_from_mapper,
 )
+from fv3net_tpu.loaders.mappers import (  # noqa: F401
+    open_fine_resolution,
+    open_nudge_to_fine,
+    open_nudge_to_fine_scream,
+    open_nudge_to_obs,
+)
+from fv3net_tpu.loaders.serialized import SerializedSequence  # noqa: F401
 
 SAMPLE_DIM_NAME = "sample"  # reference: loaders/constants.py
 TIME_NAME = "time"

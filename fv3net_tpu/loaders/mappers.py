@@ -216,3 +216,56 @@ def open_fine_resolution(
         return ds
 
     return ValMap(add_nudging, MergedMapper(budgets, nudge))
+
+
+# SCREAM nudged-run variable conventions (reference
+# _nudged/_nudged.py:233-303 open_nudge_to_fine_scream rename_vars)
+SCREAM_RENAME: Mapping[str, str] = {
+    "T_mid_tendency_due_to_nudging": "dQ1",
+    "qv_tendency_due_to_nudging": "dQ2",
+    "U_tendency_due_to_nudging": "dQu",
+    "V_tendency_due_to_nudging": "dQv",
+    "tendency_of_T_mid_due_to_scream_physics": "pQ1",
+    "tendency_of_qv_due_to_scream_physics": "pQ2",
+    "tendency_of_U_due_to_scream_physics": "pQu",
+    "tendency_of_V_due_to_scream_physics": "pQv",
+    "T_mid": "air_temperature",
+    "qv": "specific_humidity",
+    "U": "eastward_wind",
+    "V": "northward_wind",
+}
+
+
+def open_nudge_to_fine_scream(
+    state_zarr: str,
+    nudging_zarr: Optional[str] = None,
+    nudging_variables: Sequence[str] = ("T_mid", "qv"),
+    physics_timestep_seconds: float = 900.0,
+) -> GeoMapper:
+    """Nudge-to-fine training data in SCREAM variable conventions
+    (reference _nudged/_nudged.py:233 open_nudge_to_fine_scream): the
+    nudging increment is subtracted to recover the pre-nudging state,
+    then SCREAM names are mapped onto the fv3 training names."""
+    state = ZarrMapper(state_zarr)
+    mappers = [state]
+    if nudging_zarr is not None and nudging_zarr != state_zarr:
+        mappers.append(ZarrMapper(nudging_zarr))
+    merged = MergedMapper(*mappers) if len(mappers) > 1 else state
+
+    def transform(ds: Dataset) -> Dataset:
+        out = dict(ds.items())
+        for v in nudging_variables:
+            tend_name = f"{v}_tendency_due_to_nudging"
+            if v in out and tend_name in out:
+                q = out[v]
+                out[v] = Quantity(
+                    jnp.asarray(q.data)
+                    - jnp.asarray(out[tend_name].data)
+                    * physics_timestep_seconds,
+                    q.dims,
+                    q.units,
+                )
+        renamed = {SCREAM_RENAME.get(k, k): q for k, q in out.items()}
+        return Dataset(renamed)
+
+    return ValMap(transform, merged)
