@@ -89,3 +89,54 @@ def post_process(
             if store not in written:
                 written.append(store)
     return written
+
+
+def regrid_zarr_to_latlon(
+    input_zarr: str,
+    output_zarr: str,
+    nlat: int = 180,
+    nlon: int = 360,
+) -> None:
+    """Regrid every cube-shaped variable of a zarr store to lat-lon
+    (reference: workflows/post_process_run/fv3post/fregrid.py:16-56 shells
+    out to the fregrid C binary; here the conservative regrid runs on
+    device via ops.regrid_latlon.CubeToLatLon)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core.quantity import Quantity
+    from fv3net_tpu.core.zarrio import open_zarr, to_zarr
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.ops.regrid_latlon import CubeToLatLon
+
+    ds = open_zarr(input_zarr)
+    regridder = None
+    out = {}
+    for name, q in ds.items():
+        dims = tuple(q.dims)
+        if "tile" not in dims or "y" not in dims or "x" not in dims:
+            continue
+        n = q.shape[dims.index("x")]
+        if regridder is None:
+            regridder = CubeToLatLon(make_grid(n), nlat=nlat, nlon=nlon)
+        # move (tile, y, x) last, flatten the rest as batch
+        other = [d for d in dims if d not in ("tile", "y", "x")]
+        arr = jnp.asarray(np.asarray(q.values))
+        perm = [dims.index(d) for d in other] + [
+            dims.index("tile"), dims.index("y"), dims.index("x")
+        ]
+        arr = arr.transpose(perm)
+        batch = arr.reshape((-1,) + arr.shape[len(other):])
+        ll = jnp.stack([regridder(b) for b in batch])
+        ll = ll.reshape(tuple(arr.shape[: len(other)]) + (nlat, nlon))
+        out[name] = Quantity(ll, tuple(other) + ("lat", "lon"), q.units)
+    if not out:
+        raise ValueError(f"no cube-shaped variables found in {input_zarr}")
+    from fv3net_tpu.core.dataset import Dataset as _DS
+
+    coords = {
+        k: v for k, v in ds.coords.items() if k in set(
+            d for q in out.values() for d in q.dims
+        )
+    }
+    to_zarr(_DS(out, coords), output_zarr)
