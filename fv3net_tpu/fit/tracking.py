@@ -90,3 +90,78 @@ def read_history(run_dir: str):
         for line in f:
             out.append(json.loads(line))
     return out
+
+
+# ---------------------------------------------------------------- query CLI
+def _summarize_run(run_dir: str) -> Dict[str, Any]:
+    """Last-logged metrics + config of one run directory."""
+    config = {}
+    cfg_path = os.path.join(run_dir, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            config = json.load(f)
+    summary: Dict[str, Any] = {}
+    steps = 0
+    hist = os.path.join(run_dir, "history.jsonl")
+    if os.path.exists(hist):
+        with open(hist) as f:
+            for line in f:
+                steps += 1
+                summary.update(json.loads(line))
+    return {
+        "project": os.path.basename(os.path.dirname(run_dir)),
+        "name": os.path.basename(run_dir),
+        "path": run_dir,
+        "steps": steps,
+        "summary": summary,
+        "config": config,
+    }
+
+
+def query_runs(
+    base: Optional[str] = None,
+    project: Optional[str] = None,
+    name_regex: Optional[str] = None,
+):
+    """Iterate run records under the tracking directory (reference:
+    external/wandb-query/wandb-query — the same list/filter surface over
+    local JSONL records instead of the wandb API)."""
+    import re
+
+    base = base or os.environ.get("FV3NET_TPU_TRACKING_DIR", "./tracking")
+    if not os.path.isdir(base):
+        return
+    for proj in sorted(os.listdir(base)):
+        if project and proj != project:
+            continue
+        proj_dir = os.path.join(base, proj)
+        if not os.path.isdir(proj_dir):
+            continue
+        for run_name in sorted(os.listdir(proj_dir)):
+            if name_regex and not re.search(name_regex, run_name):
+                continue
+            run_dir = os.path.join(proj_dir, run_name)
+            if os.path.isdir(run_dir):
+                yield _summarize_run(run_dir)
+
+
+def main(argv=None) -> int:
+    """tracking-query CLI: list local experiment runs.
+
+    Default output: `project name steps path` per line; `-o json` prints
+    one JSON record per run (composable with jq, like the reference CLI).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(prog="tracking-query", description=main.__doc__)
+    p.add_argument("--dir", default=None, help="tracking base directory")
+    p.add_argument("--project", default=None)
+    p.add_argument("--name", default=None, help="run-name regex filter")
+    p.add_argument("-o", "--output", default="", choices=["", "json"])
+    args = p.parse_args(argv)
+    for rec in query_runs(args.dir, args.project, args.name):
+        if args.output == "json":
+            print(json.dumps(rec, default=str))
+        else:
+            print(rec["project"], rec["name"], rec["steps"], rec["path"])
+    return 0

@@ -53,3 +53,37 @@ def test_time_roundtrip():
         datetime.datetime(2016, 8, 1, 0, 0, 7), to=15.0
     )
     assert rounded == datetime.datetime(2016, 8, 1, 0, 0, 0)
+
+
+def test_tracking_query_cli(tmp_path, capsys):
+    from fv3net_tpu.fit import tracking
+
+    run = tracking.init(project="proj1", name="runA", config={"lr": 0.1},
+                        dir=str(tmp_path))
+    run.log({"loss": 1.0})
+    run.log({"loss": 0.5, "r2": 0.9})
+    run.finish()
+    run2 = tracking.init(project="proj2", name="runB", config={},
+                         dir=str(tmp_path))
+    run2.log({"loss": 2.0})
+    run2.finish()
+
+    recs = list(tracking.query_runs(str(tmp_path)))
+    assert [r["name"] for r in recs] == ["runA", "runB"]
+    assert recs[0]["steps"] == 2
+    assert recs[0]["summary"]["loss"] == 0.5
+    assert recs[0]["summary"]["r2"] == 0.9
+    assert recs[0]["config"] == {"lr": 0.1}
+
+    # project + regex filters
+    assert [r["name"] for r in tracking.query_runs(
+        str(tmp_path), project="proj2")] == ["runB"]
+    assert [r["name"] for r in tracking.query_runs(
+        str(tmp_path), name_regex="A$")] == ["runA"]
+
+    # CLI surface
+    assert tracking.main(["--dir", str(tmp_path), "-o", "json"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json as _json
+
+    assert len(out) == 2 and _json.loads(out[0])["name"] == "runA"
