@@ -160,8 +160,15 @@ class DycoreConfig:
     kord: int = 9  # PPM reconstruction order for the vertical remap
     ptop: float = TOA_PRESSURE
     diff_coef: float = 0.015  # nondim del-2 damping (x dx^2 / dt_sub)
+    # nondim divergence damping (x dx^2 / dt_sub); FV3's principal
+    # stabilizer of the divergent modes (nord/d4_bg machinery in
+    # fv3gfs-fortran; a del-2 form here)
+    divergence_damp_coef: float = 0.0
     remap: bool = True
-    advection_order: int = 2  # 1 = upwind, 2 = monotone van Leer MUSCL
+    # 1 = upwind, 2 = monotone van Leer MUSCL, 4 = PPM with CW84
+    # monotonization and Courant-integrated face fluxes (the Lin & Rood
+    # 1996 / Putman & Lin 2007 transport operator, FV3's hord family)
+    advection_order: int = 2
 
 
 def _ext(field, h: int = 1):
@@ -288,10 +295,77 @@ def _face_values_2nd(q_ext2, vn_y, vn_x):
     return qy, qx
 
 
+def _ppm_edges_1d(q):
+    """4th-order edge estimates + CW84 monotonized parabola coefficients
+    along the LAST axis.  q: [..., m] -> (qL, qR, q6) for cells 2..m-3
+    (each [..., m-4])."""
+    # van-Leer limited central slopes (CW84 eq. 1.8) keep the edge
+    # estimate bounded by the adjacent cell means
+    dqc = 0.5 * (q[..., 2:] - q[..., :-2])  # cells 1..m-2
+    dlo = q[..., 1:-1] - q[..., :-2]
+    dhi = q[..., 2:] - q[..., 1:-1]
+    dm = jnp.where(
+        dlo * dhi > 0.0,
+        jnp.sign(dqc)
+        * jnp.minimum(jnp.abs(dqc),
+                      2.0 * jnp.minimum(jnp.abs(dlo), jnp.abs(dhi))),
+        0.0,
+    )
+    # 4th-order edge estimate (CW84 eq. 1.6): edge k+1/2 for k = 1..m-3
+    qe = 0.5 * (q[..., 1:-2] + q[..., 2:-1]) - (
+        dm[..., 1:] - dm[..., :-1]
+    ) / 6.0  # [..., m-3]
+    qc = q[..., 2:-2]          # cells 2..m-3
+    ql = qe[..., :-1]
+    qr = qe[..., 1:]
+    # CW84 monotonization
+    extremum = (qr - qc) * (qc - ql) <= 0.0
+    dq = qr - ql
+    q6_raw = 6.0 * (qc - 0.5 * (ql + qr))
+    ql = jnp.where(extremum, qc, jnp.where(dq * q6_raw > dq * dq,
+                                           3.0 * qc - 2.0 * qr, ql))
+    qr = jnp.where(extremum, qc, jnp.where(-dq * dq > dq * q6_raw,
+                                           3.0 * qc - 2.0 * ql, qr))
+    q6 = 6.0 * (qc - 0.5 * (ql + qr))
+    return ql, qr, q6
+
+
+def _ppm_face_value_1d(q, c):
+    """Courant-integrated PPM face values along the LAST axis.
+
+    q: [..., m] cell means (m = n + 6, halo 3); c: [..., n+1] face Courant
+    numbers (positive = flow toward +i).  Returns the swept-region mean
+    [..., n+1] (CW84 eq. 1.12: the average of the upwind parabola over the
+    distance |c| dx swept through the face in one step).
+    """
+    ql, qr, q6 = _ppm_edges_1d(q)  # cells 2..m-3 = local -1..n
+    # face f (local 0..n) sits between parabola cells f and f+1 here
+    l_ql, l_qr, l_q6 = ql[..., :-1], qr[..., :-1], q6[..., :-1]
+    r_ql, r_qr, r_q6 = ql[..., 1:], qr[..., 1:], q6[..., 1:]
+    cp = jnp.clip(c, 0.0, 1.0)
+    cm = jnp.clip(-c, 0.0, 1.0)
+    from_left = l_qr - 0.5 * cp * (
+        (l_qr - l_ql) - (1.0 - 2.0 * cp / 3.0) * l_q6
+    )
+    from_right = r_ql + 0.5 * cm * (
+        (r_qr - r_ql) + (1.0 - 2.0 * cm / 3.0) * r_q6
+    )
+    return jnp.where(c > 0, from_left, from_right)
+
+
+def _face_values_ppm(q_ext3, cy, cx):
+    """PPM face values from an h=3 extended array [6, nz, n+6, n+6]."""
+    qy = _ppm_face_value_1d(q_ext3[..., 3:-3, :], cy)
+    qx_t = _ppm_face_value_1d(
+        jnp.swapaxes(q_ext3[..., 3:-3], -1, -2), jnp.swapaxes(cx, -1, -2)
+    )
+    return qy, jnp.swapaxes(qx_t, -1, -2)
+
+
 def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     delp, pt, wind, tracers = state.delp, state.pt, state.wind, state.tracers
     order = cfg.advection_order
-    h = 2 if order == 2 else 1
+    h = {1: 1, 2: 2, 4: 3}[order]
 
     # ---- halo extension -------------------------------------------------
     delp_e = _ext(delp, h)
@@ -303,7 +377,13 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
 
     vn_y, vn_x = _edge_normal_wind(wind_e1, g)
 
+    if order == 4:
+        cy = vn_y * dt / g.dist_y[:, None]
+        cx = vn_x * dt / g.dist_x[:, None]
+
     def faces(q_ext):
+        if order == 4:
+            return _face_values_ppm(q_ext, cy, cx)
         if order == 2:
             return _face_values_2nd(q_ext, vn_y, vn_x)
         qy = _upwind(vn_y, q_ext[..., 1:-1, :-1], q_ext[..., 1:-1, 1:])
@@ -364,6 +444,15 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     cor = -g.f_coriolis[None, :, None] * jnp.cross(kh, wind_adv, axis=0)
 
     wind_new = wind_adv + dt * (pgf + cor)
+
+    # ---- divergence damping ---------------------------------------------
+    if cfg.divergence_damp_coef > 0.0:
+        div = _divergence(
+            vn_y * g.edge_len_y[:, None], vn_x * g.edge_len_x[:, None],
+            g.area[:, None],
+        )
+        nu_d = cfg.divergence_damp_coef * g.area.mean() / dt
+        wind_new = wind_new + dt * nu_d * _lsq_gradient(_ext(div), g)
 
     # ---- del-2 damping --------------------------------------------------
     if cfg.diff_coef > 0.0:

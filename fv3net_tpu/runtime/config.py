@@ -70,6 +70,10 @@ class NamelistConfig:
     n_split: int = 2
     kord: int = 9
     diff_coef: float = 0.015
+    # horizontal transport operator: 1 upwind, 2 MUSCL, 4 PPM (hord)
+    hord: int = 4
+    # nondim del-2 divergence damping (FV3's d2_bg role)
+    d2_div: float = 0.06
     hydrostatic: bool = True
 
 

@@ -81,6 +81,8 @@ class TimeLoop:
             n_split=nml.n_split,
             kord=nml.kord,
             diff_coef=nml.diff_coef,
+            advection_order=nml.hord,
+            divergence_damp_coef=nml.d2_div,
         )
         self._phys_cfg = PhysicsConfig()
         from fv3net_tpu.runtime import factories
