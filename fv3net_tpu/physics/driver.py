@@ -36,6 +36,10 @@ from fv3net_tpu.physics import surface as sfc
 @dataclasses.dataclass(frozen=True)
 class PhysicsConfig:
     ptop: float = 300.0
+    # "gray" (Frierson gray gas) or "rrtmg" (the band solvers in
+    # fv3net_tpu.physics.radiation; wired by runtime/fused.py which
+    # builds the spectral data once and passes radiation_fn)
+    radiation_scheme: str = "gray"
     radiation: rad.GrayRadiationParams = rad.GrayRadiationParams()
     surface: sfc.SurfaceParams = sfc.SurfaceParams()
     pbl: pbl_mod.PBLParams = pbl_mod.PBLParams()
@@ -61,6 +65,7 @@ def physics_step(
     dt: float,
     cfg: PhysicsConfig = PhysicsConfig(),
     microphysics_emulator=None,
+    radiation_fn=None,
 ) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
     """Apply one physics interval; returns (new_state, diagnostics).
 
@@ -84,9 +89,17 @@ def physics_step(
     T0, q0 = T, q
 
     # ---- radiation ------------------------------------------------------
-    heating, rad_diags = rad.gray_radiation(
-        T, delp, t_surface, cos_zenith, lat, cfg.radiation
-    )
+    # ``radiation_fn``: optional override (the rrtmg band solvers built by
+    # runtime/fused.py) with signature
+    # (T, delp, q, qc, t_surface, cos_zenith, lat) -> (heating, diags)
+    if radiation_fn is not None:
+        heating, rad_diags = radiation_fn(
+            T, delp, q, qc, t_surface, cos_zenith, lat
+        )
+    else:
+        heating, rad_diags = rad.gray_radiation(
+            T, delp, t_surface, cos_zenith, lat, cfg.radiation
+        )
     T = T + dt * heating
 
     # ---- surface fluxes -------------------------------------------------

@@ -83,6 +83,7 @@ class RadiationDriver:
         self,
         time: datetime.datetime,
         state: Dict[str, jnp.ndarray],
+        cosz: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """state: z-last column arrays — air_temperature [..., nz],
         pressure_thickness_of_atmospheric_layer [..., nz],
@@ -125,11 +126,14 @@ class RadiationDriver:
         mmr = {"h2o": jnp.maximum(q, 1e-9), "o3": gases.ozone_profile(play, lat)}
         mmr.update(gases.well_mixed(play, cfg.year, cfg.ico2))
 
-        # astronomy
+        # astronomy (an externally supplied cos-zenith, e.g. from the
+        # fused prognostic step, bypasses the internal computation)
         days = zenith.days_from_2000(time)
-        cosz = zenith.cos_zenith_angle(
-            days, jnp.rad2deg(lon), jnp.rad2deg(lat)
-        ).astype(jnp.float32)
+        if cosz is None:
+            cosz = zenith.cos_zenith_angle(
+                days, jnp.rad2deg(lon), jnp.rad2deg(lat)
+            )
+        cosz = cols(jnp.asarray(cosz))
         s0 = self.solar_constant(days)
 
         # clouds (reference radiation_clouds.py progcld: condensate ->

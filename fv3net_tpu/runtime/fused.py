@@ -69,10 +69,53 @@ def build_fused_step(
     """Returns jitted step(state, ml_params, t_surface, cos_zenith) ->
     state."""
 
+    radiation_fn = None
+    if phys_cfg.radiation_scheme == "rrtmg":
+        import datetime
+
+        from fv3net_tpu.physics.radiation.driver import (
+            DriverConfig,
+            RadiationDriver,
+        )
+
+        driver = RadiationDriver(DriverConfig())
+        epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
+
+        def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat):
+            out = driver(
+                epoch,
+                {
+                    "air_temperature": T,
+                    "pressure_thickness_of_atmospheric_layer": delp,
+                    "specific_humidity": q,
+                    "cloud_water_mixing_ratio": qc,
+                    "surface_temperature": t_surface,
+                    "latitude": lat,
+                    "longitude": jnp.zeros_like(lat),
+                },
+                cosz=cos_zenith,
+            )
+            heating = out["tendency_of_air_temperature_due_to_radiation"]
+            return heating, {
+                "ULWRFtoa": out[
+                    "total_sky_upward_longwave_flux_at_top_of_atmosphere_python"
+                ],
+                "USWRFtoa": out[
+                    "total_sky_upward_shortwave_flux_at_top_of_atmosphere_python"
+                ],
+                "DSWRFsfc": out[
+                    "total_sky_downward_shortwave_flux_at_surface_python"
+                ],
+                "DLWRFsfc": out[
+                    "total_sky_downward_longwave_flux_at_surface_python"
+                ],
+            }
+
     def step(state: DycoreState, ml_params, t_surface, cos_zenith):
         state = dynamics_step(state, g, ak, bk, dyn_cfg)
         state, _ = physics_step(
-            state, t_surface, cos_zenith, g.lat, dyn_cfg.dt, phys_cfg
+            state, t_surface, cos_zenith, g.lat, dyn_cfg.dt, phys_cfg,
+            radiation_fn=radiation_fn,
         )
         if ml_apply is not None:
             delp_c = jnp.moveaxis(state.delp, 1, -1)

@@ -46,3 +46,36 @@ def test_physics_step_jits_and_is_deterministic():
     a1, _ = step(state)
     a2, _ = step(state)
     np.testing.assert_array_equal(np.asarray(a1.pt), np.asarray(a2.pt))
+
+
+def test_fused_step_with_rrtmg_scheme():
+    """The band solvers run inside the fused prognostic step."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import DycoreConfig, init_state
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.physics import PhysicsConfig
+    from fv3net_tpu.runtime.fused import build_fused_step
+    from fv3net_tpu.runtime.loop import aquaplanet_sst
+
+    grid = make_grid(6)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = init_state(grid, 8, perturbation=1.0)
+    step = build_fused_step(
+        g, jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32),
+        DycoreConfig(dt=900.0, n_split=1, advection_order=4),
+        PhysicsConfig(radiation_scheme="rrtmg"),
+    )
+    sst = aquaplanet_sst(g.lat)
+    cosz = jnp.asarray(
+        np.maximum(np.cos(grid.lat) * np.cos(grid.lon), 0.0), jnp.float32
+    )
+    out = step(state, None, sst, cosz)
+    assert np.isfinite(np.asarray(out.pt)).all()
+    assert np.isfinite(np.asarray(out.wind)).all()
+    # the rrtmg heating actually changed the thermodynamic state
+    assert float(jnp.abs(out.pt - state.pt).max()) > 0.0
