@@ -151,6 +151,16 @@ def main(argv=None) -> int:
     p.add_argument("diags")
     p.add_argument("output_dir")
 
+    p = sub.add_parser("movies", help="animated cube maps per variable")
+    p.add_argument("url", help="run dir or zarr with [time,tile,y,x] vars")
+    p.add_argument("output_dir")
+    p.add_argument("--names", nargs="*", default=None)
+
+    p = sub.add_parser(
+        "shell", help="interactive shell with the run data loaded as `ds`"
+    )
+    p.add_argument("url")
+
     p = sub.add_parser(
         "log-viewer", help="summarize a run's JSON statistics stream"
     )
@@ -163,9 +173,63 @@ def main(argv=None) -> int:
         metrics_cmd(args.diags, args.output)
     elif args.command == "report":
         report_cmd(args.diags, args.output_dir)
+    elif args.command == "movies":
+        movies_cmd(args.url, args.output_dir, args.names)
+    elif args.command == "shell":
+        shell_cmd(args.url)
     elif args.command == "log-viewer":
         log_viewer_cmd(args.logfile)
     return 0
+
+
+def movies_cmd(url: str, output_dir: str, names=None) -> None:
+    """(reference diagnostics/prognostic_run/cli.py movies subcommand)"""
+    import os
+
+    from fv3net_tpu.core.zarrio import open_zarr
+    from fv3net_tpu.diagnostics.movies import create_movies_for_dataset
+    from fv3net_tpu.grid.geometry import make_grid
+
+    ds = open_zarr(_find_state_zarr(url))
+    n = next(iter(ds.values())).shape[-1]
+    os.makedirs(output_dir, exist_ok=True)
+    written = create_movies_for_dataset(ds, make_grid(n), output_dir, names)
+    for path in written:
+        print(path)
+
+
+def shell_cmd(url: str) -> None:
+    """(reference diagnostics/prognostic_run/shell.py: drop into an
+    interactive session with the run data opened)"""
+    import code
+
+    from fv3net_tpu.core.zarrio import open_zarr
+
+    ds = open_zarr(_find_state_zarr(url))
+    banner = (
+        f"run data from {url} loaded as `ds` "
+        f"({len(list(ds.keys()))} variables)"
+    )
+    code.interact(banner=banner, local={"ds": ds})
+
+
+def _find_state_zarr(url: str) -> str:
+    import os
+
+    if os.path.exists(os.path.join(url, ".zgroup")):
+        return url
+    for cand in ("state_after_timestep.zarr", "diags.zarr"):
+        p = os.path.join(url, cand)
+        if os.path.exists(p):
+            return p
+    # segmented-run layout: artifacts/<seg>/<name>.zarr
+    art = os.path.join(url, "artifacts")
+    if os.path.isdir(art):
+        for seg in sorted(os.listdir(art)):
+            for entry in sorted(os.listdir(os.path.join(art, seg))):
+                if entry.endswith(".zarr"):
+                    return os.path.join(art, seg, entry)
+    raise FileNotFoundError(f"no zarr store found under {url}")
 
 
 def log_viewer_cmd(logfile: str) -> None:

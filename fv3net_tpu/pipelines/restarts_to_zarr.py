@@ -61,3 +61,25 @@ def restarts_to_zarr(
             za.resize_time(len(labels))
             za[(len(labels) - 1,)] = arr.astype(np.float32)
     return labels
+
+
+def main(argv=None) -> int:
+    """python -m fv3net_tpu.pipelines.restarts_to_zarr (reference:
+    python -m fv3net.pipelines.restarts_to_zarr)."""
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(prog="restarts_to_zarr")
+    p.add_argument("run_url")
+    p.add_argument("output_zarr")
+    p.add_argument("--variables", nargs="*", default=None)
+    args = p.parse_args(argv)
+    labels = restarts_to_zarr(args.run_url, args.output_zarr, args.variables)
+    print(json.dumps({"timesteps": labels, "output": args.output_zarr}))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
