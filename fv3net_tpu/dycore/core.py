@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fv3net_tpu.core.constants import (
+    CP_AIR,
     GRAVITY,
     KAPPA,
     RDGAS,
@@ -165,6 +166,11 @@ class DycoreConfig:
     # fv3gfs-fortran; a del-2 form here)
     divergence_damp_coef: float = 0.0
     remap: bool = True
+    # remap total energy (cp Tv + phi + K) instead of theta_v during the
+    # vertical remap and recover Tv hydrostatically — FV3's
+    # energy-conserving te_map (fv_mapz.F90 remap_te); costs one extra
+    # remapped field + an upward sweep
+    remap_te: bool = False
     # 1 = upwind, 2 = monotone van Leer MUSCL, 4 = PPM with CW84
     # monotonization and Courant-integrated face fluxes (the Lin & Rood
     # 1996 / Putman & Lin 2007 transport operator, FV3's hord family)
@@ -476,6 +482,64 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     )
 
 
+def _column_te(pe, tv, ke, phis):
+    """Total energy per unit mass on layers (z-last): cp Tv + phi_mid + K,
+    with phi integrated hydrostatically up from ``phis``."""
+    lnpe = jnp.log(pe)
+    dlnp = lnpe[..., 1:] - lnpe[..., :-1]
+    pmid = (pe[..., 1:] - pe[..., :-1]) / dlnp
+    dphi = RDGAS * tv * dlnp
+    phi_above_rev = jnp.cumsum(jnp.flip(dphi, axis=-1), axis=-1)
+    phi_below = jnp.concatenate(
+        [jnp.flip(phi_above_rev, axis=-1)[..., 1:],
+         jnp.zeros_like(tv[..., :1])],
+        axis=-1,
+    ) + phis[..., None]
+    # same midpoint convention as the recovery sweep (exact round-trip
+    # when the target coordinate equals the source)
+    phi_mid = phi_below + 0.5 * RDGAS * tv * dlnp
+    return CP_AIR * tv + phi_mid + ke, pmid
+
+
+def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
+    """FV3's energy-conserving temperature remap (fv_mapz.F90 te_map):
+    remap column total energy conservatively, then recover Tv on the new
+    layers by the hydrostatic upward sweep
+    Tv_k = (te_k - K_k - phi_below_k) / (cp + R/2 dlnp_k).
+    Returns theta_v on the target layers (z-last)."""
+    delp1 = zlast(state.delp)
+    lnpe1 = jnp.log(pe1)
+    dlnp1 = lnpe1[..., 1:] - lnpe1[..., :-1]
+    pmid1 = delp1 / dlnp1
+    tv1 = zlast(state.pt) * (pmid1 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+    ke1 = 0.5 * sum(zlast(state.wind[c]) ** 2 for c in range(3))
+    te1, _ = _column_te(pe1, tv1, ke1, state.phis)
+    from fv3net_tpu.ops import remap as _rm
+
+    te2 = _rm.remap_ppm(pe1, te1, pe2, iv=1, kord=cfg.kord, window=2)
+
+    lnpe2 = jnp.log(pe2)
+    dlnp2 = lnpe2[..., 1:] - lnpe2[..., :-1]
+    pmid2 = (pe2[..., 1:] - pe2[..., :-1]) / dlnp2
+    ke2 = 0.5 * sum(w ** 2 for w in wind2)
+
+    # upward sweep: z index 0 = top, so reverse=True starts at the
+    # surface layer (phis) and carries phi upward
+    def up(phi_below, inp):
+        te_k, ke_k, dlnp_k = inp
+        tv_k = (te_k - ke_k - phi_below) / (CP_AIR + 0.5 * RDGAS * dlnp_k)
+        return phi_below + RDGAS * tv_k * dlnp_k, tv_k
+
+    inps = (
+        jnp.moveaxis(te2, -1, 0),
+        jnp.moveaxis(ke2, -1, 0),
+        jnp.moveaxis(dlnp2, -1, 0),
+    )
+    _, tv2_scan = jax.lax.scan(up, state.phis, inps, reverse=True)
+    tv2 = jnp.moveaxis(tv2_scan, 0, -1)
+    return tv2 / (pmid2 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+
+
 def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     """PPM-remap the Lagrangian layers back to the hybrid coordinate."""
     ps = state.delp.sum(axis=1) + cfg.ptop
@@ -502,6 +566,8 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         # so a narrow banded layer search suffices (see remap_ppm docs)
         window=2,
     )
+    if cfg.remap_te:
+        pt2 = _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast)
 
     def zmid(x):
         return jnp.moveaxis(x, -1, 1)

@@ -74,6 +74,8 @@ class NamelistConfig:
     hord: int = 4
     # nondim del-2 divergence damping (FV3's d2_bg role)
     d2_div: float = 0.06
+    # energy-conserving vertical remap (FV3's te_map)
+    remap_te: bool = True
     hydrostatic: bool = True
 
 

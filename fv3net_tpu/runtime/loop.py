@@ -83,6 +83,7 @@ class TimeLoop:
             diff_coef=nml.diff_coef,
             advection_order=nml.hord,
             divergence_damp_coef=nml.d2_div,
+            remap_te=nml.remap_te,
         )
         self._phys_cfg = PhysicsConfig()
         from fv3net_tpu.runtime import factories
