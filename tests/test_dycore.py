@@ -273,3 +273,55 @@ def test_te_remap_conserves_total_energy(setup):
     # the dynamics itself exchanges energy; what the TE remap removes is
     # the remap-induced component — require a clear improvement
     assert drift_te < drift_plain
+
+
+def test_jablonowski_williamson_balanced_jet(setup):
+    """JW06 steady-state: the balanced zonal jet must survive a day of
+    integration with bounded drift (the canonical dycore balance test)."""
+    from fv3net_tpu.dycore.testcases import baroclinic_wave_state
+
+    grid, g = setup
+    state, ak, bk = baroclinic_wave_state(grid, nz=10, perturb=False,
+                                          dtype=jnp.float64)
+    u0 = np.asarray(state.wind)
+    assert np.abs(u0).max() == pytest.approx(35.0, abs=2.0)
+    cfg = DycoreConfig(
+        dt=900.0, n_split=4, advection_order=4, diff_coef=0.001,
+        divergence_damp_coef=0.06, remap_te=True,
+    )
+    m0 = total_mass(state, grid)
+    for _ in range(24):  # 6 hours
+        state = dynamics_step(state, g, jnp.asarray(ak), jnp.asarray(bk), cfg)
+    wind = np.asarray(state.wind)
+    assert np.isfinite(wind).all()
+    np.testing.assert_allclose(total_mass(state, grid), m0, rtol=1e-10)
+    # the jet survives; drift stays a small fraction of the jet speed
+    assert np.abs(wind).max() > 25.0
+    assert np.abs(wind - u0).max() < 8.0
+
+
+def test_jablonowski_williamson_wave_grows(setup):
+    """The perturbed JW06 case must diverge from the balanced run (the
+    baroclinic instability the test is named for)."""
+    from fv3net_tpu.dycore.testcases import baroclinic_wave_state
+
+    grid, g = setup
+    cfg = DycoreConfig(
+        dt=900.0, n_split=4, advection_order=4, diff_coef=0.001,
+        divergence_damp_coef=0.06, remap_te=True,
+    )
+
+    def run(perturb):
+        state, ak, bk = baroclinic_wave_state(
+            grid, nz=10, perturb=perturb, dtype=jnp.float64
+        )
+        for _ in range(12):
+            state = dynamics_step(
+                state, g, jnp.asarray(ak), jnp.asarray(bk), cfg
+            )
+        return np.asarray(state.wind)
+
+    balanced = run(False)
+    perturbed = run(True)
+    diff = np.abs(perturbed - balanced).max()
+    assert 0.1 < diff < 10.0  # the bump persists and evolves, no blowup
