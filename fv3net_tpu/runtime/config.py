@@ -69,7 +69,7 @@ class NamelistConfig:
     dt_atmos: float = 900.0
     n_split: int = 2
     kord: int = 9
-    diff_coef: float = 0.015
+    diff_coef: float = 0.004
     # horizontal transport operator: 1 upwind, 2 MUSCL, 4 PPM (hord)
     hord: int = 4
     # nondim del-2 divergence damping (FV3's d2_bg role)

@@ -35,7 +35,7 @@ def main(days: int = 20, npx: int = 24, npz: int = 20):
     g = GridArrays.from_grid(grid)
     state, ak, bk = init_state(grid, npz, perturbation=1.0)
     cfg = DycoreConfig(
-        dt=900.0, n_split=2, advection_order=4, divergence_damp_coef=0.06
+        dt=900.0, n_split=2, advection_order=4, diff_coef=0.004, divergence_damp_coef=0.06
     )
     akj = jnp.asarray(ak, jnp.float32)
     bkj = jnp.asarray(bk, jnp.float32)

@@ -33,7 +33,7 @@ def main(days: int = 10, npx: int = 24, npz: int = 24):
     g = GridArrays.from_grid(grid)
     state, ak, bk = init_state(grid, npz, perturbation=2.0)
     dyn_cfg = DycoreConfig(
-        dt=900.0, n_split=2, advection_order=4, divergence_damp_coef=0.06
+        dt=900.0, n_split=2, advection_order=4, diff_coef=0.004, divergence_damp_coef=0.06
     )
     step = build_fused_step(
         g, jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32),
