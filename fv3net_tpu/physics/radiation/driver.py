@@ -151,7 +151,14 @@ class RadiationDriver:
         re_ice = jnp.clip(326.3 + 12.42 * (T - 273.15), 20.0, 130.0)
         co = optics.cloud_optics(lwp, iwp, re_liq, re_ice, cldfrac)
 
-        key = jax.random.PRNGKey(cfg.mcica_seed)
+        # decorrelate the McICA draw across timesteps (the reference
+        # threads fresh rand2d_data per call): fold the seed with a
+        # state-derived integer so successive calls see different
+        # subcolumn patterns without an API change
+        state_fold = (jnp.abs(T).sum() * 16.0).astype(jnp.int32) % 1000003
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.mcica_seed), state_fold
+        )
         mask_lw = optics.mcica_subcolumns(cldfrac, P.NGPT_LW, key)
         mask_sw = optics.mcica_subcolumns(
             cldfrac, P.NGPT_SW, jax.random.fold_in(key, 1)
