@@ -85,3 +85,59 @@ def test_physics_step_matches_under_sharding():
         np.asarray(out_sharded.pt), np.asarray(out_single.pt), rtol=2e-6,
         atol=1e-5,
     )
+
+
+@requires_devices
+def test_rrtmg_radiation_matches_under_sharding():
+    """The band solvers (scans over layers, einsums over g-points) must
+    shard over the column axis with single-device-identical results."""
+    import datetime
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fv3net_tpu.physics.radiation import DriverConfig, RadiationDriver
+
+    nz = 8
+    rng = np.random.RandomState(0)
+    shape = (6, 8, 8)
+    state = {
+        "air_temperature": jnp.asarray(
+            270 + 10 * rng.randn(*shape, nz), jnp.float32
+        ),
+        "pressure_thickness_of_atmospheric_layer": jnp.full(
+            shape + (nz,), 1e5 / nz, jnp.float32
+        ),
+        "specific_humidity": jnp.asarray(
+            1e-3 * rng.rand(*shape, nz), jnp.float32
+        ),
+        "cloud_water_mixing_ratio": jnp.asarray(
+            2e-5 * (rng.rand(*shape, nz) > 0.8), jnp.float32
+        ),
+        "surface_temperature": jnp.full(shape, 300.0, jnp.float32),
+        "latitude": jnp.asarray(
+            rng.uniform(-1.4, 1.4, shape), jnp.float32
+        ),
+        "longitude": jnp.asarray(rng.uniform(0, 6.2, shape), jnp.float32),
+        "land_sea_mask": jnp.zeros(shape, jnp.float32),
+    }
+    driver = RadiationDriver(DriverConfig())
+    when = datetime.datetime(2016, 7, 1, 12)
+    out_single = driver(when, state)
+
+    mesh = sharded.make_mesh(8)
+    spec3 = NamedSharding(mesh, P(None, sharded.FV_AXIS, None, None))
+    spec2 = NamedSharding(mesh, P(None, sharded.FV_AXIS, None))
+    state_s = {
+        k: jax.device_put(v, spec3 if v.ndim == 4 else spec2)
+        for k, v in state.items()
+    }
+    out_sharded = jax.jit(lambda s: driver(when, s))(state_s)
+    for key in (
+        "tendency_of_air_temperature_due_to_radiation",
+        "total_sky_upward_longwave_flux_at_top_of_atmosphere_python",
+        "total_sky_downward_shortwave_flux_at_surface_python",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out_sharded[key]), np.asarray(out_single[key]),
+            rtol=3e-5, atol=1e-3,
+        )
