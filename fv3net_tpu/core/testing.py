@@ -6,7 +6,7 @@ from __future__ import annotations
 import contextlib
 import hashlib
 import warnings
-from typing import Hashable, Mapping, Tuple
+from typing import Hashable, Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from fv3net_tpu.core.constants import GRAVITY, KAPPA, RDGAS
+from fv3net_tpu.core.constants import GRAVITY, RDGAS
 from fv3net_tpu.dycore import vertical
 from fv3net_tpu.dycore.state import DycoreState, theta_v_from_temperature
 from fv3net_tpu.grid.geometry import EARTH_RADIUS, Grid

@@ -12,7 +12,7 @@ from __future__ import annotations
 import copy
 import itertools
 import random as _random
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List
 
 from fv3net_tpu.pipelines.runner import run_pipeline
 

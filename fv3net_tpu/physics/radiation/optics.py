@@ -15,7 +15,7 @@ Shapes: columns [ncol, nlay] in, [ncol, ngpt, nlay] out; level 0 = top.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,7 @@ enforce_non_negative_humidity)."""
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax.numpy as jnp
 
