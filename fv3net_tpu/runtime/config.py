@@ -32,6 +32,17 @@ class MachineLearningConfig:
 
 
 @dataclasses.dataclass
+class RadiationSchemeConfig:
+    """reference: runtime/steppers/radiation.py:13 RadiationStepperConfig
+    — run the Python radiation in the loop; ``scheme`` selects the
+    gray-gas or rrtmg band backend (this build's addition)."""
+
+    kind: str = "python"
+    scheme: str = "rrtmg"
+    apply_heating: bool = False
+
+
+@dataclasses.dataclass
 class NudgingConfig:
     restarts_path: str = ""
     timescale_hours: Mapping[str, float] = dataclasses.field(default_factory=dict)
@@ -89,6 +100,7 @@ class UserConfig:
     )
     scikit_learn: Optional[MachineLearningConfig] = None
     nudging: Optional[NudgingConfig] = None
+    radiation_scheme: Optional[RadiationSchemeConfig] = None
     prephysics: Optional[List[dict]] = None
     duration_seconds: float = 3600.0
     initial_time: str = "2016-08-01T00:00:00"

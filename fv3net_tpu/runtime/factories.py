@@ -84,3 +84,21 @@ def get_prephysics_steppers(config: UserConfig, timestep: float) -> List:
         else:
             raise ValueError(f"unknown prephysics stepper kind {kind!r}")
     return steppers
+
+
+def get_radiation_stepper(config: UserConfig, timestep: float):
+    """Python-radiation stepper from config (reference factories usage of
+    RadiationStepperConfig; runtime/loop.py:390-397 runs it alongside the
+    Fortran radiation)."""
+    rs = config.radiation_scheme
+    if rs is None:
+        return None
+    if rs.kind != "python":
+        raise ValueError(f"unknown radiation stepper kind {rs.kind!r}")
+    from fv3net_tpu.physics.radiation import Radiation, RadiationConfig
+    from fv3net_tpu.runtime.steppers.radiation import RadiationStepper
+
+    return RadiationStepper(
+        Radiation(RadiationConfig(scheme=rs.scheme), timestep),
+        apply_heating=rs.apply_heating,
+    )

@@ -96,6 +96,9 @@ class TimeLoop:
             if prephysics_steppers is not None
             else factories.get_prephysics_steppers(config, self._timestep)
         )
+        self._radiation_stepper = factories.get_radiation_stepper(
+            config, self._timestep
+        )
         self.monitor = Monitor(
             [names.TEMP, names.SPHUM, names.CLOUD], self._timestep
         )
@@ -182,6 +185,18 @@ class TimeLoop:
             diags.update(
                 self.monitor("dynamics", self._step_dynamics, state)
             )
+            if self._radiation_stepper is not None:
+                # reference loop.py:390-397: the Python radiation runs
+                # alongside the model radiation, returning diagnostics
+                diags.update(
+                    self.monitor(
+                        "radiation",
+                        lambda: self._apply_stepper(
+                            self._radiation_stepper
+                        ),
+                        state,
+                    )
+                )
             diags.update(
                 self.monitor("fv3_physics", self._step_physics, state)
             )

@@ -115,3 +115,24 @@ def test_pressure_level_average_constant_preserved():
                                         area, 2)
     # delp_coarse equal to fine -> identity regrid then average
     np.testing.assert_allclose(np.asarray(out), 7.5, rtol=1e-9)
+
+
+def test_radiation_scheme_from_user_config():
+    """UserConfig.radiation_scheme wires the band solvers into the loop
+    (reference UserConfig.radiation_scheme, runtime/config.py:77)."""
+    from fv3net_tpu.runtime import TimeLoop
+    from fv3net_tpu.runtime.config import get_config
+
+    cfg = get_config(
+        {
+            "namelist": {"npx": 6, "npz": 8},
+            "duration_seconds": 900.0,
+            "radiation_scheme": {"scheme": "rrtmg"},
+        }
+    )
+    loop = TimeLoop(cfg, dtype=jnp.float64)
+    for _, diags in loop:
+        pass
+    key = "total_sky_upward_longwave_flux_at_top_of_atmosphere_python"
+    assert key in diags
+    assert np.isfinite(np.asarray(diags[key].data)).all()
