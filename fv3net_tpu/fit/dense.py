@@ -190,23 +190,35 @@ def train_dense_model(
             mse = mse + hp.l2_regularization * l2
         return mse
 
-    @jax.jit
-    def update(p, opt_state, xb, yb):
-        loss, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(p, updates), opt_state, loss
-
+    # the whole optimization runs as ONE lax.scan over minibatch indices
+    # inside a single jit: the reference's per-batch Keras fit dispatches
+    # (and, here, per-dispatch TPU-tunnel round-trips) collapse to one
+    # device program; shuffling stays host-side for seed determinism
     n = xn_all.shape[0]
     rng = np.random.RandomState(hp.seed)
     bs = min(hp.batch_size, n)
-    for _ in range(hp.epochs):
-        perm = rng.permutation(n)
-        for start in range(0, n - bs + 1, bs):
-            idx = perm[start : start + bs]
-            params, opt_state, _ = update(
-                params, opt_state, jnp.asarray(xn_all[idx]),
-                jnp.asarray(yn_all[idx]),
+    steps_per_epoch = max((n - bs) // bs + 1, 1)
+    idx_all = np.stack(
+        [
+            rng.permutation(n)[: steps_per_epoch * bs].reshape(
+                steps_per_epoch, bs
             )
+            for _ in range(hp.epochs)
+        ]
+    ).reshape(hp.epochs * steps_per_epoch, bs)
+
+    xn_d = jnp.asarray(xn_all)
+    yn_d = jnp.asarray(yn_all)
+
+    def step(carry, idx):
+        p, o = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, xn_d[idx], yn_d[idx])
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), loss
+
+    (params, opt_state), _ = jax.jit(
+        lambda c, i: jax.lax.scan(step, c, i)
+    )((params, opt_state), jnp.asarray(idx_all))
 
     return DenseModel(
         input_variables=list(hp.input_variables),
