@@ -242,17 +242,24 @@ def train_convolutional_model(
         pred = conv_apply(p, xb, halo)
         return jnp.mean((pred - yb) ** 2)
 
-    @jax.jit
-    def update(p, opt_state, xb, yb):
-        l, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(p, updates), opt_state, l
+    # all epochs in ONE jit: fori_loop over epochs of a scan over samples
+    # (per-dispatch overhead dominates otherwise; see fit/dense.py)
+    xn_d = jnp.asarray(xn)
+    yn_d = jnp.asarray(yn)
 
-    for _ in range(hp.epochs):
-        for t in range(xn.shape[0]):
-            params, opt_state, _ = update(
-                params, opt_state, jnp.asarray(xn[t]), jnp.asarray(yn[t])
-            )
+    def batch_step(carry, xy):
+        p, o = carry
+        xb, yb = xy
+        _, grads = jax.value_and_grad(loss_fn)(p, xb, yb)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), None
+
+    def epoch_body(_, carry):
+        return jax.lax.scan(batch_step, carry, (xn_d, yn_d))[0]
+
+    params, opt_state = jax.jit(
+        lambda c: jax.lax.fori_loop(0, hp.epochs, epoch_body, c)
+    )((params, opt_state))
 
     return ConvolutionalModel(
         hp.input_variables,

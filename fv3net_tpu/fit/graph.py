@@ -194,20 +194,27 @@ def train_graph_network(hp: GraphHyperparameters, train_batches, val=None):
     xn = np.asarray(x_scaler.normalize(jnp.asarray(X)))
     yn = np.asarray(y_scaler.normalize(jnp.asarray(Y)))
 
-    @jax.jit
-    def update(p, opt_state, xb, yb):
+    # all epochs in ONE jit (see fit/dense.py)
+    xn_d = jnp.asarray(xn)
+    yn_d = jnp.asarray(yn)
+
+    def batch_step(carry, xy):
+        p, o = carry
+        xb, yb = xy
+
         def loss(p):
             return jnp.mean((gnn_apply(p, xb) - yb) ** 2)
 
-        l, grads = jax.value_and_grad(loss)(p)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(p, updates), opt_state, l
+        _, grads = jax.value_and_grad(loss)(p)
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), None
 
-    for _ in range(hp.epochs):
-        for t in range(xn.shape[0]):
-            params, opt_state, _ = update(
-                params, opt_state, jnp.asarray(xn[t]), jnp.asarray(yn[t])
-            )
+    def epoch_body(_, carry):
+        return jax.lax.scan(batch_step, carry, (xn_d, yn_d))[0]
+
+    params, opt_state = jax.jit(
+        lambda c: jax.lax.fori_loop(0, hp.epochs, epoch_body, c)
+    )((params, opt_state))
     return GraphModel(
         hp.input_variables, hp.output_variables, params, x_info, y_info,
         x_scaler, y_scaler,

@@ -151,16 +151,25 @@ def train_autoregressive_model(
         _, losses = lax.scan(body, window[0], window[1:])
         return jnp.mean(losses)
 
-    @jax.jit
-    def update(p, opt_state, window):
-        l, grads = jax.value_and_grad(loss_fn)(p, window)
-        updates, opt_state = tx.update(grads, opt_state)
-        return optax.apply_updates(p, updates), opt_state, l
-
+    # all epochs in ONE jit: scan over window start indices, windows
+    # gathered on device (see fit/dense.py)
     nt = Sn.shape[0]
-    for _ in range(hp.epochs):
-        for t0 in range(0, nt - W):
-            window = jnp.asarray(Sn[t0 : t0 + W + 1])
-            params, opt_state, _ = update(params, opt_state, window)
+    Sn_d = jnp.asarray(Sn)
+    win_idx = jnp.asarray(
+        np.arange(nt - W)[:, None] + np.arange(W + 1)[None, :]
+    )  # [n_windows, W+1]
+
+    def window_step(carry, idx):
+        p, o = carry
+        _, grads = jax.value_and_grad(loss_fn)(p, Sn_d[idx])
+        updates, o = tx.update(grads, o)
+        return (optax.apply_updates(p, updates), o), None
+
+    def epoch_body(_, carry):
+        return lax.scan(window_step, carry, win_idx)[0]
+
+    params, opt_state = jax.jit(
+        lambda c: lax.fori_loop(0, hp.epochs, epoch_body, c)
+    )((params, opt_state))
 
     return AutoregressiveModel(hp.state_variables, params, info, scaler)
