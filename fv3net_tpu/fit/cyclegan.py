@@ -250,22 +250,29 @@ def train_cyclegan(
         )
         return 0.5 * loss
 
-    @jax.jit
-    def update(gen, disc, opt_g, opt_d, a, b):
-        gl, ggrad = jax.value_and_grad(gen_loss)(gen, disc, a, b)
+    # all epochs in ONE jit: the alternating G/D updates ride a scan over
+    # samples inside a fori_loop over epochs (see fit/dense.py)
+    nt = min(An.shape[0], Bn.shape[0])
+    An_d = jnp.asarray(An[:nt])
+    Bn_d = jnp.asarray(Bn[:nt])
+
+    def sample_step(carry, ab):
+        gen, disc, opt_g, opt_d = carry
+        a, b = ab
+        _, ggrad = jax.value_and_grad(gen_loss)(gen, disc, a, b)
         gupd, opt_g = tx_g.update(ggrad, opt_g)
         gen = optax.apply_updates(gen, gupd)
-        dl, dgrad = jax.value_and_grad(disc_loss)(disc, gen, a, b)
+        _, dgrad = jax.value_and_grad(disc_loss)(disc, gen, a, b)
         dupd, opt_d = tx_d.update(dgrad, opt_d)
         disc = optax.apply_updates(disc, dupd)
-        return gen, disc, opt_g, opt_d, gl, dl
+        return (gen, disc, opt_g, opt_d), None
 
-    nt = min(An.shape[0], Bn.shape[0])
-    for _ in range(hp.epochs):
-        for t in range(nt):
-            gen, disc, opt_g, opt_d, gl, dl = update(
-                gen, disc, opt_g, opt_d, jnp.asarray(An[t]), jnp.asarray(Bn[t])
-            )
+    def epoch_body(_, carry):
+        return jax.lax.scan(sample_step, carry, (An_d, Bn_d))[0]
+
+    gen, disc, opt_g, opt_d = jax.jit(
+        lambda c: jax.lax.fori_loop(0, hp.epochs, epoch_body, c)
+    )((gen, disc, opt_g, opt_d))
 
     return CycleGAN(
         hp.state_variables, gen["ab"], gen["ba"], info, scaler_a, scaler_b,
