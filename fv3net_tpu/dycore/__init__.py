@@ -1,4 +1,4 @@
-"""TPU-native hydrostatic dynamical core.
+"""TPU-native dynamical core (hydrostatic + nonhydrostatic options).
 
 Replaces the reference's out-of-tree FV3 Fortran dycore (reference:
 .gitmodules external/fv3gfs-fortran; driven through fv3gfs.wrapper at
@@ -11,5 +11,9 @@ arrays, winds are 3-D Cartesian tangent vectors (no polar/edge special
 cases), and the step is a single jitted pure function
 ``step(state) -> state``.
 """
-from fv3net_tpu.dycore.state import DycoreState, init_state  # noqa: F401
+from fv3net_tpu.dycore.state import (  # noqa: F401
+    DycoreState,
+    add_nonhydrostatic_fields,
+    init_state,
+)
 from fv3net_tpu.dycore.core import DycoreConfig, dynamics_step  # noqa: F401

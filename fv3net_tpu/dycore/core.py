@@ -175,6 +175,11 @@ class DycoreConfig:
     # monotonization and Courant-integrated face fluxes (the Lin & Rood
     # 1996 / Putman & Lin 2007 transport operator, FV3's hord family)
     advection_order: int = 2
+    # False = nonhydrostatic: prognostic w/delz, equation-of-state full
+    # pressure in the horizontal PGF, and a semi-implicit per-column
+    # acoustic solve each substep (dycore/nonhydro.py; the fv3gfs-fortran
+    # ``hydrostatic`` namelist switch / nh_utils.F90 SIM solver)
+    hydrostatic: bool = True
 
 
 def _ext(field, h: int = 1):
@@ -416,6 +421,16 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     wind_adv = jnp.stack(
         [transport(wind_e[c], wind[c]) for c in range(3)]
     )
+    if not cfg.hydrostatic:
+        # w is mass-weighted (rho*w momentum conserving); delz is advected
+        # in flux form with the VOLUME flux, so horizontal convergence
+        # compresses the layer — that compression is what the equation of
+        # state turns into nonhydrostatic pressure
+        w_adv = transport(_ext(state.w, h), state.w)
+        dzy, dzx = faces(_ext(state.delz, h))
+        delz_adv = state.delz - dt * _divergence(
+            vn_y * ly * dzy, vn_x * lx * dzx, g.area[:, None]
+        )
 
     # ---- pressure-gradient force on the NEW mass field ------------------
     pe = jnp.concatenate(
@@ -428,21 +443,43 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     lnpe = jnp.log(pe)
     dlnp = lnpe[:, 1:] - lnpe[:, :-1]
     pmid = delp_new / dlnp
-    tv = pt_new * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
-    # geopotential: integrate hydrostatically from the surface upward
-    dphi = RDGAS * tv * dlnp  # interface-to-interface increment
-    phi_iface_rev = jnp.cumsum(jnp.flip(dphi, axis=1), axis=1)
-    phi_below = jnp.concatenate(
-        [
-            jnp.flip(phi_iface_rev, axis=1)[:, 1:],
-            jnp.zeros_like(delp_new[:, :1]),
-        ],
-        axis=1,
-    ) + state.phis[:, None]
-    phi_mid = phi_below + RDGAS * tv * (lnpe[:, 1:] - jnp.log(pmid))
+    if cfg.hydrostatic:
+        tv = pt_new * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+        # geopotential: integrate hydrostatically from the surface upward
+        dphi = RDGAS * tv * dlnp  # interface-to-interface increment
+        phi_iface_rev = jnp.cumsum(jnp.flip(dphi, axis=1), axis=1)
+        phi_below = jnp.concatenate(
+            [
+                jnp.flip(phi_iface_rev, axis=1)[:, 1:],
+                jnp.zeros_like(delp_new[:, :1]),
+            ],
+            axis=1,
+        ) + state.phis[:, None]
+        phi_mid = phi_below + RDGAS * tv * (lnpe[:, 1:] - jnp.log(pmid))
+        p_for_pgf = pmid
+    else:
+        # full-pressure PGF: -(1/rho) grad_z p = -grad_s phi - R Tv_full
+        # grad_s ln(p_full) along the Lagrangian layers, with phi from the
+        # ACTUAL geometric thicknesses and p_full from the equation of
+        # state (Lin's finite-volume PGF uses the same ingredients)
+        from fv3net_tpu.dycore import nonhydro
+
+        p_full = nonhydro.full_pressure(delp_new, pt_new, delz_adv)
+        dphi = GRAVITY * delz_adv
+        phi_above_rev = jnp.cumsum(jnp.flip(dphi, axis=1), axis=1)
+        phi_below = jnp.concatenate(
+            [
+                jnp.flip(phi_above_rev, axis=1)[:, 1:],
+                jnp.zeros_like(delp_new[:, :1]),
+            ],
+            axis=1,
+        ) + state.phis[:, None]
+        phi_mid = phi_below + 0.5 * dphi
+        tv = p_full * GRAVITY * delz_adv / (delp_new * RDGAS)  # p/(rho R)
+        p_for_pgf = p_full
 
     grad_phi = _lsq_gradient(_ext(phi_mid), g)
-    grad_lnp = _lsq_gradient(_ext(jnp.log(pmid)), g)
+    grad_lnp = _lsq_gradient(_ext(jnp.log(p_for_pgf)), g)
     pgf = -grad_phi - RDGAS * tv[None] * grad_lnp
 
     # ---- Coriolis -------------------------------------------------------
@@ -473,12 +510,26 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
 
     wind_new = _project_tangent(wind_new, g.khat)
 
+    # ---- vertical acoustic step (nonhydrostatic only) -------------------
+    w_new = delz_new = None
+    if not cfg.hydrostatic:
+        from fv3net_tpu.dycore import nonhydro
+
+        if cfg.diff_coef > 0.0:
+            w_e1 = _ext(state.w, 1)
+            w_adv = w_adv + dt * _del2(w_e1, g, nu)
+        w_new, delz_new = nonhydro.vertical_solver(
+            w_adv, delz_adv, delp_new, pt_new, dt, cfg.ptop
+        )
+
     return DycoreState(
         delp=delp_new,
         pt=pt_new,
         wind=wind_new,
         tracers=tracers_new,
         phis=state.phis,
+        w=w_new,
+        delz=delz_new,
     )
 
 
@@ -513,6 +564,8 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
     pmid1 = delp1 / dlnp1
     tv1 = zlast(state.pt) * (pmid1 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
     ke1 = 0.5 * sum(zlast(state.wind[c]) ** 2 for c in range(3))
+    if state.w is not None:
+        ke1 = ke1 + 0.5 * zlast(state.w) ** 2
     te1, _ = _column_te(pe1, tv1, ke1, state.phis)
     from fv3net_tpu.ops import remap as _rm
 
@@ -540,6 +593,15 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
     return tv2 / (pmid2 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
 
 
+def _rm_specific_volume(state, pe1, pe2, cfg, zlast):
+    """Remap dz/dpi (z-last) from pe1 to pe2 layers conservatively."""
+    from fv3net_tpu.ops import remap as _rm
+
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    sv1 = zlast(state.delz) / dp1
+    return _rm.remap_ppm(pe1, sv1, pe2, iv=1, kord=cfg.kord, window=2)
+
+
 def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     """PPM-remap the Lagrangian layers back to the hybrid coordinate."""
     ps = state.delp.sum(axis=1) + cfg.ptop
@@ -555,22 +617,38 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         axis=-1,
     )
     pe2 = ak + bk * ps[..., None]
-    pt2, wind2, tracers2 = vertical.remap_column_fields(
+    # w remaps with the same iv=-1 profile as the winds, so batch it into
+    # the same reconstruction when present
+    components = tuple(zlast(state.wind[c]) for c in range(3))
+    if state.w is not None:
+        components = components + (zlast(state.w),)
+    pt2, comp2, tracers2 = vertical.remap_column_fields(
         pe1,
         pe2,
         zlast(state.pt),
-        tuple(zlast(state.wind[c]) for c in range(3)),
+        components,
         {k: zlast(v) for k, v in state.tracers.items()},
         kord=cfg.kord,
         # Lagrangian edges drift a tiny fraction of a layer per interval,
         # so a narrow banded layer search suffices (see remap_ppm docs)
         window=2,
     )
+    wind2 = comp2[:3]
     if cfg.remap_te:
-        pt2 = _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast)
+        # comp2 includes the remapped w when nonhydrostatic, so the
+        # target-layer kinetic energy picks up 0.5 w^2 automatically
+        pt2 = _remap_total_energy(state, pe1, pe2, comp2, cfg, zlast)
 
     def zmid(x):
         return jnp.moveaxis(x, -1, 1)
+
+    w2 = delz2 = None
+    if state.w is not None:
+        w2 = zmid(comp2[3])
+        # delz remaps as mass-weighted specific volume (dz per unit dpi):
+        # conserving its mass integral conserves the total column height
+        sv2 = _rm_specific_volume(state, pe1, pe2, cfg, zlast)
+        delz2 = zmid(sv2 * (pe2[..., 1:] - pe2[..., :-1]))
 
     return DycoreState(
         delp=zmid(pe2[..., 1:] - pe2[..., :-1]),
@@ -584,6 +662,8 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
             k: jnp.maximum(zmid(v), 0.0) for k, v in tracers2.items()
         },
         phis=state.phis,
+        w=w2,
+        delz=delz2,
     )
 
 

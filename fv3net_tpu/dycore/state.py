@@ -42,6 +42,12 @@ class DycoreState:
         tracers: name -> [6, nz, ny, nx] mixing ratios (kg/kg); always
             includes "sphum"
         phis: surface geopotential [6, ny, nx], m^2/s^2
+        w: layer-centered vertical velocity [6, nz, ny, nx], m/s (positive
+            up); None in hydrostatic runs
+        delz: geometric layer thickness [6, nz, ny, nx], m (positive,
+            unlike FV3's negative-delz convention); None in hydrostatic
+            runs.  Present together with ``w`` iff the core is
+            nonhydrostatic (dycore/nonhydro.py)
     """
 
     delp: jnp.ndarray
@@ -49,6 +55,8 @@ class DycoreState:
     wind: jnp.ndarray
     tracers: Dict[str, jnp.ndarray]
     phis: jnp.ndarray
+    w: Optional[jnp.ndarray] = None
+    delz: Optional[jnp.ndarray] = None
 
     @property
     def nz(self) -> int:
@@ -60,6 +68,20 @@ class DycoreState:
 
     def surface_pressure(self, ptop: float = TOA_PRESSURE) -> jnp.ndarray:
         return self.delp.sum(axis=1) + ptop
+
+
+def add_nonhydrostatic_fields(
+    state: DycoreState, ptop: float = TOA_PRESSURE
+) -> DycoreState:
+    """Attach the nonhydrostatic prognostics (w = 0, hydrostatically
+    balanced delz) to a hydrostatic state."""
+    from fv3net_tpu.dycore import nonhydro
+
+    return dataclasses.replace(
+        state,
+        w=jnp.zeros_like(state.delp),
+        delz=nonhydro.hydrostatic_delz(state.delp, state.pt, ptop),
+    )
 
 
 def temperature_from_theta_v(pt, pmid, sphum):

@@ -54,6 +54,8 @@ def state_sharding(mesh: Mesh):
             wind=s_wind,
             tracers={k: s3 for k in state.tracers},
             phis=s2,
+            w=None if state.w is None else s3,
+            delz=None if state.delz is None else s3,
         )
 
     return spec, s3, s2, s_wind

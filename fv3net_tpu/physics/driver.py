@@ -162,12 +162,23 @@ def physics_step(
         T, q, qc = T_new, q_new, qc_new
 
     pt_new = theta_v_from_temperature(T, pmid, q)
+    delz_new = state.delz
+    if state.delz is not None:
+        # physics heats at constant pressure: the layer expands by the
+        # virtual-temperature ratio, keeping the equation-of-state
+        # nonhydrostatic perturbation from jumping at the physics boundary
+        tv_ratio = thermo.virtual_temperature(T, q) / thermo.virtual_temperature(
+            T0, q0
+        )
+        delz_new = state.delz * _zmid(tv_ratio)
     new_state = DycoreState(
         delp=state.delp,
         pt=_zmid(pt_new),
         wind=jnp.stack([_zmid(wind[c]) for c in range(3)]),
         tracers={"sphum": _zmid(q), "cloud_water": _zmid(qc)},
         phis=state.phis,
+        w=state.w,
+        delz=delz_new,
     )
 
     diags = dict(rad_diags)

@@ -33,6 +33,9 @@ def save_state(state: ModelState, time: datetime.datetime, path: str) -> None:
         "wind": np.asarray(d.wind),
         "phis": np.asarray(d.phis),
     }
+    if d.w is not None:
+        arrays["w"] = np.asarray(d.w)
+        arrays["delz"] = np.asarray(d.delz)
     for k, v in d.tracers.items():
         arrays[f"tracer_{k}"] = np.asarray(v)
     for k, v in state.surface.items():
@@ -59,6 +62,8 @@ def load_state(path: str) -> Tuple[ModelState, datetime.datetime]:
         wind=jnp.asarray(z["wind"]),
         tracers={k: jnp.asarray(z[f"tracer_{k}"]) for k in meta["tracers"]},
         phis=jnp.asarray(z["phis"]),
+        w=jnp.asarray(z["w"]) if "w" in z else None,
+        delz=jnp.asarray(z["delz"]) if "delz" in z else None,
     )
     surface = {k: jnp.asarray(z[f"surface_{k}"]) for k in meta["surface"]}
     return (

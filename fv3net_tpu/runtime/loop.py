@@ -84,7 +84,14 @@ class TimeLoop:
             advection_order=nml.hord,
             divergence_damp_coef=nml.d2_div,
             remap_te=nml.remap_te,
+            hydrostatic=nml.hydrostatic,
         )
+        if not nml.hydrostatic:
+            from fv3net_tpu.dycore import add_nonhydrostatic_fields
+
+            self.state.dycore = add_nonhydrostatic_fields(
+                self.state.dycore, ptop=self._dyn_cfg.ptop
+            )
         self._phys_cfg = PhysicsConfig()
         from fv3net_tpu.runtime import factories
 
