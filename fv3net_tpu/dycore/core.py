@@ -667,6 +667,27 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     )
 
 
+def validate_acoustic_cfl(g: GridArrays, cfg: DycoreConfig) -> None:
+    """Nonhydrostatic runs carry horizontal sound waves explicitly, so the
+    substep must satisfy c_s * dt_sub <= ~0.75 dx_min (the vertical
+    direction is implicit; see dycore/nonhydro.py).  Raises ValueError
+    with the smallest stable ``n_split`` — kinder than the NaNs FV3 also
+    produces when the namelist's acoustic substepping is too coarse.
+    """
+    if cfg.hydrostatic:
+        return
+    c_s = 350.0  # sound speed bound, m/s
+    dx_min = float(jnp.minimum(g.dist_x.min(), g.dist_y.min()))
+    dt_sub = cfg.dt / cfg.n_split
+    if c_s * dt_sub > 0.75 * dx_min:
+        need = int(np.ceil(c_s * cfg.dt / (0.75 * dx_min)))
+        raise ValueError(
+            f"nonhydrostatic acoustic CFL violated: c_s*dt/n_split = "
+            f"{c_s * dt_sub:.0f} m > 0.75*dx_min = {0.75 * dx_min:.0f} m; "
+            f"use n_split >= {need} (got {cfg.n_split})"
+        )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def dynamics_step(
     state: DycoreState, g: GridArrays, ak: jnp.ndarray, bk: jnp.ndarray,

@@ -68,7 +68,9 @@ def build_fused_step(
 ):
     """Returns jitted step(state, ml_params, t_surface, cos_zenith) ->
     state."""
+    from fv3net_tpu.dycore.core import validate_acoustic_cfl
 
+    validate_acoustic_cfl(g, dyn_cfg)
     radiation_fn = None
     if phys_cfg.radiation_scheme == "rrtmg":
         import datetime

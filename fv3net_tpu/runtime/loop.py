@@ -88,7 +88,9 @@ class TimeLoop:
         )
         if not nml.hydrostatic:
             from fv3net_tpu.dycore import add_nonhydrostatic_fields
+            from fv3net_tpu.dycore.core import validate_acoustic_cfl
 
+            validate_acoustic_cfl(self._g, self._dyn_cfg)
             self.state.dycore = add_nonhydrostatic_fields(
                 self.state.dycore, ptop=self._dyn_cfg.ptop
             )

@@ -141,3 +141,36 @@ def test_rrtmg_radiation_matches_under_sharding():
             np.asarray(out_sharded[key]), np.asarray(out_single[key]),
             rtol=3e-5, atol=1e-3,
         )
+
+
+@requires_devices
+def test_nonhydrostatic_step_matches_under_sharding():
+    from fv3net_tpu.dycore import add_nonhydrostatic_fields
+
+    grid = make_grid(8)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = init_state(grid, nz=8, perturbation=3.0)
+    state = add_nonhydrostatic_fields(state)
+    cfg = DycoreConfig(dt=900.0, n_split=1, hydrostatic=False)
+    akj = jnp.asarray(ak, jnp.float32)
+    bkj = jnp.asarray(bk, jnp.float32)
+
+    out_single = dynamics_step(state, g, akj, bkj, cfg)
+
+    mesh = sharded.make_mesh(8)
+    state_s = sharded.shard_state(state, mesh)
+    g_r = sharded.replicate(g, mesh)
+    out_sharded = dynamics_step(
+        state_s, g_r, sharded.replicate(akj, mesh),
+        sharded.replicate(bkj, mesh), cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.w), np.asarray(out_single.w), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.delz), np.asarray(out_single.delz),
+        rtol=3e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.delp), np.asarray(out_single.delp), rtol=2e-6
+    )
