@@ -38,7 +38,9 @@ class LogTransform(TensorTransform):
 
     def forward(self, x: State) -> State:
         out = dict(x)
-        out[self.to] = jnp.log(jnp.maximum(x[self.field], self.epsilon))
+        if self.field in x:  # tolerate absent fields (e.g. targets at
+            # prediction time, reference transforms.py forward semantics)
+            out[self.to] = jnp.log(jnp.maximum(x[self.field], self.epsilon))
         return out
 
     def backward(self, y: State) -> State:
@@ -77,7 +79,8 @@ class Difference(TensorTransform):
 
     def forward(self, x: State) -> State:
         out = dict(x)
-        out[self.to] = x[self.after] - x[self.before]
+        if self.before in x and self.after in x:
+            out[self.to] = x[self.after] - x[self.before]
         return out
 
     def backward(self, y: State) -> State:

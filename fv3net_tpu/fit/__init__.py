@@ -32,3 +32,6 @@ from fv3net_tpu.fit import reservoir  # noqa: F401  (registers reservoir trainer
 from fv3net_tpu.fit import graph  # noqa: F401  (registers "graph")
 from fv3net_tpu.fit import recurrent  # noqa: F401  (registers "fmr")
 from fv3net_tpu.fit import cyclegan  # noqa: F401  (registers "cyclegan")
+from fv3net_tpu.fit import precipitative  # noqa: F401  (registers "precipitative")
+from fv3net_tpu.fit import autoencoder  # noqa: F401  (registers "dense_autoencoder")
+from fv3net_tpu.fit import transformed  # noqa: F401  (registers "transformed")
