@@ -58,6 +58,54 @@ def ml_correction_fn(model) -> Tuple[Callable, object]:
     return apply, model.params
 
 
+def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
+    """The rrtmg band-solver closure handed to physics_step (None for the
+    default gray scheme, which physics_step computes internally)."""
+    if phys_cfg.radiation_scheme != "rrtmg":
+        return None
+    import datetime
+
+    from fv3net_tpu.physics.radiation.driver import (
+        DriverConfig,
+        RadiationDriver,
+    )
+
+    driver = RadiationDriver(DriverConfig())
+    epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
+
+    def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat):
+        out = driver(
+            epoch,
+            {
+                "air_temperature": T,
+                "pressure_thickness_of_atmospheric_layer": delp,
+                "specific_humidity": q,
+                "cloud_water_mixing_ratio": qc,
+                "surface_temperature": t_surface,
+                "latitude": lat,
+                "longitude": jnp.zeros_like(lat),
+            },
+            cosz=cos_zenith,
+        )
+        heating = out["tendency_of_air_temperature_due_to_radiation"]
+        return heating, {
+            "ULWRFtoa": out[
+                "total_sky_upward_longwave_flux_at_top_of_atmosphere_python"
+            ],
+            "USWRFtoa": out[
+                "total_sky_upward_shortwave_flux_at_top_of_atmosphere_python"
+            ],
+            "DSWRFsfc": out[
+                "total_sky_downward_shortwave_flux_at_surface_python"
+            ],
+            "DLWRFsfc": out[
+                "total_sky_downward_longwave_flux_at_surface_python"
+            ],
+        }
+
+    return radiation_fn
+
+
 def build_fused_step(
     g: GridArrays,
     ak: jnp.ndarray,
@@ -71,47 +119,7 @@ def build_fused_step(
     from fv3net_tpu.dycore.core import validate_acoustic_cfl
 
     validate_acoustic_cfl(g, dyn_cfg)
-    radiation_fn = None
-    if phys_cfg.radiation_scheme == "rrtmg":
-        import datetime
-
-        from fv3net_tpu.physics.radiation.driver import (
-            DriverConfig,
-            RadiationDriver,
-        )
-
-        driver = RadiationDriver(DriverConfig())
-        epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
-
-        def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat):
-            out = driver(
-                epoch,
-                {
-                    "air_temperature": T,
-                    "pressure_thickness_of_atmospheric_layer": delp,
-                    "specific_humidity": q,
-                    "cloud_water_mixing_ratio": qc,
-                    "surface_temperature": t_surface,
-                    "latitude": lat,
-                    "longitude": jnp.zeros_like(lat),
-                },
-                cosz=cos_zenith,
-            )
-            heating = out["tendency_of_air_temperature_due_to_radiation"]
-            return heating, {
-                "ULWRFtoa": out[
-                    "total_sky_upward_longwave_flux_at_top_of_atmosphere_python"
-                ],
-                "USWRFtoa": out[
-                    "total_sky_upward_shortwave_flux_at_top_of_atmosphere_python"
-                ],
-                "DSWRFsfc": out[
-                    "total_sky_downward_shortwave_flux_at_surface_python"
-                ],
-                "DLWRFsfc": out[
-                    "total_sky_downward_longwave_flux_at_surface_python"
-                ],
-            }
+    radiation_fn = _build_radiation_fn(phys_cfg)
 
     def step(state: DycoreState, ml_params, t_surface, cos_zenith):
         state = dynamics_step(state, g, ak, bk, dyn_cfg)
@@ -132,3 +140,93 @@ def build_fused_step(
         return state
 
     return jax.jit(step)
+
+
+def build_fused_multi_step(
+    g: GridArrays,
+    ak: jnp.ndarray,
+    bk: jnp.ndarray,
+    dyn_cfg: DycoreConfig,
+    phys_cfg: PhysicsConfig,
+    ml_apply: Optional[Callable] = None,
+    n_steps: int = 8,
+    radiation_interval: int = 1,
+):
+    """``n_steps`` model steps as ONE jitted lax.scan, computing radiation
+    only every ``radiation_interval`` steps and reusing the stored heating
+    rates and fluxes in between — standard NWP practice (GFS calls RRTMG
+    hourly against a 900 s dt_atmos; the reference's Fortran side does the
+    same via its own radiation interval namelist, exposed to the config at
+    SURVEY §2.8 FortranFileConfig).  Cuts the in-loop cost of the band
+    solvers by ~the interval factor.
+
+    Returns jitted fn(state, ml_params, t_surface, cos_zenith) -> state.
+    """
+    from fv3net_tpu.dycore.core import validate_acoustic_cfl
+
+    validate_acoustic_cfl(g, dyn_cfg)
+    base_radiation = _build_radiation_fn(phys_cfg)
+    if base_radiation is None:
+        from fv3net_tpu.physics import radiation_gray as _gray
+
+        def base_radiation(T, delp, q, qc, t_surface, cos_zenith, lat):
+            return _gray.gray_radiation(
+                T, delp, t_surface, cos_zenith, lat, phys_cfg.radiation
+            )
+
+    def rad_inputs(state: DycoreState):
+        delp = jnp.moveaxis(state.delp, 1, -1)
+        q = jnp.moveaxis(state.tracers["sphum"], 1, -1)
+        qc = jnp.moveaxis(state.tracers["cloud_water"], 1, -1)
+        pmid = thermo.pressure_at_midpoint_log(
+            delp, toa_pressure=dyn_cfg.ptop
+        )
+        pt = jnp.moveaxis(state.pt, 1, -1)
+        T = temperature_from_theta_v(pt, pmid, q)
+        return T, delp, q, qc
+
+    def multi(state: DycoreState, ml_params, t_surface, cos_zenith):
+        T0, delp0, q0, qc0 = rad_inputs(state)
+        # cache pytree structure without paying for a solve
+        shapes = jax.eval_shape(
+            base_radiation, T0, delp0, q0, qc0, t_surface, cos_zenith, g.lat
+        )
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes
+        )
+
+        def body(carry, i):
+            s, cache = carry
+            s = dynamics_step(s, g, ak, bk, dyn_cfg)
+            T, delp, q, qc = rad_inputs(s)
+            cache = jax.lax.cond(
+                i % radiation_interval == 0,
+                lambda _: base_radiation(
+                    T, delp, q, qc, t_surface, cos_zenith, g.lat
+                ),
+                lambda _: cache,
+                None,
+            )
+            heating, rdiags = cache
+            s, _ = physics_step(
+                s, t_surface, cos_zenith, g.lat, dyn_cfg.dt, phys_cfg,
+                radiation_fn=lambda *_a: (heating, rdiags),
+            )
+            if ml_apply is not None:
+                delp_c = jnp.moveaxis(s.delp, 1, -1)
+                pmid = jnp.moveaxis(
+                    thermo.pressure_at_midpoint_log(
+                        delp_c, toa_pressure=dyn_cfg.ptop
+                    ),
+                    -1,
+                    1,
+                )
+                s = ml_apply(ml_params, s, pmid, dyn_cfg.dt)
+            return (s, cache), None
+
+        (state, _), _ = jax.lax.scan(
+            body, (state, cache0), jnp.arange(n_steps)
+        )
+        return state
+
+    return jax.jit(multi)

@@ -79,3 +79,63 @@ def test_fused_step_with_rrtmg_scheme():
     assert np.isfinite(np.asarray(out.wind)).all()
     # the rrtmg heating actually changed the thermodynamic state
     assert float(jnp.abs(out.pt - state.pt).max()) > 0.0
+
+
+def test_fused_multi_step_matches_chained_single_steps():
+    """interval=1 multi-step scan == repeated single fused steps."""
+    from fv3net_tpu.dycore import DycoreConfig
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.runtime.fused import build_fused_multi_step, build_fused_step
+
+    grid = make_grid(6)
+    g = GridArrays.from_grid(grid, dtype=jnp.float64)
+    state, ak, bk = init_state(grid, nz=10, dtype=jnp.float64,
+                               perturbation=2.0)
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    dyn_cfg = DycoreConfig(dt=900.0, n_split=2)
+    phys_cfg = PhysicsConfig()
+    sst = jnp.full_like(g.lat, 300.0)
+    cosz = jnp.full_like(g.lat, 0.3)
+
+    single = build_fused_step(g, akj, bkj, dyn_cfg, phys_cfg)
+    s = state
+    for _ in range(3):
+        s = single(s, 0, sst, cosz)
+
+    multi = build_fused_multi_step(
+        g, akj, bkj, dyn_cfg, phys_cfg, n_steps=3, radiation_interval=1
+    )
+    m = multi(state, 0, sst, cosz)
+    np.testing.assert_allclose(np.asarray(m.pt), np.asarray(s.pt), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(m.delp), np.asarray(s.delp), rtol=1e-12
+    )
+
+
+def test_fused_multi_step_radiation_interval():
+    """Cached-heating radiation sub-stepping stays finite and close to the
+    every-step solution over a short window."""
+    from fv3net_tpu.dycore import DycoreConfig
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.runtime.fused import build_fused_multi_step
+
+    grid = make_grid(6)
+    g = GridArrays.from_grid(grid, dtype=jnp.float64)
+    state, ak, bk = init_state(grid, nz=10, dtype=jnp.float64,
+                               perturbation=2.0)
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    dyn_cfg = DycoreConfig(dt=900.0, n_split=2)
+    phys_cfg = PhysicsConfig()
+    sst = jnp.full_like(g.lat, 300.0)
+    cosz = jnp.full_like(g.lat, 0.3)
+
+    every = build_fused_multi_step(
+        g, akj, bkj, dyn_cfg, phys_cfg, n_steps=4, radiation_interval=1
+    )(state, 0, sst, cosz)
+    cached = build_fused_multi_step(
+        g, akj, bkj, dyn_cfg, phys_cfg, n_steps=4, radiation_interval=4
+    )(state, 0, sst, cosz)
+    assert np.isfinite(np.asarray(cached.pt)).all()
+    # heating rates drift slowly: 4 steps of reuse moves T by < 0.1 K
+    dT = np.abs(np.asarray(cached.pt) - np.asarray(every.pt))
+    assert dT.max() < 0.1
