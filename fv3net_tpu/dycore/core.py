@@ -552,7 +552,7 @@ def _column_te(pe, tv, ke, phis):
     return CP_AIR * tv + phi_mid + ke, pmid
 
 
-def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
+def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None):
     """FV3's energy-conserving temperature remap (fv_mapz.F90 te_map):
     remap column total energy conservatively, then recover Tv on the new
     layers by the hydrostatic upward sweep
@@ -569,7 +569,10 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
     te1, _ = _column_te(pe1, tv1, ke1, state.phis)
     from fv3net_tpu.ops import remap as _rm
 
-    te2 = _rm.remap_ppm(pe1, te1, pe2, iv=1, kord=cfg.kord, window=2)
+    if search is not None:
+        te2 = _rm.remap_apply(search, te1, iv=1, kord=cfg.kord)
+    else:
+        te2 = _rm.remap_ppm(pe1, te1, pe2, iv=1, kord=cfg.kord, window=2)
 
     lnpe2 = jnp.log(pe2)
     dlnp2 = lnpe2[..., 1:] - lnpe2[..., :-1]
@@ -593,12 +596,14 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast):
     return tv2 / (pmid2 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
 
 
-def _rm_specific_volume(state, pe1, pe2, cfg, zlast):
+def _rm_specific_volume(state, pe1, pe2, cfg, zlast, search=None):
     """Remap dz/dpi (z-last) from pe1 to pe2 layers conservatively."""
     from fv3net_tpu.ops import remap as _rm
 
     dp1 = pe1[..., 1:] - pe1[..., :-1]
     sv1 = zlast(state.delz) / dp1
+    if search is not None:
+        return _rm.remap_apply(search, sv1, iv=1, kord=cfg.kord)
     return _rm.remap_ppm(pe1, sv1, pe2, iv=1, kord=cfg.kord, window=2)
 
 
@@ -617,6 +622,12 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         axis=-1,
     )
     pe2 = ak + bk * ps[..., None]
+    # ONE banded layer search feeds every remapped field (the search
+    # depends only on the edge sets; Lagrangian edges drift a tiny
+    # fraction of a layer per interval, so window=2 suffices)
+    from fv3net_tpu.ops import remap as _rm
+
+    search = _rm.banded_search(pe1, pe2, window=2)
     # w remaps with the same iv=-1 profile as the winds, so batch it into
     # the same reconstruction when present
     components = tuple(zlast(state.wind[c]) for c in range(3))
@@ -629,15 +640,14 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         components,
         {k: zlast(v) for k, v in state.tracers.items()},
         kord=cfg.kord,
-        # Lagrangian edges drift a tiny fraction of a layer per interval,
-        # so a narrow banded layer search suffices (see remap_ppm docs)
-        window=2,
+        search=search,
     )
     wind2 = comp2[:3]
     if cfg.remap_te:
         # comp2 includes the remapped w when nonhydrostatic, so the
         # target-layer kinetic energy picks up 0.5 w^2 automatically
-        pt2 = _remap_total_energy(state, pe1, pe2, comp2, cfg, zlast)
+        pt2 = _remap_total_energy(state, pe1, pe2, comp2, cfg, zlast,
+                                  search=search)
 
     def zmid(x):
         return jnp.moveaxis(x, -1, 1)
@@ -647,7 +657,7 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
         w2 = zmid(comp2[3])
         # delz remaps as mass-weighted specific volume (dz per unit dpi):
         # conserving its mass integral conserves the total column height
-        sv2 = _rm_specific_volume(state, pe1, pe2, cfg, zlast)
+        sv2 = _rm_specific_volume(state, pe1, pe2, cfg, zlast, search=search)
         delz2 = zmid(sv2 * (pe2[..., 1:] - pe2[..., :-1]))
 
     return DycoreState(

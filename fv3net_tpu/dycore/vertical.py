@@ -51,7 +51,8 @@ def target_interfaces(ak, bk, ps):
 
 
 def remap_column_fields(
-    pe1, pe2, pt, wind_xyz, tracers, kord: int = 9, window: int = None
+    pe1, pe2, pt, wind_xyz, tracers, kord: int = 9, window: int = None,
+    search=None,
 ):
     """Remap θ_v, Cartesian winds and tracers from Lagrangian interfaces
     ``pe1`` to target interfaces ``pe2`` (both (..., nz+1), z last).
@@ -59,19 +60,33 @@ def remap_column_fields(
     Wind components use iv=-1 (winds), θ uses iv=2 (temperature-like),
     tracers iv=0 (positive definite), matching fv_mapz conventions noted
     at reference external/vcm/vcm/cubedsphere/regridz.py:240-245.
+
+    ``search``: optional precomputed :func:`ops.remap.banded_search`
+    coefficients (the layer search depends only on the edge sets, so ONE
+    search feeds every field — the fast path used by the dycore).
     """
-    pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord, window=window)
-    # batch same-iv fields into single remap calls (one reconstruction +
-    # one one-hot contraction each, instead of per-field kernels)
-    wind_stack = jnp.stack(wind_xyz)
-    wind2_stack = _remap.remap_ppm(
-        pe1[None], wind_stack, pe2[None], iv=-1, kord=kord, window=window
-    )
+    if search is None and window is not None and pe2.shape[-1] == pe1.shape[-1]:
+        search = _remap.banded_search(pe1, pe2, window)
+    if search is not None:
+        pt2 = _remap.remap_apply(search, pt, iv=2, kord=kord)
+        wind2_stack = _remap.remap_apply(
+            search, jnp.stack(wind_xyz), iv=-1, kord=kord
+        )
+        names = list(tracers)
+        tr2_stack = _remap.remap_apply(
+            search, jnp.stack([tracers[n] for n in names]), iv=0, kord=kord
+        )
+    else:
+        pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord, window=window)
+        wind2_stack = _remap.remap_ppm(
+            pe1[None], jnp.stack(wind_xyz), pe2[None], iv=-1, kord=kord,
+            window=window,
+        )
+        names = list(tracers)
+        tr2_stack = _remap.remap_ppm(
+            pe1[None], jnp.stack([tracers[n] for n in names]), pe2[None],
+            iv=0, kord=kord, window=window,
+        )
     wind2 = tuple(wind2_stack[c] for c in range(len(wind_xyz)))
-    names = list(tracers)
-    tr_stack = jnp.stack([tracers[n] for n in names])
-    tr2_stack = _remap.remap_ppm(
-        pe1[None], tr_stack, pe2[None], iv=0, kord=kord, window=window
-    )
     tracers2 = {n: tr2_stack[i] for i, n in enumerate(names)}
     return pt2, wind2, tracers2

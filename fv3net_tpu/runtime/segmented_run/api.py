@@ -54,11 +54,23 @@ def read_last_segment(url: str) -> Optional[str]:
 
 
 def run_segment(
-    config: UserConfig, output_dir: str, restart_from: Optional[str] = None
+    config: UserConfig,
+    output_dir: str,
+    restart_from: Optional[str] = None,
+    profile: bool = False,
 ) -> TimeLoop:
     """Run one segment, writing diagnostics + RESTART to output_dir
     (the run.py:50 run_segment analog, minus the MPI subprocess: the
-    'ranks' are the devices of the JAX mesh)."""
+    'ranks' are the devices of the JAX mesh).
+
+    ``profile=True`` additionally captures a jax.profiler device trace of
+    the whole segment to ``<output_dir>/profile`` with per-step
+    annotations (SURVEY §5.1 tracing; open with TensorBoard/XProf).
+    """
+    import contextlib
+
+    from fv3net_tpu.runtime import timing
+
     os.makedirs(output_dir, exist_ok=True)
     loop = TimeLoop(config)
     if restart_from is not None:
@@ -69,16 +81,36 @@ def run_segment(
         config.diagnostics, loop.time, output_dir
     )
     area = loop.grid.area
-    for time, diags in loop:
-        diag_mgr.observe(time, diags)
-        scalars = metrics.globally_average_2d_diagnostics(diags, area)
-        metrics.log_scalar(time, scalars)
+    trace_ctx = (
+        timing.profile_trace(os.path.join(output_dir, "profile"))
+        if profile
+        else contextlib.nullcontext()
+    )
+    with trace_ctx:
+        it = iter(loop)
+        step = 0
+        while True:
+            # the annotation wraps next(it) so the dispatched model step
+            # (not just the host-side bookkeeping) lands in the span
+            with (
+                timing.step_annotation(step)
+                if profile
+                else contextlib.nullcontext()
+            ):
+                try:
+                    time, diags = next(it)
+                except StopIteration:
+                    break
+                diag_mgr.observe(time, diags)
+                scalars = metrics.globally_average_2d_diagnostics(diags, area)
+                metrics.log_scalar(time, scalars)
+            step += 1
     diag_mgr.close()
     save_state(loop.state, loop.time, os.path.join(output_dir, "RESTART"))
     return loop
 
 
-def append_segment(url: str) -> str:
+def append_segment(url: str, profile: bool = False) -> str:
     """Run the next segment of the run at ``url``
     (reference append.py:38-88)."""
     config = read_run_config(url)
@@ -90,5 +122,5 @@ def append_segment(url: str) -> str:
         start_time = datetime.datetime.fromisoformat(config.initial_time)
     label = start_time.strftime("%Y%m%d.%H%M%S")
     output_dir = os.path.join(url, "artifacts", label)
-    run_segment(config, output_dir, restart_from=last)
+    run_segment(config, output_dir, restart_from=last, profile=profile)
     return output_dir

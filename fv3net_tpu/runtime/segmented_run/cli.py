@@ -21,6 +21,11 @@ def main(argv=None) -> int:
     p_append.add_argument(
         "--segments", type=int, default=1, help="number of segments to run"
     )
+    p_append.add_argument(
+        "--profile",
+        action="store_true",
+        help="capture a jax.profiler device trace to <segment>/profile",
+    )
 
     p_native = sub.add_parser(
         "run-native", help="create + run one segment in place"
@@ -37,7 +42,7 @@ def main(argv=None) -> int:
         api.create(args.url, config)
     elif args.command == "append":
         for _ in range(args.segments):
-            out = api.append_segment(args.url)
+            out = api.append_segment(args.url, profile=args.profile)
             print(out)
     elif args.command == "run-native":
         with open(args.config) as f:

@@ -72,3 +72,33 @@ def log_times(timer: Timer, label: str = "cumulative_timings") -> Dict:
     }
     logger.info(json.dumps({label: report}))
     return report
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """Capture a jax.profiler device trace for everything inside the
+    context (the TPU-native analog of the reference's pace.util.Timer +
+    Fortran mpp clocks, SURVEY §5.1: kernel-level timelines viewable in
+    TensorBoard/Perfetto/XProf).  No-op if the profiler is unavailable
+    (e.g. some CPU-only builds)."""
+    import jax
+
+    try:
+        jax.profiler.start_trace(logdir)
+        started = True
+    except Exception as e:  # pragma: no cover - backend-dependent
+        logger.warning("jax.profiler trace unavailable: %s", e)
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            jax.profiler.stop_trace()
+
+
+def step_annotation(step: int):
+    """Mark one model step in the profiler timeline (use inside
+    profile_trace; shows per-step spans in the trace viewer)."""
+    import jax
+
+    return jax.profiler.StepTraceAnnotation("model_step", step_num=step)
