@@ -55,10 +55,118 @@ class DiagnosticFileConfig:
     name: str = "diags.zarr"
     variables: List[str] = dataclasses.field(default_factory=list)
     times: "TimeConfig" = None
+    # stored-name overrides: {model diagnostic name: output name}
+    renames: Mapping[str, str] = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         if self.times is None:
             self.times = TimeConfig()
+
+
+@dataclasses.dataclass
+class FortranVariableNameSpec:
+    """reference: runtime/diagnostics/fortran.py FortranVariableNameSpec —
+    (module_name, field_name) identify the Fortran diagnostic;
+    output_name is the stored variable name."""
+
+    module_name: str
+    field_name: str
+    output_name: str
+
+
+@dataclasses.dataclass
+class FortranFileConfig:
+    """reference: runtime/diagnostics/fortran.py:82-134 — Fortran
+    diagnostic file configs, lowered there to fv3config DiagFileConfig
+    diag_table entries.  This model has no Fortran side, so they lower to
+    ordinary :class:`DiagnosticFileConfig` outputs (``field_name`` keys
+    the model diagnostic, ``output_name`` names the stored variable); a
+    diag_table rendering is kept for config familiarity."""
+
+    name: str = "atmos_dt_atmos.zarr"
+    chunks: Mapping[str, int] = dataclasses.field(default_factory=dict)
+    variables: List[FortranVariableNameSpec] = dataclasses.field(
+        default_factory=list
+    )
+    times: "TimeConfig" = None
+
+    def __post_init__(self):
+        if self.times is None:
+            self.times = TimeConfig()
+
+    def to_diagnostic_config(self) -> DiagnosticFileConfig:
+        return DiagnosticFileConfig(
+            name=self.name,
+            variables=[v.field_name for v in self.variables],
+            times=self.times,
+            renames={
+                v.field_name: v.output_name
+                for v in self.variables
+                if v.output_name != v.field_name
+            },
+        )
+
+    def to_diag_table_lines(self, dt_seconds: float) -> List[str]:
+        """Fortran diag_table file entry + field lines (reference
+        fortran.py:116-134 FortranFileConfig.to_fv3config_diag_file_config
+        semantics)."""
+        freq = (
+            int((self.times.frequency or dt_seconds) // 60)
+            if self.times.kind in ("interval", "interval-average")
+            else 0
+        )
+        reduction = (
+            "average" if self.times.kind == "interval-average" else "none"
+        )
+        base = self.name.split(".")[0]
+        lines = [f'"{base}", {freq}, "minutes", 1, "hours", "time"']
+        for v in self.variables:
+            lines.append(
+                f'"{v.module_name}", "{v.field_name}", "{v.output_name}", '
+                f'"{base}", "all", "{reduction}", "none", 2'
+            )
+        return lines
+
+
+@dataclasses.dataclass
+class TendencyPrescriberConfig:
+    """reference: runtime/tendency_prescriber.py TendencyPrescriberConfig
+    — override/add physics tendencies from a dataset."""
+
+    dataset: str = ""
+    variables: List[str] = dataclasses.field(default_factory=list)
+    limit_quantiles: Optional[Mapping[str, float]] = None
+
+
+@dataclasses.dataclass
+class BiasCorrectionConfig:
+    """reference: config.py:78 bias_correction (a PrescriberConfig of
+    correction tendencies, optionally applied on an interval)."""
+
+    dataset: str = ""
+    variables: List[str] = dataclasses.field(default_factory=list)
+    apply_interval_seconds: Optional[float] = None
+    limit_quantiles: Optional[Mapping[str, float]] = None
+
+
+@dataclasses.dataclass
+class OnlineEmulatorConfig:
+    """reference: runtime/transformers/fv3fit.py Config (the
+    online_emulator key) — apply a saved emulator inside the physics
+    step (the call_py_fort microphysics slot)."""
+
+    url: str = ""
+    enabled: bool = True
+
+
+@dataclasses.dataclass
+class ReservoirCorrectorConfig:
+    """reference: runtime/steppers/reservoir.py:35 ReservoirConfig (minus
+    per-rank path mapping — one model covers all columns here)."""
+
+    model_path: str = ""
+    synchronize_steps: int = 1
+    reservoir_timestep_seconds: float = 900.0
 
 
 @dataclasses.dataclass
@@ -98,12 +206,35 @@ class UserConfig:
     diagnostics: List[DiagnosticFileConfig] = dataclasses.field(
         default_factory=list
     )
+    fortran_diagnostics: List[FortranFileConfig] = dataclasses.field(
+        default_factory=list
+    )
     scikit_learn: Optional[MachineLearningConfig] = None
     nudging: Optional[NudgingConfig] = None
     radiation_scheme: Optional[RadiationSchemeConfig] = None
     prephysics: Optional[List[dict]] = None
+    tendency_prescriber: Optional[TendencyPrescriberConfig] = None
+    online_emulator: Optional[OnlineEmulatorConfig] = None
+    bias_correction: Optional[BiasCorrectionConfig] = None
+    reservoir_corrector: Optional[ReservoirCorrectorConfig] = None
+    # accepted for reference-config compatibility (both values run this
+    # framework's model; reference config.py:61 selects the Fortran
+    # wrapper module)
+    wrapper: str = "fv3gfs.wrapper"
     duration_seconds: float = 3600.0
     initial_time: str = "2016-08-01T00:00:00"
+
+    def __post_init__(self):
+        if self.wrapper not in ("fv3gfs.wrapper", "shield.wrapper"):
+            raise ValueError(
+                f"unsupported wrapper {self.wrapper!r}: expected "
+                "'fv3gfs.wrapper' or 'shield.wrapper'"
+            )
+        if self.scikit_learn and self.scikit_learn.model and self.nudging:
+            raise ValueError(
+                "nudging cannot be used with scikit_learn models "
+                "(reference config.py:54-55)"
+            )
 
 
 def _from_dict(cls, d: Mapping[str, Any]):

@@ -27,9 +27,11 @@ from fv3net_tpu.runtime.diagnostics.times import (
 class DiagnosticFile:
     """One output zarr with its own variable set and time selection."""
 
-    def __init__(self, path: str, variables: Sequence[str], times):
+    def __init__(self, path: str, variables: Sequence[str], times,
+                 renames: Optional[Mapping[str, str]] = None):
         self._path = path
         self._variables = list(variables)
+        self._renames = dict(renames or {})
         self._times = times
         self._sums: Dict[str, np.ndarray] = {}
         self._counts = 0
@@ -50,23 +52,25 @@ class DiagnosticFile:
             for name in self._variables:
                 if name not in diagnostics:
                     continue
+                out = self._renames.get(name, name)
                 arr = np.asarray(diagnostics[name].data, dtype=np.float64)
-                if name in self._sums:
-                    self._sums[name] = self._sums[name] + arr
+                if out in self._sums:
+                    self._sums[out] = self._sums[out] + arr
                 else:
-                    self._sums[name] = arr.copy()
+                    self._sums[out] = arr.copy()
                     self._dims = getattr(self, "_dims", {})
-                    self._dims[name] = diagnostics[name].dims
+                    self._dims[out] = diagnostics[name].dims
             self._counts += 1
         else:
             self._current_label = label
             self._dims = getattr(self, "_dims", {})
             for name in self._variables:
                 if name in diagnostics:
-                    self._sums[name] = np.asarray(
+                    out = self._renames.get(name, name)
+                    self._sums[out] = np.asarray(
                         diagnostics[name].data, dtype=np.float64
                     )
-                    self._dims[name] = diagnostics[name].dims
+                    self._dims[out] = diagnostics[name].dims
             self._counts = 1
             self._flush()
 
@@ -130,9 +134,18 @@ class DiagnosticsManager:
                  output_dir: str):
         self.files = []
         for cfg in configs:
+            # Fortran-style configs lower to ordinary diagnostic files
+            # (config.py FortranFileConfig.to_diagnostic_config)
+            if hasattr(cfg, "to_diagnostic_config"):
+                cfg = cfg.to_diagnostic_config()
             times = time_container_from_config(cfg.times, initial_time)
             path = os.path.join(output_dir, cfg.name)
-            self.files.append(DiagnosticFile(path, cfg.variables, times))
+            self.files.append(
+                DiagnosticFile(
+                    path, cfg.variables, times,
+                    renames=getattr(cfg, "renames", None),
+                )
+            )
 
     def observe(self, time, diagnostics) -> None:
         for f in self.files:

@@ -108,6 +108,19 @@ class TimeLoop:
         self._radiation_stepper = factories.get_radiation_stepper(
             config, self._timestep
         )
+        self._tendency_prescriber = factories.get_tendency_prescriber(
+            config, self._timestep
+        )
+        self._bias_correction = factories.get_bias_correction(
+            config, self._timestep
+        )
+        (
+            self._reservoir_incrementer,
+            self._reservoir_predictor,
+        ) = factories.get_reservoir_steppers(config, self._timestep)
+        self._microphysics_emulator = factories.get_microphysics_emulator(
+            config
+        )
         self.monitor = Monitor(
             [names.TEMP, names.SPHUM, names.CLOUD], self._timestep
         )
@@ -154,6 +167,7 @@ class TimeLoop:
             self._g.lat,
             self._timestep,
             self._phys_cfg,
+            microphysics_emulator=self._microphysics_emulator,
         )
         self.state.dycore = new_dycore
         diags: Dict[str, Quantity] = {}
@@ -189,6 +203,12 @@ class TimeLoop:
             self.time += datetime.timedelta(seconds=self._timestep)
             diags: Dict[str, Quantity] = {}
             state = self._derived()
+            if self._reservoir_incrementer is not None:
+                # reference loop.py:577-584: drive the reservoir with the
+                # pre-dynamics state each step
+                diags.update(
+                    self._apply_stepper(self._reservoir_incrementer)
+                )
             for stepper in self._prephysics_steppers:
                 diags.update(self._apply_stepper(stepper))
             diags.update(
@@ -209,11 +229,31 @@ class TimeLoop:
             diags.update(
                 self.monitor("fv3_physics", self._step_physics, state)
             )
+            if self._tendency_prescriber is not None:
+                # reference loop.py: tendency_prescriber wraps the physics
+                # step, overriding/adding its tendencies
+                diags.update(
+                    self.monitor(
+                        "tendency_prescriber",
+                        lambda: self._apply_stepper(
+                            self._tendency_prescriber
+                        ),
+                        state,
+                    )
+                )
             diags.update(
                 self.monitor(
                     "python", self._step_postphysics, state
                 )
             )
+            if self._bias_correction is not None:
+                diags.update(self._apply_stepper(self._bias_correction))
+            if self._reservoir_predictor is not None:
+                # reference loop.py:586-626: reservoir state correction
+                # after all other updates
+                diags.update(
+                    self._apply_stepper(self._reservoir_predictor)
+                )
             # prognostic state fields, so diagnostics configs can record
             # them (the reference's state_after_timestep.zarr, manager.py)
             for name in (

@@ -78,7 +78,9 @@ def run_segment(
         loop.state = state
         loop.time = time
     diag_mgr = DiagnosticsManager(
-        config.diagnostics, loop.time, output_dir
+        list(config.diagnostics) + list(config.fortran_diagnostics),
+        loop.time,
+        output_dir,
     )
     area = loop.grid.area
     trace_ctx = (
