@@ -125,7 +125,10 @@ def _rnn_apply(p, x_lev):
     """x_lev: [sample, nz, nvar_in] -> [sample, nz, nvar_out]; a GRU scan
     down the column (level 0 = top, matching the physics sweep order)."""
     width = p["wh"].shape[0]
-    h0 = jnp.zeros(x_lev.shape[:1] + (width,), x_lev.dtype)
+    # carry dtype must match the promoted compute dtype (params may be
+    # f64 when the x64 flag is on) or lax.scan rejects the body
+    h_dtype = jnp.result_type(x_lev.dtype, p["wh"].dtype)
+    h0 = jnp.zeros(x_lev.shape[:1] + (width,), h_dtype)
 
     def cell(h, x):
         gates = x @ p["wx"] + p["b"]
