@@ -171,6 +171,8 @@ class ZarrArray:
             ranges.append(range(first, last + 1))
         import itertools
 
+        pending_paths = []
+        pending_chunks = []
         for idx in itertools.product(*ranges):
             chunk_sel = []
             val_sel = []
@@ -187,11 +189,29 @@ class ZarrArray:
                     full = False
             piece = value[tuple(val_sel)]
             if full:
-                chunk = np.ascontiguousarray(piece)
+                chunk = np.ascontiguousarray(piece, self.dtype)
             else:
                 chunk = self._read_chunk(idx)
                 chunk[tuple(chunk_sel)] = piece
-            self._write_chunk(idx, chunk)
+            pending_paths.append(self._chunk_path(idx))
+            pending_chunks.append(chunk)
+        # multi-chunk writes go through the native thread pool (deflate +
+        # file IO outside the GIL); single chunks and fallback stay python
+        if len(pending_paths) > 1:
+            from fv3net_tpu import native
+
+            if native.write_chunks(
+                pending_paths,
+                pending_chunks,
+                compress_level=1 if self.compressed else 0,
+            ):
+                return
+        for path, chunk in zip(pending_paths, pending_chunks):
+            raw = chunk.tobytes()
+            if self.compressed:
+                raw = zlib.compress(raw, 1)
+            with open(path, "wb") as f:
+                f.write(raw)
 
     def read(self) -> np.ndarray:
         import itertools

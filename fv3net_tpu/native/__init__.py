@@ -116,3 +116,46 @@ def assemble_chunks(
     if rc != 0:
         return None
     return out
+
+
+def write_chunks(
+    paths: Sequence[str],
+    buffers: Sequence[np.ndarray],
+    compress_level: int = 0,
+    n_threads: int = 8,
+) -> bool:
+    """Deflate + write chunk files with the native thread pool (the
+    parallel store path; atomic via tmp+rename).  False if the native
+    library is unavailable or any chunk failed — callers fall back to
+    the pure-python writer."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_write_ready"):
+        lib.write_chunks.restype = ctypes.c_int
+        lib.write_chunks.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),  # paths
+            ctypes.c_int,  # n_chunks
+            ctypes.POINTER(ctypes.c_char_p),  # buffers
+            ctypes.POINTER(ctypes.c_int64),  # nbytes
+            ctypes.c_int,  # compress_level
+            ctypes.c_int,  # n_threads
+        ]
+        lib._write_ready = True
+    n = len(paths)
+    arrs = [np.ascontiguousarray(b) for b in buffers]
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    # cast raw addresses (NOT .value, which would copy to the first NUL)
+    c_bufs = (ctypes.c_char_p * n)()
+    for i, a in enumerate(arrs):
+        c_bufs[i] = ctypes.cast(a.ctypes.data, ctypes.c_char_p)
+    nbytes = np.asarray([a.nbytes for a in arrs], np.int64)
+    rc = lib.write_chunks(
+        c_paths,
+        n,
+        c_bufs,
+        nbytes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(compress_level),
+        n_threads,
+    )
+    return rc == 0

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <string>
 #include <thread>
 #include <vector>
 #include <zlib.h>
@@ -142,6 +143,67 @@ extern "C" int assemble_chunks(
       }
       copy_chunk(data, out, chunk_starts + (int64_t)i * ndim, chunk_shape,
                  out_shape, ndim, itemsize);
+    }
+  };
+
+  int nt = n_threads > 0 ? n_threads : 4;
+  if (nt > n_chunks) nt = n_chunks > 0 ? n_chunks : 1;
+  std::vector<std::thread> threads;
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return err.load();
+}
+
+extern "C" int write_chunks(
+    const char** paths, int n_chunks, const char** bufs,
+    const int64_t* nbytes, int compress_level, int n_threads) {
+  // The write-side twin of assemble_chunks: a thread pool that, per
+  // chunk, optionally zlib-deflates the buffer and writes the file --
+  // the parallel store path behind zarrio batch writes (the
+  // pace.util.ZarrMonitor per-rank write role, reference
+  // runtime/diagnostics/manager.py:58-60), entirely outside the GIL.
+  std::atomic<int> next(0);
+  std::atomic<int> err(0);
+
+  auto worker = [&]() {
+    std::vector<char> out;
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n_chunks) return;
+      const char* data = bufs[i];
+      int64_t sz = nbytes[i];
+      const char* to_write = data;
+      uLongf out_len = 0;
+      if (compress_level > 0) {
+        uLongf bound = compressBound((uLong)sz);
+        out.resize(bound);
+        out_len = bound;
+        if (compress2((Bytef*)out.data(), &out_len, (const Bytef*)data,
+                      (uLong)sz, compress_level) != Z_OK) {
+          err.store(2);
+          continue;
+        }
+        to_write = out.data();
+        sz = (int64_t)out_len;
+      }
+      // write to a temp name then rename: readers never see torn chunks
+      std::string tmp = std::string(paths[i]) + ".tmp";
+      FILE* f = std::fopen(tmp.c_str(), "wb");
+      if (!f) {
+        err.store(1);
+        continue;
+      }
+      if ((int64_t)std::fwrite(to_write, 1, sz, f) != sz) {
+        std::fclose(f);
+        std::remove(tmp.c_str());
+        err.store(1);
+        continue;
+      }
+      std::fclose(f);
+      if (std::rename(tmp.c_str(), paths[i]) != 0) {
+        std::remove(tmp.c_str());
+        err.store(1);
+      }
     }
   };
 

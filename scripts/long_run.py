@@ -4,7 +4,7 @@ Produces one JSON line per simulated day with conservation and
 boundedness statistics — the evidence the reference gets from its
 Fortran conservation diagnostics (SURVEY §5.2).
 
-Usage: python scripts/long_run.py [days] [npx] [npz]
+Usage: python scripts/long_run.py [days] [npx] [npz] [hydrostatic(0|1)]
 """
 import json
 import os
@@ -14,7 +14,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(days: int = 10, npx: int = 24, npz: int = 24):
+def main(days: int = 10, npx: int = 24, npz: int = 24,
+         hydrostatic: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -32,8 +33,15 @@ def main(days: int = 10, npx: int = 24, npz: int = 24):
     grid = make_grid(npx)
     g = GridArrays.from_grid(grid)
     state, ak, bk = init_state(grid, npz, perturbation=2.0)
+    n_split = 2
+    if not hydrostatic:
+        from fv3net_tpu.dycore import add_nonhydrostatic_fields
+
+        state = add_nonhydrostatic_fields(state)
+        n_split = 4  # explicit horizontal acoustics (validate_acoustic_cfl)
     dyn_cfg = DycoreConfig(
-        dt=900.0, n_split=2, advection_order=4, diff_coef=0.004, divergence_damp_coef=0.06
+        dt=900.0, n_split=n_split, advection_order=4, diff_coef=0.004,
+        divergence_damp_coef=0.06, hydrostatic=bool(hydrostatic),
     )
     step = build_fused_step(
         g, jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32),
@@ -76,6 +84,11 @@ def main(days: int = 10, npx: int = 24, npz: int = 24):
                     "sphum_max": float(q.max()),
                     "finite": bool(
                         np.isfinite(pt).all() and np.isfinite(wind).all()
+                    ),
+                    **(
+                        {"w_max": float(np.abs(np.asarray(state.w)).max())}
+                        if state.w is not None
+                        else {}
                     ),
                     "wall_seconds": round(time.perf_counter() - t_start, 1),
                 }
