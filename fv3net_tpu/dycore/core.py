@@ -504,9 +504,15 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         wind_new = wind_new + dt * jnp.stack(
             [_del2(wind_e1[c], g, nu) for c in range(3)]
         )
-        pt_e1 = pt_e[..., h - 1 : pt_e.shape[-2] - (h - 1),
-                     h - 1 : pt_e.shape[-1] - (h - 1)]
-        pt_new = pt_new + dt * _del2(pt_e1, g, nu)
+        # damp VIRTUAL TEMPERATURE, not theta_v: theta varies along
+        # terrain-following layers even in a balanced isothermal rest
+        # state, so del-2 of theta over topography manufactures
+        # circulation (mountain-rest test: 2.4 m/s/day spurious winds);
+        # del-2 of Tv is balance-neutral there and equally dissipative
+        dtv = _del2(_ext(tv), g, nu)
+        pt_new = pt_new + dt * dtv * (
+            REFERENCE_SURFACE_PRESSURE / pmid
+        ) ** KAPPA
 
     wind_new = _project_tangent(wind_new, g.khat)
 

@@ -133,3 +133,60 @@ def baroclinic_wave_state(
         phis=jnp.asarray(_surface_geopotential(lat), dtype),
     )
     return state, ak, bk
+
+
+def mountain_rest_state(
+    grid, nz: int, h_max: float = 2000.0, t0: float = 288.0,
+    dtype=jnp.float64,
+):
+    """Resting isothermal atmosphere over an isolated cosine-bell
+    mountain — the standard pressure-gradient-balance test over
+    topography (any spurious circulation is pure discretization error of
+    -grad(phi) - R Tv grad(ln p) over terrain-following layers).
+
+    Surface pressure follows the hydrostatic isothermal relation
+    ps = p00 exp(-phis / (R T0)), so the exact solution is rest.
+    Returns (state, ak, bk).
+    """
+    from fv3net_tpu.core.constants import (
+        GRAVITY,
+        KAPPA,
+        RDGAS,
+        REFERENCE_SURFACE_PRESSURE,
+    )
+    from fv3net_tpu.dycore import vertical
+
+    lon, lat = grid.lon, grid.lat  # [6, n, n] radians
+    lon_c, lat_c = np.deg2rad(90.0), np.deg2rad(30.0)
+    r = np.arccos(
+        np.clip(
+            np.sin(lat_c) * np.sin(lat)
+            + np.cos(lat_c) * np.cos(lat) * np.cos(lon - lon_c),
+            -1.0,
+            1.0,
+        )
+    )
+    r0 = np.deg2rad(20.0)
+    h = np.where(r < r0, 0.5 * h_max * (1.0 + np.cos(np.pi * r / r0)), 0.0)
+    phis = GRAVITY * h
+    ps = REFERENCE_SURFACE_PRESSURE * np.exp(-phis / (RDGAS * t0))
+
+    ak, bk = vertical.hybrid_coordinate(nz)
+    pe = ak[:, None, None, None] + bk[:, None, None, None] * ps[None]
+    delp = np.diff(pe, axis=0)  # [nz, 6, n, n]
+    pmid = delp / np.diff(np.log(pe), axis=0)
+    theta = t0 * (REFERENCE_SURFACE_PRESSURE / pmid) ** KAPPA
+
+    delp_j = jnp.asarray(np.moveaxis(delp, 0, 1), dtype)
+    shape3 = delp_j.shape
+    state = DycoreState(
+        delp=delp_j,
+        pt=jnp.asarray(np.moveaxis(theta, 0, 1), dtype),
+        wind=jnp.zeros((3,) + shape3, dtype),
+        tracers={
+            "sphum": jnp.full(shape3, 1e-6, dtype),
+            "cloud_water": jnp.zeros(shape3, dtype),
+        },
+        phis=jnp.asarray(phis, dtype),
+    )
+    return state, ak, bk

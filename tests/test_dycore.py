@@ -325,3 +325,28 @@ def test_jablonowski_williamson_wave_grows(setup):
     perturbed = run(True)
     diff = np.abs(perturbed - balanced).max()
     assert 0.1 < diff < 10.0  # the bump persists and evolves, no blowup
+
+
+def test_mountain_rest_state_stays_at_rest(setup):
+    """Resting isothermal atmosphere over a 2-km mountain: the
+    terrain-following PGF must not manufacture circulation (the classic
+    topography balance test).  Exact here: the log-pressure geopotential
+    convention makes phi + R T0 ln p discretely constant, the LSQ
+    gradient is linear, and damping acts on Tv (balance-neutral) rather
+    than theta."""
+    from fv3net_tpu.dycore.testcases import mountain_rest_state
+
+    grid, g = setup
+    state, ak, bk = mountain_rest_state(grid, nz=10, h_max=2000.0)
+    cfg = DycoreConfig(
+        dt=900.0, n_split=2, advection_order=4, diff_coef=0.004,
+        divergence_damp_coef=0.06, remap_te=True,
+    )
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    for _ in range(24):  # 6 hours
+        state = dynamics_step(state, g, akj, bkj, cfg)
+    assert np.abs(np.asarray(state.wind)).max() < 1e-8
+    np.testing.assert_allclose(
+        np.asarray(state.surface_pressure()),
+        np.asarray(state.delp).sum(axis=1) + 300.0,
+    )
