@@ -379,10 +379,24 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     h = {1: 1, 2: 2, 4: 3}[order]
 
     # ---- halo extension -------------------------------------------------
-    delp_e = _ext(delp, h)
-    pt_e = _ext(pt, h)
-    tr_e = {k: _ext(v, h) for k, v in tracers.items()}
-    wind_e = jnp.stack([_ext(wind[c], h) for c in range(3)])
+    # ONE batched halo exchange for every transported field (stacking is
+    # two cheap copies; separate per-field halo calls measured 1.35x
+    # slower on v5e — the exchange's slice/flip/transpose moves dominate)
+    names = list(tracers)
+    fields = [delp, pt] + [tracers[k] for k in names] + [
+        wind[c] for c in range(3)
+    ]
+    if not cfg.hydrostatic:
+        fields += [state.w, state.delz]
+    ext_all = _ext(jnp.stack(fields, axis=1), h)  # [6, F, nz, ny+, nx+]
+    delp_e = ext_all[:, 0]
+    pt_e = ext_all[:, 1]
+    tr_e = {k: ext_all[:, 2 + i] for i, k in enumerate(names)}
+    iw = 2 + len(names)
+    wind_e = jnp.moveaxis(ext_all[:, iw : iw + 3], 1, 0)
+    if not cfg.hydrostatic:
+        w_e = ext_all[:, iw + 3]
+        delz_e = ext_all[:, iw + 4]
     wind_e1 = wind_e[..., h - 1 : wind_e.shape[-2] - (h - 1),
                      h - 1 : wind_e.shape[-1] - (h - 1)]
 
@@ -426,8 +440,8 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         # in flux form with the VOLUME flux, so horizontal convergence
         # compresses the layer — that compression is what the equation of
         # state turns into nonhydrostatic pressure
-        w_adv = transport(_ext(state.w, h), state.w)
-        dzy, dzx = faces(_ext(state.delz, h))
+        w_adv = transport(w_e, state.w)
+        dzy, dzx = faces(delz_e)
         delz_adv = state.delz - dt * _divergence(
             vn_y * ly * dzy, vn_x * lx * dzx, g.area[:, None]
         )
@@ -522,7 +536,8 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         from fv3net_tpu.dycore import nonhydro
 
         if cfg.diff_coef > 0.0:
-            w_e1 = _ext(state.w, 1)
+            w_e1 = w_e[..., h - 1 : w_e.shape[-2] - (h - 1),
+                       h - 1 : w_e.shape[-1] - (h - 1)]
             w_adv = w_adv + dt * _del2(w_e1, g, nu)
         w_new, delz_new = nonhydro.vertical_solver(
             w_adv, delz_adv, delp_new, pt_new, dt, cfg.ptop

@@ -22,6 +22,7 @@ dycore carries horizontal vectors in 3-D Cartesian components.
 from __future__ import annotations
 
 import dataclasses
+import jax
 from functools import lru_cache
 from typing import Dict, Tuple
 
@@ -235,18 +236,33 @@ def _oriented_block(src, ne: int, rev: bool, h: int, west_or_south: bool,
     return block
 
 
-def halo_append(field: jnp.ndarray, h: int, tables=None) -> jnp.ndarray:
+def halo_append(field: jnp.ndarray, h: int, tables=None,
+                impl: str = None) -> jnp.ndarray:
     """Append an ``h``-deep halo to ``field`` of shape [6, ..., ny, nx].
 
     Returns [6, ..., ny+2h, nx+2h] whose interior equals ``field`` and
     whose border holds the adjacent tiles' data (corners included).
 
-    Implementation: every (tile, edge) neighbor relation on the cube is an
-    affine map, so each halo block is a static slice + flip/transpose of
-    the neighbor tile — XLA lowers the whole exchange to copies (the
-    gather-table formulation, kept as ``halo_append_gather``, costs real
-    gather time on TPU).
+    Two bit-equivalent implementations (``impl``):
+
+    - ``"slices"``: every (tile, edge) neighbor relation on the cube is an
+      affine map, so each halo block is a static slice + flip/transpose
+      of the neighbor tile — XLA lowers the exchange to copies.  The fast
+      single-device path (gathers cost real time on TPU).
+    - ``"gather"``: precomputed index tables.  The multi-device path: the
+      XLA SPMD partitioner MISCOMPILES the slice/flip/transpose
+      formulation when the halo'd value feeds multiple gradient-style
+      consumers in a large sharded graph (silently-wrong boundary values,
+      reproduced on the CPU backend at every device count; the gather
+      formulation partitions correctly and is exact vs f64 there —
+      sharded equivalence tests guard this).
+
+    Default: slices on a single-device process, gather otherwise.
     """
+    if impl is None:
+        impl = "slices" if len(jax.devices()) == 1 else "gather"
+    if impl == "gather":
+        return halo_append_gather(field, h, tables)
     n = field.shape[-1]
     if field.shape[-2] != n:
         raise ValueError(f"expected square tiles, got {field.shape}")

@@ -27,6 +27,7 @@ from fv3net_tpu.dycore.state import (
 )
 from fv3net_tpu.ops import thermo
 from fv3net_tpu.physics import convection as conv
+from fv3net_tpu.physics import gravity_wave_drag as gwd_mod
 from fv3net_tpu.physics import microphysics as mp
 from fv3net_tpu.physics import pbl as pbl_mod
 from fv3net_tpu.physics import radiation_gray as rad
@@ -46,6 +47,10 @@ class PhysicsConfig:
     microphysics: mp.MicrophysicsParams = mp.MicrophysicsParams()
     convection: conv.ConvectionParams = conv.ConvectionParams()
     use_convection: bool = True
+    # orographic gravity-wave drag (active where the caller provides a
+    # nonzero subgrid-orography field, see physics_step's ``sgh``)
+    gwd: gwd_mod.GWDParams = gwd_mod.GWDParams()
+    use_gwd: bool = True
 
 
 def _zlast(x):
@@ -66,6 +71,7 @@ def physics_step(
     cfg: PhysicsConfig = PhysicsConfig(),
     microphysics_emulator=None,
     radiation_fn=None,
+    sgh=None,  # [6, ny, nx] subgrid-orography std (m) enables GWD
 ) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
     """Apply one physics interval; returns (new_state, diagnostics).
 
@@ -132,6 +138,13 @@ def physics_step(
         ]
     )
 
+    # ---- orographic gravity-wave drag -----------------------------------
+    if cfg.use_gwd and sgh is not None:
+        dwind, tau_gwd = gwd_mod.orographic_gwd(
+            wind, T, delp, pmid, jnp.asarray(sgh), dt, cfg.gwd
+        )
+        wind = wind + dt * dwind
+
     # ---- moist convection (Betts-Miller adjustment) ---------------------
     conv_precip = jnp.zeros_like(t_surface)
     if cfg.use_convection:
@@ -182,6 +195,8 @@ def physics_step(
     )
 
     diags = dict(rad_diags)
+    if cfg.use_gwd and sgh is not None:
+        diags["taugwd"] = tau_gwd  # launched mountain-wave stress, N/m^2
     diags["PRATEsfc"] = precip + conv_precip
     diags["CPRATsfc"] = conv_precip  # convective precip (GFS diag name)
     diags["LHTFLsfc"] = fluxes["LHTFLsfc"]

@@ -168,6 +168,9 @@ class TimeLoop:
             self._timestep,
             self._phys_cfg,
             microphysics_emulator=self._microphysics_emulator,
+            # subgrid-orography std enables mountain-wave drag when a
+            # surface field provides it (zero/absent on aquaplanets)
+            sgh=self.state.surface.get("sgh"),
         )
         self.state.dycore = new_dycore
         diags: Dict[str, Quantity] = {}

@@ -145,3 +145,77 @@ def test_implicit_diffusion_unconditionally_stable():
     X2 = np.asarray(pbl_mod.implicit_diffusion(X, K, dz, dm, 10000.0))
     assert np.isfinite(X2).all()
     assert X2.min() >= -1e-9 and X2.max() <= 100.0
+
+
+def test_orographic_gwd_decelerates_flow():
+    """Mountain-wave drag opposes the low-level wind, conserves sign
+    (never accelerates), and vanishes over flat terrain."""
+    import numpy as np
+    import jax.numpy as jnp
+    from fv3net_tpu.physics.gravity_wave_drag import GWDParams, orographic_gwd
+
+    rng = np.random.RandomState(0)
+    ncol, nz = 64, 16
+    # stable stratification, westerly shear
+    pe = np.linspace(300.0, 1.0e5, nz + 1)
+    delp = np.broadcast_to(np.diff(pe), (ncol, nz))
+    pmid = np.broadcast_to(0.5 * (pe[1:] + pe[:-1]), (ncol, nz))
+    T = 220.0 + 70.0 * (pmid / 1.0e5) ** 0.6
+    u = 10.0 + 20.0 * (1.0 - pmid / 1.0e5)  # stronger aloft
+    wind = jnp.asarray(np.stack([u, np.zeros_like(u)]), jnp.float64)
+    sgh = jnp.asarray(
+        np.where(np.arange(ncol) < 32, 400.0, 0.0), jnp.float64
+    )
+    dwind, tau0 = orographic_gwd(
+        wind, jnp.asarray(T), jnp.asarray(delp), jnp.asarray(pmid),
+        sgh, 900.0, GWDParams(),
+    )
+    dw = np.asarray(dwind)
+    tau = np.asarray(tau0)
+    # stress launched only over mountains
+    assert (tau[:32] > 0).all() and (tau[32:] == 0).all()
+    # drag opposes the (westerly) flow and never accelerates it
+    assert (dw[0] <= 1e-12).all()
+    assert dw[0, :32].min() < 0.0
+    assert np.abs(dw[1]).max() < 1e-12  # no cross-flow torque
+    # flat columns feel nothing
+    np.testing.assert_allclose(dw[:, 32:], 0.0, atol=1e-15)
+    # the one-step deceleration cannot reverse the wind
+    u_new = np.asarray(wind)[0] + 900.0 * dw[0]
+    assert (u_new >= -1e-9).all()
+
+
+def test_gwd_in_physics_step():
+    import numpy as np
+    import jax.numpy as jnp
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.physics import PhysicsConfig, physics_step
+    from fv3net_tpu.runtime.loop import aquaplanet_sst
+
+    grid = make_grid(6)
+    state, *_ = init_state(grid, nz=10, dtype=jnp.float64)
+    import dataclasses as dc
+
+    # impose a zonal jet so the drag has something to chew on
+    east = np.stack([-np.sin(grid.lon), np.cos(grid.lon),
+                     np.zeros_like(grid.lon)])
+    wind = jnp.asarray(10.0 * east[:, :, None, :, :]
+                       * np.ones((1, 6, 10, 6, 6)))
+    state = dc.replace(state, wind=wind)
+    lat = jnp.asarray(grid.lat)
+    sgh = jnp.full_like(lat, 500.0)
+    new, diags = physics_step(
+        state, aquaplanet_sst(lat), jnp.full_like(lat, 0.3), lat, 900.0,
+        PhysicsConfig(), sgh=sgh,
+    )
+    assert "taugwd" in diags
+    assert float(np.asarray(diags["taugwd"]).max()) > 0
+    # kinetic energy decreases relative to the no-GWD step
+    new0, _ = physics_step(
+        state, aquaplanet_sst(lat), jnp.full_like(lat, 0.3), lat, 900.0,
+        PhysicsConfig(),
+    )
+    ke = float((np.asarray(new.wind) ** 2).sum())
+    ke0 = float((np.asarray(new0.wind) ** 2).sum())
+    assert ke < ke0

@@ -59,6 +59,13 @@ def test_dynamics_step_matches_under_sharding():
     np.testing.assert_allclose(
         np.asarray(out_sharded.delp), np.asarray(out_single.delp), rtol=2e-6
     )
+    # wind is the field that exposed the SPMD halo miscompile (the
+    # static-slice halo under auto-sharding silently corrupted the PGF;
+    # see parallel/halo.py halo_append impl selection) -- assert it
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.wind), np.asarray(out_single.wind),
+        atol=1e-4,
+    )
 
 
 @requires_devices
@@ -173,4 +180,8 @@ def test_nonhydrostatic_step_matches_under_sharding():
     )
     np.testing.assert_allclose(
         np.asarray(out_sharded.delp), np.asarray(out_single.delp), rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.wind), np.asarray(out_single.wind),
+        atol=1e-4,
     )
