@@ -108,7 +108,13 @@ def run_segment(
                 metrics.log_scalar(time, scalars)
             step += 1
     diag_mgr.close()
-    save_state(loop.state, loop.time, os.path.join(output_dir, "RESTART"))
+    restart_dir = os.path.join(output_dir, "RESTART")
+    save_state(loop.state, loop.time, restart_dir)
+    # also the reference's per-category/per-tile NetCDF layout, so
+    # reference-side tooling can consume this run's restarts directly
+    from fv3net_tpu.runtime.checkpoint import save_fortran_restarts
+
+    save_fortran_restarts(loop.state, loop.time, restart_dir, loop.grid)
     return loop
 
 

@@ -1,0 +1,98 @@
+"""Input/output compatibility with the reference's file formats: Fortran
+log statistics blocks (vcm.fv3.logs role) and the per-category/per-tile
+restart NetCDF layout (tests/test_regression.py:78-88 categories)."""
+import datetime
+
+import numpy as np
+import jax.numpy as jnp
+
+from fv3net_tpu.runtime import fv3logs
+
+SAMPLE_LOG = """
+ some unrelated fortran chatter
+            2016           8           1           0          15           0
+ ZS      6849.180      -412.0000       231.8707
+ PS max =    1052.038      min =    439.9279
+ Total surface pressure (mb) =    985.9462
+ mean dry surface pressure =    983.2382
+ Total Water Vapor (kg/m**2) =   27.51812
+ --- Micro Phys water substances (kg/m**2) --
+ Total cloud water=  3.4418099E-02
+ --------------------------------------------
+ TE ( Joule/m^2 * E9) =   2.633417
+ UA max =    138.3022      min =   -52.00678
+ VA max =    60.31665      min =   -67.41895
+ TA max =    319.3932      min =    171.7615
+ sphum max =   2.3002494E-02  min =   9.9999342E-10
+            2016           8           1           0          30           0
+ PS max =    1051.000      min =    440.1000
+ Total surface pressure (mb) =    985.9000
+ UA max =    139.0000      min =   -53.00000
+"""
+
+
+def test_fv3log_parse():
+    log = fv3logs.loads(SAMPLE_LOG)
+    assert log.dates == [
+        datetime.datetime(2016, 8, 1, 0, 15, 0),
+        datetime.datetime(2016, 8, 1, 0, 30, 0),
+    ]
+    assert log.totals["total surface pressure"] == [985.9462, 985.9]
+    assert log.totals["total water vapor"] == [27.51812]
+    np.testing.assert_allclose(
+        log.totals["total cloud water"], [3.4418099e-02]
+    )
+    assert log.ranges["PS"][0] == (439.9279, 1052.038)
+    assert log.ranges["UA"] == [(-52.00678, 138.3022), (-53.0, 139.0)]
+    assert log.ranges["sphum"][0][0] > 0
+
+
+def test_fv3log_concatenate():
+    a = fv3logs.loads(SAMPLE_LOG)
+    b = fv3logs.loads(SAMPLE_LOG)
+    joined = fv3logs.concatenate([a, b])
+    assert len(joined.dates) == 4
+    assert len(joined.ranges["PS"]) == 4
+
+
+def test_fortran_restart_roundtrip(tmp_path):
+    """save_fortran_restarts writes files the reference-category reader
+    (core.netcdfio.open_restarts, the vcm.open_restarts role) ingests."""
+    from fv3net_tpu.core import netcdfio
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import add_nonhydrostatic_fields, init_state
+    from fv3net_tpu.runtime.checkpoint import save_fortran_restarts
+    from fv3net_tpu.runtime.derived_state import ModelState
+
+    grid = make_grid(6)
+    dstate, *_ = init_state(grid, nz=8)
+    dstate = add_nonhydrostatic_fields(dstate)
+    state = ModelState(
+        dycore=dstate,
+        surface={
+            "surface_temperature": jnp.full((6, 6, 6), 300.0),
+            "land_sea_mask": jnp.zeros((6, 6, 6)),
+        },
+    )
+    path = str(tmp_path / "RESTART")
+    time = datetime.datetime(2016, 8, 1, 3, 0, 0)
+    save_fortran_restarts(state, time, path, grid)
+
+    cats = netcdfio.open_restarts(path)
+    for cat in ("fv_core.res", "fv_tracer.res", "fv_srf_wnd.res", "sfc_data"):
+        assert cat in cats, cat
+    core = cats["fv_core.res"]
+    assert core["delp"].shape[-3:] == (8, 6, 6)
+    np.testing.assert_allclose(
+        core["delp"].values[:, 0],
+        np.asarray(dstate.delp),
+        rtol=1e-6,
+    )
+    # nonhydrostatic fields present with FV3's negative-DZ convention
+    assert (core["DZ"].values < 0).all()
+    assert cats["fv_tracer.res"]["sphum"].values.max() > 0
+    assert "liq_wat" in cats["fv_tracer.res"]
+    assert "tsea" in cats["sfc_data"]
+    # coupler.res carries the model time
+    text = open(f"{path}/coupler.res").read()
+    assert "2016" in text and "Current model time" in text
