@@ -12,7 +12,7 @@ import dataclasses
 import datetime
 import json
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -181,3 +181,109 @@ def _temperature_of(d: DycoreState) -> np.ndarray:
     return np.asarray(
         temperature_from_theta_v(d.pt, pmid, d.tracers["sphum"])
     )
+
+
+def load_fortran_restarts(
+    path: str, expected_shape=None
+) -> Tuple[ModelState, Optional[datetime.datetime]]:
+    """Initialize a ModelState from a reference-layout restart directory
+    (the migration entry point: point ``initial_conditions`` at an
+    existing fv3net/FV3GFS RESTART and this model starts from it).
+
+    Reads fv_core.res (T -> theta_v, A-grid ua/va -> Cartesian wind, W/DZ
+    when present), fv_tracer.res (GFS tracer names -> internal), sfc_data
+    (tsea/slmsk -> surface fields), and coupler.res for the model time.
+    """
+    from fv3net_tpu.core import netcdfio
+    from fv3net_tpu.dycore.state import theta_v_from_temperature
+    from fv3net_tpu.grid.geometry import make_grid
+
+    cats = netcdfio.open_restarts(path)
+    core = cats["fv_core.res"]
+
+    def tile3(name, ds):
+        # [tile, Time, z, y, x] -> [6, z, y, x]
+        return jnp.asarray(np.asarray(ds[name].values)[:, 0])
+
+    delp = tile3("delp", core)
+    T = tile3("T", core)
+    n = delp.shape[-1]
+    nz = delp.shape[1]
+    if expected_shape is not None and tuple(delp.shape) != tuple(expected_shape):
+        raise ValueError(
+            f"restart shape {delp.shape} != model shape {expected_shape}"
+        )
+
+    tracers = {}
+    if "fv_tracer.res" in cats:
+        tr = cats["fv_tracer.res"]
+        for name in tr.keys():
+            tracers[_TRACER_NAMES_INV.get(name, name)] = tile3(name, tr)
+    sphum = tracers.get("sphum", jnp.zeros_like(delp))
+    tracers.setdefault("sphum", sphum)
+    tracers.setdefault("cloud_water", jnp.zeros_like(delp))
+
+    pe = jnp.concatenate(
+        [jnp.full_like(delp[:, :1], 300.0), 300.0 + jnp.cumsum(delp, axis=1)],
+        axis=1,
+    )
+    pmid = delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
+    pt = theta_v_from_temperature(T, pmid, sphum)
+
+    grid = make_grid(n)
+    east = jnp.asarray(np.moveaxis(grid.east, -1, 0), delp.dtype)
+    north = jnp.asarray(np.moveaxis(grid.north, -1, 0), delp.dtype)
+    if "ua" in core:
+        ua = tile3("ua", core)
+        va = tile3("va", core)
+    else:  # D-grid u/v from a Fortran restart: average to A-grid centers
+        u_d = np.asarray(core["u"].values)[:, 0]  # [6, z, y+1, x]
+        v_d = np.asarray(core["v"].values)[:, 0]  # [6, z, y, x+1]
+        ua = jnp.asarray(0.5 * (u_d[..., :-1, :] + u_d[..., 1:, :]))
+        va = jnp.asarray(0.5 * (v_d[..., :-1] + v_d[..., 1:]))
+    wind = east[:, :, None] * ua[None] + north[:, :, None] * va[None]
+
+    phis = (
+        jnp.asarray(np.asarray(core["phis"].values)[:, 0])
+        if "phis" in core
+        else jnp.zeros_like(delp[:, 0])
+    )
+
+    w = delz = None
+    if "W" in core and "DZ" in core:
+        w = tile3("W", core)
+        delz = -tile3("DZ", core)  # FV3 stores negative thickness
+
+    dycore = DycoreState(
+        delp=delp, pt=pt, wind=wind, tracers=tracers, phis=phis,
+        w=w, delz=delz,
+    )
+    surface: Dict[str, jnp.ndarray] = {}
+    if "sfc_data" in cats:
+        sfc = cats["sfc_data"]
+        renames = {"tsea": "surface_temperature", "slmsk": "land_sea_mask"}
+        for name in sfc.keys():
+            surface[renames.get(name, name)] = jnp.asarray(
+                np.asarray(sfc[name].values)[:, 0]
+            )
+
+    time = _read_coupler_res(os.path.join(path, "coupler.res"))
+    return ModelState(dycore=dycore, surface=surface), time
+
+
+def _read_coupler_res(path: str) -> Optional[datetime.datetime]:
+    if not os.path.exists(path):
+        return None
+    lines = [ln for ln in open(path).read().splitlines() if ln.strip()]
+    # last date line = current model time (FMS coupler.res format)
+    for ln in reversed(lines):
+        parts = ln.split()
+        nums = []
+        for p in parts:
+            try:
+                nums.append(int(p))
+            except ValueError:
+                break
+        if len(nums) >= 6:
+            return datetime.datetime(*nums[:6])
+    return None

@@ -221,6 +221,10 @@ class UserConfig:
     # framework's model; reference config.py:61 selects the Fortran
     # wrapper module)
     wrapper: str = "fv3gfs.wrapper"
+    # path to a restart directory to initialize from: either this
+    # framework's npz checkpoints or a reference-layout Fortran RESTART
+    # (fv_core.res.tileN.nc ... — the fv3config initial_conditions role)
+    initial_conditions: Optional[str] = None
     duration_seconds: float = 3600.0
     initial_time: str = "2016-08-01T00:00:00"
 

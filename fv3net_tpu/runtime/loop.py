@@ -75,6 +75,28 @@ class TimeLoop:
             },
         )
         self.time = datetime.datetime.fromisoformat(config.initial_time)
+        if config.initial_conditions:
+            # start from a restart directory: this framework's npz
+            # checkpoint OR a reference-layout Fortran RESTART (the
+            # fv3config initial_conditions role)
+            import os as _os
+
+            from fv3net_tpu.runtime import checkpoint as _ckpt
+
+            ic = config.initial_conditions
+            if _os.path.exists(_os.path.join(ic, "state.npz")):
+                self.state, self.time = _ckpt.load_state(ic)
+            else:
+                loaded, t0 = _ckpt.load_fortran_restarts(
+                    ic, expected_shape=dstate.delp.shape
+                )
+                surface = dict(self.state.surface)
+                surface.update(loaded.surface)
+                self.state = ModelState(
+                    dycore=loaded.dycore, surface=surface
+                )
+                if t0 is not None:
+                    self.time = t0
         self._timestep = nml.dt_atmos
         self._dyn_cfg = DycoreConfig(
             dt=nml.dt_atmos,
@@ -91,9 +113,10 @@ class TimeLoop:
             from fv3net_tpu.dycore.core import validate_acoustic_cfl
 
             validate_acoustic_cfl(self._g, self._dyn_cfg)
-            self.state.dycore = add_nonhydrostatic_fields(
-                self.state.dycore, ptop=self._dyn_cfg.ptop
-            )
+            if self.state.dycore.w is None:  # restarts may already carry w
+                self.state.dycore = add_nonhydrostatic_fields(
+                    self.state.dycore, ptop=self._dyn_cfg.ptop
+                )
         self._phys_cfg = PhysicsConfig()
         from fv3net_tpu.runtime import factories
 

@@ -96,3 +96,57 @@ def test_fortran_restart_roundtrip(tmp_path):
     # coupler.res carries the model time
     text = open(f"{path}/coupler.res").read()
     assert "2016" in text and "Current model time" in text
+
+
+def test_initial_conditions_from_fortran_restarts(tmp_path):
+    """A run configured with initial_conditions pointing at a
+    reference-layout RESTART starts from that state and time."""
+    from fv3net_tpu.core import netcdfio  # noqa: F401
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.runtime import TimeLoop
+    from fv3net_tpu.runtime.checkpoint import (
+        load_fortran_restarts,
+        save_fortran_restarts,
+    )
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime.derived_state import ModelState
+
+    grid = make_grid(6)
+    dstate, *_ = init_state(grid, nz=8, perturbation=2.0)
+    state = ModelState(
+        dycore=dstate,
+        surface={"surface_temperature": jnp.full((6, 6, 6), 301.0)},
+    )
+    path = str(tmp_path / "RESTART")
+    time = datetime.datetime(2016, 9, 15, 6, 0, 0)
+    save_fortran_restarts(state, time, path, grid)
+
+    # direct load roundtrip
+    loaded, t0 = load_fortran_restarts(path)
+    assert t0 == time
+    np.testing.assert_allclose(
+        np.asarray(loaded.dycore.delp), np.asarray(dstate.delp), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.dycore.pt), np.asarray(dstate.pt), rtol=1e-4
+    )
+
+    # through the run config
+    cfg = get_config(
+        {
+            "namelist": {"npx": 6, "npz": 8},
+            "initial_conditions": path,
+            "duration_seconds": 900.0,
+        }
+    )
+    loop = TimeLoop(cfg, dtype=jnp.float32)
+    assert loop.time == time
+    np.testing.assert_allclose(
+        np.asarray(loop.state.dycore.delp), np.asarray(dstate.delp),
+        rtol=1e-6,
+    )
+    assert float(loop.state.surface["surface_temperature"].max()) == 301.0
+    for _t, _d in loop:
+        pass
+    assert np.isfinite(np.asarray(loop.state.dycore.pt)).all()
