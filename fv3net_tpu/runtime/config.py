@@ -196,6 +196,10 @@ class NamelistConfig:
     # energy-conserving vertical remap (FV3's te_map)
     remap_te: bool = True
     hydrostatic: bool = True
+    # prognostic mixed-layer surface temperature (physics/slab_ocean.py)
+    # instead of fixed aquaplanet SST
+    slab_ocean: bool = False
+    mixed_layer_depth_m: float = 50.0
 
 
 @dataclasses.dataclass

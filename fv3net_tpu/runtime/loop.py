@@ -196,6 +196,29 @@ class TimeLoop:
             sgh=self.state.surface.get("sgh"),
         )
         self.state.dycore = new_dycore
+        nml = self._config.namelist
+        if nml.slab_ocean:
+            from fv3net_tpu.physics.slab_ocean import (
+                SlabOceanParams,
+                slab_ocean_update,
+            )
+
+            tsfc = self.state.surface[names.TSFC]
+            # band-radiation runs may omit the reflected/upward surface
+            # fluxes; close the budget with sigma*Ts^4 and ocean albedo
+            raw.setdefault("ULWRFsfc", 5.670374e-8 * tsfc ** 4)
+            raw.setdefault("USWRFsfc", 0.06 * raw["DSWRFsfc"])
+            new_tsfc = slab_ocean_update(
+                tsfc,
+                raw,
+                self._timestep,
+                SlabOceanParams(
+                    mixed_layer_depth_m=nml.mixed_layer_depth_m
+                ),
+                land_mask=self.state.surface.get(names.MASK),
+            )
+            self.state.surface[names.TSFC] = new_tsfc
+            self.state.surface[names.SST] = new_tsfc
         diags: Dict[str, Quantity] = {}
         for key, arr in raw.items():
             dims = DIMS_3D if arr.ndim == 4 else DIMS_2D
