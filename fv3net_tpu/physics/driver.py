@@ -174,6 +174,18 @@ def physics_step(
         precip = jnp.maximum(dq_col.sum(axis=-1) / dt, 0.0)
         T, q, qc = T_new, q_new, qc_new
 
+    # ---- linearized ozone photochemistry --------------------------------
+    extra_tracers = {
+        k: v for k, v in state.tracers.items()
+        if k not in ("sphum", "cloud_water")
+    }
+    if "o3mr" in extra_tracers:
+        from fv3net_tpu.physics import ozone as o3_mod
+
+        o3 = _zlast(extra_tracers["o3mr"])
+        do3 = o3_mod.ozone_tendency(o3, pmid, lat)
+        extra_tracers["o3mr"] = _zmid(jnp.maximum(o3 + dt * do3, 0.0))
+
     pt_new = theta_v_from_temperature(T, pmid, q)
     delz_new = state.delz
     if state.delz is not None:
@@ -188,7 +200,9 @@ def physics_step(
         delp=state.delp,
         pt=_zmid(pt_new),
         wind=jnp.stack([_zmid(wind[c]) for c in range(3)]),
-        tracers={"sphum": _zmid(q), "cloud_water": _zmid(qc)},
+        # additional tracers (o3mr, ...) pass through — the dycore
+        # transports every tracer in the dict
+        tracers={**extra_tracers, "sphum": _zmid(q), "cloud_water": _zmid(qc)},
         phis=state.phis,
         w=state.w,
         delz=delz_new,

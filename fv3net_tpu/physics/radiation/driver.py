@@ -123,7 +123,13 @@ class RadiationDriver:
             axis=-1,
         )
 
-        mmr = {"h2o": jnp.maximum(q, 1e-9), "o3": gases.ozone_profile(play, lat)}
+        # prognostic ozone (the o3mr tracer) takes precedence over the
+        # analytic climatology when the caller provides it
+        if "ozone_mixing_ratio" in state:
+            o3 = jnp.maximum(cols(state["ozone_mixing_ratio"]), 0.0)
+        else:
+            o3 = gases.ozone_profile(play, lat)
+        mmr = {"h2o": jnp.maximum(q, 1e-9), "o3": o3}
         mmr.update(gases.well_mixed(play, cfg.year, cfg.ico2))
 
         # astronomy (an externally supplied cos-zenith, e.g. from the

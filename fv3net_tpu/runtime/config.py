@@ -200,6 +200,10 @@ class NamelistConfig:
     # instead of fixed aquaplanet SST
     slab_ocean: bool = False
     mixed_layer_depth_m: float = 50.0
+    # prognostic o3mr tracer: transported by the dycore, relaxed toward
+    # the climatology by linearized photochemistry (physics/ozone.py),
+    # consumed by the band radiation
+    prognostic_ozone: bool = False
 
 
 @dataclasses.dataclass

@@ -122,6 +122,10 @@ class DerivedState:
             return Quantity(self._g.lat, DIMS_2D, "radians")
         if key == "longitude":
             return Quantity(self._g.lon, DIMS_2D, "radians")
+        if key == "ozone_mixing_ratio" and "o3mr" in d.tracers:
+            return Quantity(d.tracers["o3mr"], DIMS_3D, "kg/kg")
+        if key in d.tracers:
+            return Quantity(d.tracers[key], DIMS_3D, "kg/kg")
         if key in self.state.surface:
             return Quantity(self.state.surface[key], DIMS_2D)
         raise KeyError(key)

@@ -97,6 +97,20 @@ class TimeLoop:
                 )
                 if t0 is not None:
                     self.time = t0
+        if nml.prognostic_ozone and "o3mr" not in self.state.dycore.tracers:
+            from fv3net_tpu.physics.radiation import gases as _gases
+
+            d = self.state.dycore
+            pe = jnp.concatenate(
+                [jnp.full_like(d.delp[:, :1], 300.0),
+                 300.0 + jnp.cumsum(d.delp, axis=1)], axis=1)
+            pmid = d.delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
+            o3 = _gases.ozone_profile(
+                jnp.moveaxis(pmid, 1, -1), self._g.lat
+            )
+            tracers = dict(d.tracers)
+            tracers["o3mr"] = jnp.moveaxis(o3, -1, 1).astype(d.pt.dtype)
+            self.state.dycore = dataclasses.replace(d, tracers=tracers)
         self._timestep = nml.dt_atmos
         self._dyn_cfg = DycoreConfig(
             dt=nml.dt_atmos,

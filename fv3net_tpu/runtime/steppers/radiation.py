@@ -40,6 +40,7 @@ class RadiationStepper:
         for opt, zdim in (
             (names.SPHUM, True),
             (names.CLOUD, True),
+            ("ozone_mixing_ratio", True),
             (names.MASK, False),
         ):
             try:
