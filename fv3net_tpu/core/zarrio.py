@@ -137,10 +137,13 @@ class ZarrArray:
         return np.frombuffer(raw, self.dtype).reshape(self.chunks).copy()
 
     def _write_chunk(self, idx: Tuple[int, ...], data: np.ndarray):
+        self._write_chunk_to(self._chunk_path(idx), data)
+
+    def _write_chunk_to(self, path: str, data: np.ndarray):
         raw = np.ascontiguousarray(data, self.dtype).tobytes()
         if self.compressed:
             raw = zlib.compress(raw, 1)
-        with open(self._chunk_path(idx), "wb") as f:
+        with open(path, "wb") as f:
             f.write(raw)
 
     # -- array io -------------------------------------------------------------
@@ -207,11 +210,7 @@ class ZarrArray:
             ):
                 return
         for path, chunk in zip(pending_paths, pending_chunks):
-            raw = chunk.tobytes()
-            if self.compressed:
-                raw = zlib.compress(raw, 1)
-            with open(path, "wb") as f:
-                f.write(raw)
+            self._write_chunk_to(path, chunk)
 
     def read(self) -> np.ndarray:
         import itertools

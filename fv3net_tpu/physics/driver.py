@@ -99,8 +99,13 @@ def physics_step(
     # runtime/fused.py) with signature
     # (T, delp, q, qc, t_surface, cos_zenith, lat) -> (heating, diags)
     if radiation_fn is not None:
+        o3_rad = (
+            _zlast(state.tracers["o3mr"])
+            if "o3mr" in state.tracers
+            else None
+        )
         heating, rad_diags = radiation_fn(
-            T, delp, q, qc, t_surface, cos_zenith, lat
+            T, delp, q, qc, t_surface, cos_zenith, lat, o3=o3_rad
         )
     else:
         heating, rad_diags = rad.gray_radiation(

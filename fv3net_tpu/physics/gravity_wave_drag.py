@@ -112,11 +112,13 @@ def orographic_gwd(
     tau_top, dep_scan = jax.lax.scan(up, tau0, sat_rev, reverse=True)
     dep = jnp.moveaxis(dep_scan, 0, -1)  # stress deposited per layer
 
-    # any stress carried through the model top deposits in the top layer
-    # (momentum bookkeeping: nothing escapes)
+    # stress carried through the model top deposits in the top layer
     dep = dep.at[..., 0].add(tau_top)
 
     accel = GRAVITY * dep / delp  # m/s^2 along -e_ref
-    # limit so the parallel wind cannot reverse within one step
+    # limit so the parallel wind cannot reverse within one step; NOTE the
+    # clamp sheds stress at weak-wind critical levels, so the column
+    # momentum change can be smaller than tau0 (taugwd diagnoses the
+    # LAUNCHED stress, not the applied one)
     accel = jnp.minimum(accel, jnp.maximum(u_par, 0.0) / dt)
     return -accel[None] * e_ref[..., None], tau0

@@ -17,6 +17,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from fv3net_tpu.core.constants import TOA_PRESSURE
 from fv3net_tpu.dycore.state import DycoreState
 from fv3net_tpu.runtime.derived_state import ModelState
 
@@ -174,7 +175,8 @@ def _temperature_of(d: DycoreState) -> np.ndarray:
 
     delp = jnp.asarray(d.delp)
     pe = jnp.concatenate(
-        [jnp.full_like(delp[:, :1], 300.0), 300.0 + jnp.cumsum(delp, axis=1)],
+        [jnp.full_like(delp[:, :1], TOA_PRESSURE),
+         TOA_PRESSURE + jnp.cumsum(delp, axis=1)],
         axis=1,
     )
     pmid = delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
@@ -224,7 +226,8 @@ def load_fortran_restarts(
     tracers.setdefault("cloud_water", jnp.zeros_like(delp))
 
     pe = jnp.concatenate(
-        [jnp.full_like(delp[:, :1], 300.0), 300.0 + jnp.cumsum(delp, axis=1)],
+        [jnp.full_like(delp[:, :1], TOA_PRESSURE),
+         TOA_PRESSURE + jnp.cumsum(delp, axis=1)],
         axis=1,
     )
     pmid = delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))

@@ -149,6 +149,14 @@ class DerivedState:
             tracers = dict(d.tracers)
             tracers["cloud_water"] = data
             self.state.dycore = dataclasses.replace(d, tracers=tracers)
+        elif key == "ozone_mixing_ratio" and "o3mr" in d.tracers:
+            tracers = dict(d.tracers)
+            tracers["o3mr"] = data
+            self.state.dycore = dataclasses.replace(d, tracers=tracers)
+        elif key in d.tracers:
+            tracers = dict(d.tracers)
+            tracers[key] = data
+            self.state.dycore = dataclasses.replace(d, tracers=tracers)
         elif key == names.EASTWARD_WIND or key == names.NORTHWARD_WIND:
             east, north = self._east_north()
             basis = east if key == names.EASTWARD_WIND else north

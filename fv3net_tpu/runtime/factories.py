@@ -125,7 +125,6 @@ def get_tendency_prescriber(config: UserConfig, timestep: float):
     if tp is None:
         return None
     from fv3net_tpu.loaders import ZarrMapper
-    from fv3net_tpu.runtime.interpolate import mapper_getter
     from fv3net_tpu.runtime.steppers.tendency_prescriber import (
         TendencyPrescriber,
     )
@@ -144,7 +143,6 @@ def get_bias_correction(config: UserConfig, timestep: float):
     if bc is None:
         return None
     from fv3net_tpu.loaders import ZarrMapper
-    from fv3net_tpu.runtime.interpolate import mapper_getter
     from fv3net_tpu.runtime.steppers.combine import IntervalStepper
     from fv3net_tpu.runtime.steppers.tendency_prescriber import (
         TendencyPrescriber,

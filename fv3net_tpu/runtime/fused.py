@@ -73,20 +73,19 @@ def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
     driver = RadiationDriver(DriverConfig())
     epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
 
-    def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat):
-        out = driver(
-            epoch,
-            {
-                "air_temperature": T,
-                "pressure_thickness_of_atmospheric_layer": delp,
-                "specific_humidity": q,
-                "cloud_water_mixing_ratio": qc,
-                "surface_temperature": t_surface,
-                "latitude": lat,
-                "longitude": jnp.zeros_like(lat),
-            },
-            cosz=cos_zenith,
-        )
+    def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat, o3=None):
+        state = {
+            "air_temperature": T,
+            "pressure_thickness_of_atmospheric_layer": delp,
+            "specific_humidity": q,
+            "cloud_water_mixing_ratio": qc,
+            "surface_temperature": t_surface,
+            "latitude": lat,
+            "longitude": jnp.zeros_like(lat),
+        }
+        if o3 is not None:  # prognostic o3mr tracer reaches the bands
+            state["ozone_mixing_ratio"] = o3
+        out = driver(epoch, state, cosz=cos_zenith)
         heating = out["tendency_of_air_temperature_due_to_radiation"]
         return heating, {
             "ULWRFtoa": out[
@@ -169,7 +168,8 @@ def build_fused_multi_step(
     if base_radiation is None:
         from fv3net_tpu.physics import radiation_gray as _gray
 
-        def base_radiation(T, delp, q, qc, t_surface, cos_zenith, lat):
+        def base_radiation(T, delp, q, qc, t_surface, cos_zenith, lat,
+                           o3=None):
             return _gray.gray_radiation(
                 T, delp, t_surface, cos_zenith, lat, phys_cfg.radiation
             )
@@ -183,13 +183,19 @@ def build_fused_multi_step(
         )
         pt = jnp.moveaxis(state.pt, 1, -1)
         T = temperature_from_theta_v(pt, pmid, q)
-        return T, delp, q, qc
+        o3 = (
+            jnp.moveaxis(state.tracers["o3mr"], 1, -1)
+            if "o3mr" in state.tracers
+            else None
+        )
+        return T, delp, q, qc, o3
 
     def multi(state: DycoreState, ml_params, t_surface, cos_zenith):
-        T0, delp0, q0, qc0 = rad_inputs(state)
+        T0, delp0, q0, qc0, o30 = rad_inputs(state)
         # cache pytree structure without paying for a solve
         shapes = jax.eval_shape(
-            base_radiation, T0, delp0, q0, qc0, t_surface, cos_zenith, g.lat
+            base_radiation, T0, delp0, q0, qc0, t_surface, cos_zenith,
+            g.lat, o30
         )
         cache0 = jax.tree_util.tree_map(
             lambda s: jnp.zeros(s.shape, s.dtype), shapes
@@ -198,11 +204,11 @@ def build_fused_multi_step(
         def body(carry, i):
             s, cache = carry
             s = dynamics_step(s, g, ak, bk, dyn_cfg)
-            T, delp, q, qc = rad_inputs(s)
+            T, delp, q, qc, o3 = rad_inputs(s)
             cache = jax.lax.cond(
                 i % radiation_interval == 0,
                 lambda _: base_radiation(
-                    T, delp, q, qc, t_surface, cos_zenith, g.lat
+                    T, delp, q, qc, t_surface, cos_zenith, g.lat, o3
                 ),
                 lambda _: cache,
                 None,
@@ -210,7 +216,7 @@ def build_fused_multi_step(
             heating, rdiags = cache
             s, _ = physics_step(
                 s, t_surface, cos_zenith, g.lat, dyn_cfg.dt, phys_cfg,
-                radiation_fn=lambda *_a: (heating, rdiags),
+                radiation_fn=lambda *_a, **_k: (heating, rdiags),
             )
             if ml_apply is not None:
                 delp_c = jnp.moveaxis(s.delp, 1, -1)

@@ -57,7 +57,12 @@ def mapper_getter(
 ) -> Callable:
     """time -> Dataset from a mapper keyed by %Y%m%d.%H%M%S labels, or —
     given ``initial_time`` + ``frequency`` — by integer indices."""
-    keys = sorted(mapper)
+    # integer-string keys (ZarrMapper uses str(i)) must sort numerically:
+    # lexicographic order maps step 2 to time slice 10 once n_times >= 10
+    if all(k.isdigit() for k in mapper):
+        keys = sorted(mapper, key=int)
+    else:
+        keys = sorted(mapper)
     by_time = {}
     for k in keys:
         try:

@@ -101,9 +101,11 @@ class TimeLoop:
             from fv3net_tpu.physics.radiation import gases as _gases
 
             d = self.state.dycore
+            from fv3net_tpu.core.constants import TOA_PRESSURE as _PTOP
+
             pe = jnp.concatenate(
-                [jnp.full_like(d.delp[:, :1], 300.0),
-                 300.0 + jnp.cumsum(d.delp, axis=1)], axis=1)
+                [jnp.full_like(d.delp[:, :1], _PTOP),
+                 _PTOP + jnp.cumsum(d.delp, axis=1)], axis=1)
             pmid = d.delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
             o3 = _gases.ozone_profile(
                 jnp.moveaxis(pmid, 1, -1), self._g.lat

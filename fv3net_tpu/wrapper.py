@@ -96,7 +96,7 @@ class _Model:
             self.step_radiation()
         heating = self._heating
 
-        def cached_radiation(T, delp, q, qc, tsfc, cosz, lat):
+        def cached_radiation(T, delp, q, qc, tsfc, cosz, lat, o3=None):
             return heating, {}
 
         new_dycore, raw = physics_step(

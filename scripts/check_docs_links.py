@@ -9,7 +9,7 @@ for root, _, files in os.walk("docs"):
         if not f.endswith(".md"):
             continue
         text = open(os.path.join(root, f)).read()
-        for m in re.finditer(r"\]\(([^)#h][^)]*)\)", text):
+        for m in re.finditer(r"\]\((?!https?://|#)([^)]+)\)", text):
             target = os.path.normpath(os.path.join(root, m.group(1)))
             if not os.path.exists(target):
                 bad.append(f"{f}: {m.group(1)}")

@@ -88,3 +88,36 @@ def test_prephysics_prescriber_from_config(tmp_path):
     steppers = factories.get_prephysics_steppers(cfg, 900.0)
     assert len(steppers) == 1
     assert steppers[0].label == "prescriber"
+
+
+def test_index_keyed_mapper_sorts_numerically(tmp_path):
+    """ZarrMapper keys are str(i); the step-index fallback must sort them
+    numerically — lexicographic order serves slice 10 at step 2 once a
+    dataset has 10+ times (regression)."""
+    rng = np.random.RandomState(0)
+    nt = 12
+    data = Dataset(
+        {
+            "dQ1": Quantity(
+                (np.arange(nt)[:, None, None, None, None]
+                 * np.ones((nt, 6, 4, 3, 3))).astype(np.float32),
+                ("time", "tile", "z", "y", "x"),
+            )
+        }
+    )
+    path = str(tmp_path / "t.zarr")
+    zarrio.to_zarr(data, path)
+    from fv3net_tpu.loaders import ZarrMapper
+    from fv3net_tpu.runtime.interpolate import mapper_getter
+
+    getter = mapper_getter(
+        ZarrMapper(path),
+        initial_time=datetime.datetime(2016, 8, 1),
+        frequency=datetime.timedelta(seconds=900),
+    )
+    for step in (0, 2, 10, 11):
+        t = datetime.datetime(2016, 8, 1) + datetime.timedelta(
+            seconds=900 * step
+        )
+        got = float(np.asarray(getter(t)["dQ1"].data).mean())
+        assert got == float(step), (step, got)
