@@ -100,3 +100,44 @@ def run_sweep(
         list(enumerate(trials)), one, max_workers=max_workers,
         num_retries=0,
     )
+
+
+def main(argv=None) -> int:
+    """python -m fv3net_tpu.fit.sweep <sweep.yaml> <data.yaml> <output>
+    (the wandb-sweep Argo template role): the sweep yaml holds a
+    ``base`` training config plus ``method``/``parameters``/``count``."""
+    import argparse
+    import json
+
+    import yaml
+
+    p = argparse.ArgumentParser(prog="fv3fit-sweep")
+    p.add_argument("sweep_config")
+    p.add_argument("training_data_config")
+    p.add_argument("output_root")
+    p.add_argument("--max-workers", type=int, default=1)
+    args = p.parse_args(argv)
+
+    with open(args.sweep_config) as f:
+        sweep_yaml = yaml.safe_load(f)
+    base = sweep_yaml.pop("base")
+    with open(args.training_data_config) as f:
+        data_config = yaml.safe_load(f)
+    from fv3net_tpu.loaders import batches_from_config
+
+    batches = batches_from_config(data_config)
+    results = run_sweep(
+        base, sweep_yaml, batches, args.output_root,
+        max_workers=args.max_workers,
+    )
+    print(json.dumps({
+        "trials": [r.value for r in results if r.ok],
+        "failed": sum(1 for r in results if not r.ok),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -138,3 +138,62 @@ def coarsen_surface_complex(
     else:
         cont_c = coarsen_surface_simple(continuous, area, factor)
     return {**cont_c, **cat_c}
+
+
+def main(argv=None) -> int:
+    """python -m fv3net_tpu.pipelines.coarsen_restarts (reference:
+    python -m fv3net.pipelines.coarsen_restarts, the Beam job driving
+    vcm.cubedsphere.coarsen_restarts_on_* over timesteps): coarsen a
+    reference-layout restart directory to a lower resolution and write
+    it back in the same layout."""
+    import argparse
+    import datetime as _dt
+    import json
+
+    p = argparse.ArgumentParser(prog="coarsen_restarts")
+    p.add_argument("src", help="restart dir (fv_core.res.tileN.nc ...)")
+    p.add_argument("dst", help="output restart dir")
+    p.add_argument("--factor", type=int, required=True)
+    p.add_argument(
+        "--method", choices=("sigma", "pressure"), default="sigma"
+    )
+    args = p.parse_args(argv)
+
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.runtime.checkpoint import (
+        load_fortran_restarts,
+        save_fortran_restarts,
+    )
+    from fv3net_tpu.runtime.derived_state import ModelState
+    from fv3net_tpu.ops import coarsen as _co
+
+    state, time = load_fortran_restarts(args.src)
+    n = state.dycore.delp.shape[-1]
+    grid = make_grid(n)
+    area = jnp.asarray(grid.area, state.dycore.delp.dtype)
+    fn = (
+        coarsen_state_on_sigma
+        if args.method == "sigma"
+        else coarsen_state_on_pressure
+    )
+    dycore_c = fn(state.dycore, area, args.factor)
+    surface_c = {
+        k: _co.weighted_block_average(v, area, args.factor)
+        for k, v in state.surface.items()
+    }
+    grid_c = make_grid(n // args.factor)
+    save_fortran_restarts(
+        ModelState(dycore=dycore_c, surface=surface_c),
+        time or _dt.datetime(2000, 1, 1),
+        args.dst,
+        grid_c,
+    )
+    print(json.dumps({"src": args.src, "dst": args.dst,
+                      "resolution": n // args.factor}))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

@@ -134,3 +134,57 @@ def test_cubed_to_latlon_template_end_to_end(tmp_path):
     assert out["h500"].shape == (2, 24, 48)
     # conservative regrid roughly preserves the global mean
     assert abs(float(np.asarray(out["h500"].values).mean())) < 1.0
+
+
+def test_all_shipped_templates_parse():
+    """Every yaml in workflows/argo/ must load as a WorkflowTemplate (the
+    `make test_argo` kubectl-dry-run role, reference Makefile)."""
+    import glob
+    import os
+
+    from fv3net_tpu.workflows.templates import WorkflowTemplate
+
+    root = os.path.join(
+        os.path.dirname(__file__), "..", "fv3net_tpu", "workflows", "argo"
+    )
+    paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
+    assert len(paths) >= 11, paths
+    for path in paths:
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+        t = WorkflowTemplate(doc)
+        assert t.entrypoint, path
+
+
+def test_coarsen_restarts_cli_roundtrip(tmp_path):
+    """python -m fv3net_tpu.pipelines.coarsen_restarts coarsens a
+    reference-layout restart dir, conserving mass."""
+    import datetime
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core import netcdfio
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.pipelines.coarsen_restarts import main as cr_main
+    from fv3net_tpu.runtime.checkpoint import save_fortran_restarts
+    from fv3net_tpu.runtime.derived_state import ModelState
+
+    grid = make_grid(12)
+    d, *_ = init_state(grid, nz=8, perturbation=2.0)
+    src = str(tmp_path / "src")
+    save_fortran_restarts(
+        ModelState(dycore=d, surface={}),
+        datetime.datetime(2016, 8, 1), src, grid,
+    )
+    dst = str(tmp_path / "dst")
+    assert cr_main([src, dst, "--factor", "2"]) == 0
+    cats = netcdfio.open_restarts(dst)
+    assert cats["fv_core.res"]["delp"].shape[-1] == 6
+    fine = np.asarray(d.delp) * grid.area[:, None]
+    coarse = (
+        cats["fv_core.res"]["delp"].values[:, 0]
+        * make_grid(6).area[:, None]
+    )
+    np.testing.assert_allclose(fine.sum(), coarse.sum(), rtol=1e-5)
