@@ -83,3 +83,40 @@ def test_radiation_driver_uses_prognostic_ozone():
     h1 = np.asarray(base["tendency_of_air_temperature_due_to_radiation"])
     h2 = np.asarray(no_o3["tendency_of_air_temperature_due_to_radiation"])
     assert not np.allclose(h1, h2)  # ozone absorption matters
+
+
+def test_fused_rrtmg_path_consumes_prognostic_ozone():
+    """The fused physics path hands the o3mr tracer to the band solvers
+    (regression: the tracer used to reach only the standalone
+    RadiationStepper)."""
+    import dataclasses as dc
+
+    import jax
+
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.physics import PhysicsConfig, physics_step
+    from fv3net_tpu.runtime.fused import _build_radiation_fn
+    from fv3net_tpu.runtime.loop import aquaplanet_sst
+
+    grid = make_grid(6)
+    state, *_ = init_state(grid, nz=10)
+    rad_fn = _build_radiation_fn(PhysicsConfig(radiation_scheme="rrtmg"))
+    lat = jnp.asarray(grid.lat)
+    sst = aquaplanet_sst(lat)
+    cosz = jnp.full_like(lat, 0.5)
+
+    def heat(s):
+        _, diags = physics_step(
+            s, sst, cosz, lat, 900.0,
+            PhysicsConfig(radiation_scheme="rrtmg"), radiation_fn=rad_fn,
+        )
+        return np.asarray(
+            diags["tendency_of_air_temperature_due_to_fv3_physics"]
+        )
+
+    base = heat(state)
+    tr = dict(state.tracers)
+    tr["o3mr"] = jnp.zeros_like(state.delp)  # remove all ozone
+    no_o3 = heat(dc.replace(state, tracers=tr))
+    assert not np.allclose(base, no_o3)
