@@ -185,6 +185,82 @@ def zonal_means_3d(arg: DiagArg):
     return out
 
 
+# percentile-relevant variables get histograms (the reference computes
+# precipitation histograms/percentiles, compute.py histogram diagnostics)
+_HISTOGRAM_BINS = {
+    "PRATEsfc": np.logspace(-10, -2, 51),  # kg/m^2/s
+    "surface_precipitation_rate": np.logspace(-10, -2, 51),
+    "total_precipitation_rate": np.logspace(-10, -2, 51),
+}
+
+
+@registry_2d.register("histogram")
+def histograms(arg: DiagArg):
+    out = {}
+    for var, q in arg.prediction.items():
+        bins = _HISTOGRAM_BINS.get(var)
+        if bins is None or "z" in q.dims:
+            continue
+        counts, edges = stats.histogram(_d(q), jnp.asarray(bins))
+        # density normalization (the reference reports frequencies)
+        total = jnp.maximum(counts.sum(), 1)
+        out[var] = Quantity(
+            counts / total,
+            ("bins",),
+            "fraction",
+            attrs={"bin_edges": np.asarray(edges).tolist()},
+        )
+    return out
+
+
+@registry_2d.register("time_mean_bias_value")
+def time_mean_bias_maps(arg: DiagArg):
+    """Time-mean bias maps vs verification (reference's bias map panels)."""
+    out = {}
+    if arg.verification is None:
+        return out
+    for var, q in arg.prediction.items():
+        if "z" in q.dims or var not in arg.verification:
+            continue
+        b = _time_mean(_d(q)) - _time_mean(_d(arg.verification[var]))
+        out[var] = Quantity(b, q.dims[1:], q.units)
+    return out
+
+
+@registry_2d.register("diurnal_cycle")
+def diurnal_cycle(arg: DiagArg):
+    """Composite by local solar hour (the reference's diurnal-cycle
+    diagnostics of surface fields, diurnal_cycle.py).  Uses the run's
+    ``time`` coordinate in hours plus longitude for solar time; 24
+    one-hour bins, area-weighted global mean per bin."""
+    out = {}
+    hours = arg.prediction.coords.get("time")
+    if hours is None:
+        return out
+    hours = np.asarray(hours, np.float64)
+    lon_deg = np.asarray(arg.grid["lon"])
+    area = jnp.asarray(arg.grid["area"])
+    for var, q in arg.prediction.items():
+        if "z" in q.dims:
+            continue
+        arr = _d(q)  # (time, tile, y, x)
+        solar_hour = (
+            hours[:, None, None, None] + lon_deg[None] / 15.0
+        ) % 24.0
+        comp = []
+        for hb in range(24):
+            in_bin = jnp.asarray(
+                (solar_hour >= hb) & (solar_hour < hb + 1), arr.dtype
+            )
+            w = in_bin * area[None]
+            comp.append(jnp.sum(arr * w) / jnp.maximum(jnp.sum(w), 1e-30))
+        out[var] = Quantity(
+            jnp.stack(comp), ("solar_hour",), q.units,
+            attrs={"solar_hour": list(range(24))},
+        )
+    return out
+
+
 def compute_all(
     prediction: Dataset,
     grid: Dict[str, np.ndarray],

@@ -14,7 +14,8 @@ import time
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def main(days: int = 10, npx: int = 24, npz: int = 20, perturb: int = 1):
+def main(days: int = 10, npx: int = 24, npz: int = 20, perturb: int = 1,
+         hydrostatic: int = 1):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     import jax.numpy as jnp
@@ -29,10 +30,15 @@ def main(days: int = 10, npx: int = 24, npz: int = 20, perturb: int = 1):
     grid = make_grid(npx)
     g = GridArrays.from_grid(grid)
     state, ak, bk = baroclinic_wave_state(grid, npz, perturb=bool(perturb))
+    if not hydrostatic:
+        from fv3net_tpu.dycore import add_nonhydrostatic_fields
+
+        state = add_nonhydrostatic_fields(state)
     akj, bkj = jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32)
     cfg = DycoreConfig(
         dt=900.0, n_split=4, advection_order=4, diff_coef=0.001,
         divergence_damp_coef=0.06, remap_te=True,
+        hydrostatic=bool(hydrostatic),
     )
     u0 = np.asarray(state.wind)
 
@@ -60,6 +66,8 @@ def main(days: int = 10, npx: int = 24, npz: int = 20, perturb: int = 1):
                     "mass_drift_rel": (m1 - m0) / m0,
                     "u_drift_max": float(np.abs(wind - u0).max()),
                     "wind_max": float(np.abs(wind).max()),
+                    **({"w_max": round(float(np.abs(np.asarray(state.w)).max()), 3)}
+                       if state.w is not None else {}),
                     "finite": bool(np.isfinite(wind).all()),
                     "wall_seconds": round(time.perf_counter() - t0, 1),
                 }

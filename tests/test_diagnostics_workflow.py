@@ -134,3 +134,50 @@ def test_report_and_viz(tmp_path, run_data):
     g = make_grid(8)
     fig, ax, mesh = plot_cube(g, np.asarray(ds["PRATEsfc"].data)[0])
     assert mesh is not None
+
+
+def test_new_registry_diagnostics(tmp_path):
+    """histogram, time-mean bias maps, and the diurnal-cycle composite."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core.dataset import Dataset
+    from fv3net_tpu.core.quantity import Quantity
+    from fv3net_tpu.diagnostics.prognostic.compute import compute_all
+
+    rng = np.random.RandomState(0)
+    nt, n = 8, 6
+    grid = {
+        "lat": np.zeros((6, n, n)),
+        "lon": np.linspace(0, 345, 6 * n * n).reshape(6, n, n),
+        "area": np.ones((6, n, n)),
+        "land_sea_mask": np.zeros((6, n, n)),
+    }
+    precip = 10 ** rng.uniform(-9, -3, (nt, 6, n, n))
+    pred = Dataset(
+        {
+            "PRATEsfc": Quantity(
+                jnp.asarray(precip, jnp.float32), ("time", "tile", "y", "x")
+            )
+        },
+        coords={"time": np.arange(nt) * 3.0},  # 3-hourly
+    )
+    verif = Dataset(
+        {
+            "PRATEsfc": Quantity(
+                jnp.asarray(precip * 1.1, jnp.float32),
+                ("time", "tile", "y", "x"),
+            )
+        }
+    )
+    out = compute_all(pred, grid, verification=verif)
+    hist = out["PRATEsfc_histogram"]
+    np.testing.assert_allclose(float(np.asarray(hist.data).sum()), 1.0,
+                               rtol=1e-5)
+    assert len(hist.attrs["bin_edges"]) == 51
+    bias_map = out["PRATEsfc_time_mean_bias_value"]
+    assert np.asarray(bias_map.data).shape == (6, n, n)
+    assert float(np.asarray(bias_map.data).mean()) < 0  # pred < verif
+    dc = out["PRATEsfc_diurnal_cycle"]
+    assert np.asarray(dc.data).shape == (24,)
+    assert np.isfinite(np.asarray(dc.data)).all()
