@@ -74,19 +74,23 @@ class GridArrays:
 
     @classmethod
     def from_grid(cls, grid: Grid, dtype=jnp.float32) -> "GridArrays":
-        # center-distance tables are precomputed host-side in float64
-        # (numpy), then moved to the requested device dtype
-        centers_np = np.moveaxis(grid.centers_xyz, -1, 0)
-        ext = halo_append(
-            jnp.asarray(np.moveaxis(centers_np, 0, 1).reshape(
+        # every geometry table is computed host-side in float64 numpy and
+        # cast to the device dtype LAST: adjacent-center differences
+        # cancel catastrophically if the unit vectors round through f32
+        # first (float64-exact halo: parallel/halo.py halo_append_numpy)
+        from fv3net_tpu.parallel.halo import halo_append_numpy
+
+        ext = halo_append_numpy(
+            np.moveaxis(grid.centers_xyz, -1, 1).reshape(
                 6, 3, grid.n, grid.n
-            ), dtype), 1,
+            ).astype(np.float64),
+            1,
         )
         # ext: [6, 3, n+2, n+2] unit center vectors incl. neighbors
         def gc_dist(a, b):
-            cross = jnp.linalg.norm(jnp.cross(a, b, axis=1), axis=1)
-            dot = jnp.sum(a * b, axis=1)
-            return jnp.arctan2(cross, dot) * grid.radius
+            cross = np.linalg.norm(np.cross(a, b, axis=1), axis=1)
+            dot = np.sum(a * b, axis=1)
+            return np.arctan2(cross, dot) * grid.radius
 
         # across y-edges (between (j,i-1),(j,i)): i_edge = 0..n
         dist_y = gc_dist(ext[:, :, 1:-1, :-1], ext[:, :, 1:-1, 1:])
@@ -97,13 +101,13 @@ class GridArrays:
         # interpolated value at the edge midpoint is
         #   w_left * s_left + (1 - w_left) * s_right
         # with w_left = d(right_center, edge_mid) / (d_left + d_right)
-        corners = jnp.asarray(
-            np.moveaxis(grid.corners_xyz, -1, 1), dtype
+        corners = np.moveaxis(grid.corners_xyz, -1, 1).astype(
+            np.float64
         )  # [6, 3, n+1, n+1]
         mid_y = corners[:, :, :-1, :] + corners[:, :, 1:, :]  # y-edge mids
-        mid_y = mid_y / jnp.linalg.norm(mid_y, axis=1, keepdims=True)
+        mid_y = mid_y / np.linalg.norm(mid_y, axis=1, keepdims=True)
         mid_x = corners[:, :, :, :-1] + corners[:, :, :, 1:]
-        mid_x = mid_x / jnp.linalg.norm(mid_x, axis=1, keepdims=True)
+        mid_x = mid_x / np.linalg.norm(mid_x, axis=1, keepdims=True)
 
         dl_y = gc_dist(ext[:, :, 1:-1, :-1], mid_y)
         dr_y = gc_dist(mid_y, ext[:, :, 1:-1, 1:])
@@ -113,7 +117,7 @@ class GridArrays:
         wleft_x = dr_x / (dl_x + dr_x)
 
         # least-squares gradient tables (numpy, float64)
-        ext_np = np.asarray(ext, np.float64) * grid.radius  # [6,3,n+2,n+2]
+        ext_np = ext * grid.radius  # [6, 3, n+2, n+2]
         c = ext_np[:, :, 1:-1, 1:-1]
         disp = np.stack(
             [
@@ -189,10 +193,23 @@ def _ext(field, h: int = 1):
 
 def _edge_normal_wind(wind_ext, g: GridArrays):
     """Normal velocity at y-edges and x-edges from halo-extended Cartesian
-    wind [3, 6, nz, n+2, n+2]."""
-    wy = 0.5 * (wind_ext[..., 1:-1, :-1] + wind_ext[..., 1:-1, 1:])
+    wind [3, 6, nz, n+2, n+2].
+
+    Face values use the distance-based edge-midpoint weights: plain 0.5
+    averaging is zeroth-order on the skewed cube-corner cells where the
+    two centers are not symmetric about the edge midpoint (the same
+    consideration the wleft tables encode for scalar interpolation)."""
+    wly = g.wleft_y[:, None]
+    wy = (
+        wly * wind_ext[..., 1:-1, :-1]
+        + (1.0 - wly) * wind_ext[..., 1:-1, 1:]
+    )
     vn_y = (wy * g.normal_y[:, :, None, :, :]).sum(axis=0)
-    wx = 0.5 * (wind_ext[..., :-1, 1:-1] + wind_ext[..., 1:, 1:-1])
+    wlx = g.wleft_x[:, None]
+    wx = (
+        wlx * wind_ext[..., :-1, 1:-1]
+        + (1.0 - wlx) * wind_ext[..., 1:, 1:-1]
+    )
     vn_x = (wx * g.normal_x[:, :, None, :, :]).sum(axis=0)
     return vn_y, vn_x
 
@@ -205,39 +222,6 @@ def _divergence(fy, fx, area):
     return (
         fy[..., 1:] - fy[..., :-1] + fx[..., 1:, :] - fx[..., :-1, :]
     ) / area
-
-
-def _green_gauss_gradient(s_ext, g: GridArrays):
-    """Tangent-plane gradient of a scalar [6, nz, n+2, n+2] -> [3, 6, nz, n, n].
-
-    grad s = (1/A) sum_edges (s_face - s_center) n_out L; exact zero for
-    constant fields by construction.  Face values use distance-weighted
-    interpolation at the edge midpoints — plain midpoint averaging is
-    inconsistent (zeroth-order) on the skewed cube-corner cells.
-    """
-    s_c = s_ext[..., 1:-1, 1:-1]
-    # y-edge face values (i-direction neighbors)
-    wy = g.wleft_y[:, None]
-    sy = wy * s_ext[..., 1:-1, :-1] + (1.0 - wy) * s_ext[..., 1:-1, 1:]
-    # x-edge face values
-    wx = g.wleft_x[:, None]
-    sx = wx * s_ext[..., :-1, 1:-1] + (1.0 - wx) * s_ext[..., 1:, 1:-1]
-    ly = g.edge_len_y[:, None]
-    lx = g.edge_len_x[:, None]
-    ny = g.normal_y[:, :, None]
-    nx = g.normal_x[:, :, None]
-    # n_y points +i: east edge outward normal = +n_y, west = -n_y
-    east = (sy[..., 1:] - s_c) * ly[..., 1:]
-    west = (sy[..., :-1] - s_c) * ly[..., :-1]
-    north = (sx[..., 1:, :] - s_c) * lx[..., 1:, :]
-    south = (sx[..., :-1, :] - s_c) * lx[..., :-1, :]
-    grad = (
-        east[None] * ny[..., 1:]
-        - west[None] * ny[..., :-1]
-        + north[None] * nx[..., 1:, :]
-        - south[None] * nx[..., :-1, :]
-    ) / g.area[None, :, None]
-    return grad
 
 
 def _lsq_gradient(s_ext, g: GridArrays):
@@ -488,12 +472,41 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
             ],
             axis=1,
         ) + state.phis[:, None]
-        phi_mid = phi_below + 0.5 * dphi
+        # midpoint at the hydrostatic log-pressure fraction (NOT 0.5):
+        # the PGF pairs grad(phi_mid) with grad(ln pmid_full), so the two
+        # must be evaluated at the same sub-layer position or a resting
+        # atmosphere over terrain self-accelerates (O(dlnp^2) imbalance)
+        f_mid = (lnpe[:, 1:] - jnp.log(pmid)) / dlnp
+        phi_mid = phi_below + dphi * f_mid
         tv = p_full * GRAVITY * delz_adv / (delp_new * RDGAS)  # p/(rho R)
         p_for_pgf = p_full
 
-    grad_phi = _lsq_gradient(_ext(phi_mid), g)
-    grad_lnp = _lsq_gradient(_ext(jnp.log(p_for_pgf)), g)
+    # ---- one batched halo for every PGF/damping stencil input -----------
+    # (separate per-field exchanges measured 1.35x slower; see the
+    # transport halo note above)
+    halo_fields = [phi_mid, jnp.log(p_for_pgf)]
+    if cfg.divergence_damp_coef > 0.0:
+        div = _divergence(
+            vn_y * g.edge_len_y[:, None], vn_x * g.edge_len_x[:, None],
+            g.area[:, None],
+        )
+        i_div = len(halo_fields)
+        halo_fields.append(div)
+    if cfg.diff_coef > 0.0:
+        # damp VIRTUAL TEMPERATURE, not theta_v: theta varies along
+        # terrain-following layers even in a balanced isothermal rest
+        # state, so del-2 of theta over topography manufactures
+        # circulation (mountain-rest test: 2.4 m/s/day spurious winds);
+        # del-2 of Tv is balance-neutral there and equally dissipative.
+        # The hydrostatic-convention Tv (the state's theta definition) is
+        # used in both modes, keeping the inverse conversion exact.
+        tv_damp = pt_new * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+        i_tv = len(halo_fields)
+        halo_fields.append(tv_damp)
+    ext2 = _ext(jnp.stack(halo_fields, axis=1))
+
+    grad_phi = _lsq_gradient(ext2[:, 0], g)
+    grad_lnp = _lsq_gradient(ext2[:, 1], g)
     pgf = -grad_phi - RDGAS * tv[None] * grad_lnp
 
     # ---- Coriolis -------------------------------------------------------
@@ -504,12 +517,8 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
 
     # ---- divergence damping ---------------------------------------------
     if cfg.divergence_damp_coef > 0.0:
-        div = _divergence(
-            vn_y * g.edge_len_y[:, None], vn_x * g.edge_len_x[:, None],
-            g.area[:, None],
-        )
         nu_d = cfg.divergence_damp_coef * g.area.mean() / dt
-        wind_new = wind_new + dt * nu_d * _lsq_gradient(_ext(div), g)
+        wind_new = wind_new + dt * nu_d * _lsq_gradient(ext2[:, i_div], g)
 
     # ---- del-2 damping --------------------------------------------------
     if cfg.diff_coef > 0.0:
@@ -518,12 +527,7 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         wind_new = wind_new + dt * jnp.stack(
             [_del2(wind_e1[c], g, nu) for c in range(3)]
         )
-        # damp VIRTUAL TEMPERATURE, not theta_v: theta varies along
-        # terrain-following layers even in a balanced isothermal rest
-        # state, so del-2 of theta over topography manufactures
-        # circulation (mountain-rest test: 2.4 m/s/day spurious winds);
-        # del-2 of Tv is balance-neutral there and equally dissipative
-        dtv = _del2(_ext(tv), g, nu)
+        dtv = _del2(ext2[:, i_tv], g, nu)
         pt_new = pt_new + dt * dtv * (
             REFERENCE_SURFACE_PRESSURE / pmid
         ) ** KAPPA
@@ -539,8 +543,14 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
             w_e1 = w_e[..., h - 1 : w_e.shape[-2] - (h - 1),
                        h - 1 : w_e.shape[-1] - (h - 1)]
             w_adv = w_adv + dt * _del2(w_e1, g, nu)
+        # material lower BC over terrain: w at the ground follows the
+        # surface-parallel flow, w_s = u · grad(z_s)
+        grad_zs = (
+            _lsq_gradient(_ext(state.phis[:, None]), g)[:, :, 0] / GRAVITY
+        )  # [3, 6, ny, nx]
+        w_surf = (wind_new[:, :, -1] * grad_zs).sum(axis=0)
         w_new, delz_new = nonhydro.vertical_solver(
-            w_adv, delz_adv, delp_new, pt_new, dt, cfg.ptop
+            w_adv, delz_adv, delp_new, pt_new, dt, cfg.ptop, w_surf=w_surf
         )
 
     return DycoreState(
@@ -573,11 +583,15 @@ def _column_te(pe, tv, ke, phis):
     return CP_AIR * tv + phi_mid + ke, pmid
 
 
-def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None):
+def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None,
+                        delz2=None):
     """FV3's energy-conserving temperature remap (fv_mapz.F90 te_map):
     remap column total energy conservatively, then recover Tv on the new
-    layers by the hydrostatic upward sweep
-    Tv_k = (te_k - K_k - phi_below_k) / (cp + R/2 dlnp_k).
+    layers.  Hydrostatic: phi from R Tv dlnp and the implicit upward
+    sweep Tv_k = (te_k - K_k - phi_below_k) / (cp + R/2 dlnp_k).
+    Nonhydrostatic (``delz2`` given): phi is GEOMETRIC (g dz), so the
+    recovery is direct, Tv = (te - K - phi_mid) / cp — using the
+    hydrostatic phi there would conserve the wrong energy.
     Returns theta_v on the target layers (z-last)."""
     delp1 = zlast(state.delp)
     lnpe1 = jnp.log(pe1)
@@ -587,7 +601,21 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None):
     ke1 = 0.5 * sum(zlast(state.wind[c]) ** 2 for c in range(3))
     if state.w is not None:
         ke1 = ke1 + 0.5 * zlast(state.w) ** 2
-    te1, _ = _column_te(pe1, tv1, ke1, state.phis)
+    nonhydro = state.delz is not None
+    if nonhydro:
+        dz1 = zlast(state.delz)
+        dphi1 = GRAVITY * dz1
+        phi_above_rev = jnp.cumsum(jnp.flip(dphi1, axis=-1), axis=-1)
+        phi_below1 = jnp.concatenate(
+            [jnp.flip(phi_above_rev, axis=-1)[..., 1:],
+             jnp.zeros_like(dz1[..., :1])],
+            axis=-1,
+        ) + state.phis[..., None]
+        # same hydrostatic-fraction midpoint as the NH PGF (see _substep)
+        f1 = (lnpe1[..., 1:] - jnp.log(pmid1)) / dlnp1
+        te1 = CP_AIR * tv1 + phi_below1 + dphi1 * f1 + ke1
+    else:
+        te1, _ = _column_te(pe1, tv1, ke1, state.phis)
     from fv3net_tpu.ops import remap as _rm
 
     if search is not None:
@@ -599,6 +627,18 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None):
     dlnp2 = lnpe2[..., 1:] - lnpe2[..., :-1]
     pmid2 = (pe2[..., 1:] - pe2[..., :-1]) / dlnp2
     ke2 = 0.5 * sum(w ** 2 for w in wind2)
+
+    if nonhydro:
+        dphi2 = GRAVITY * delz2
+        phi_above_rev2 = jnp.cumsum(jnp.flip(dphi2, axis=-1), axis=-1)
+        phi_below2 = jnp.concatenate(
+            [jnp.flip(phi_above_rev2, axis=-1)[..., 1:],
+             jnp.zeros_like(delz2[..., :1])],
+            axis=-1,
+        ) + state.phis[..., None]
+        f2 = (lnpe2[..., 1:] - jnp.log(pmid2)) / dlnp2
+        tv2 = (te2 - ke2 - phi_below2 - dphi2 * f2) / CP_AIR
+        return tv2 / (pmid2 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
 
     # upward sweep: z index 0 = top, so reverse=True starts at the
     # surface layer (phis) and carries phi upward
@@ -657,18 +697,28 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     pt2, comp2, tracers2 = vertical.remap_column_fields(
         pe1,
         pe2,
-        zlast(state.pt),
+        # remap_te recomputes theta from the energy remap, so the plain
+        # theta remap would be discarded — skip it then
+        None if cfg.remap_te else zlast(state.pt),
         components,
         {k: zlast(v) for k, v in state.tracers.items()},
         kord=cfg.kord,
         search=search,
     )
     wind2 = comp2[:3]
+
+    dz2_zlast = None
+    if state.w is not None:
+        # delz remaps as mass-weighted specific volume (dz per unit dpi):
+        # conserving its mass integral conserves the total column height
+        sv2 = _rm_specific_volume(state, pe1, pe2, cfg, zlast, search=search)
+        dz2_zlast = sv2 * (pe2[..., 1:] - pe2[..., :-1])
+
     if cfg.remap_te:
         # comp2 includes the remapped w when nonhydrostatic, so the
         # target-layer kinetic energy picks up 0.5 w^2 automatically
         pt2 = _remap_total_energy(state, pe1, pe2, comp2, cfg, zlast,
-                                  search=search)
+                                  search=search, delz2=dz2_zlast)
 
     def zmid(x):
         return jnp.moveaxis(x, -1, 1)
@@ -676,10 +726,7 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     w2 = delz2 = None
     if state.w is not None:
         w2 = zmid(comp2[3])
-        # delz remaps as mass-weighted specific volume (dz per unit dpi):
-        # conserving its mass integral conserves the total column height
-        sv2 = _rm_specific_volume(state, pe1, pe2, cfg, zlast, search=search)
-        delz2 = zmid(sv2 * (pe2[..., 1:] - pe2[..., :-1]))
+        delz2 = zmid(dz2_zlast)
 
     return DycoreState(
         delp=zmid(pe2[..., 1:] - pe2[..., :-1]),

@@ -68,7 +68,12 @@ def remap_column_fields(
     if search is None and window is not None and pe2.shape[-1] == pe1.shape[-1]:
         search = _remap.banded_search(pe1, pe2, window)
     if search is not None:
-        pt2 = _remap.remap_apply(search, pt, iv=2, kord=kord)
+        # pt=None skips the theta remap (callers recomputing theta from
+        # the total-energy remap would discard it)
+        pt2 = (
+            None if pt is None
+            else _remap.remap_apply(search, pt, iv=2, kord=kord)
+        )
         wind2_stack = _remap.remap_apply(
             search, jnp.stack(wind_xyz), iv=-1, kord=kord
         )
@@ -77,7 +82,11 @@ def remap_column_fields(
             search, jnp.stack([tracers[n] for n in names]), iv=0, kord=kord
         )
     else:
-        pt2 = _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord, window=window)
+        pt2 = (
+            None if pt is None
+            else _remap.remap_ppm(pe1, pt, pe2, iv=2, kord=kord,
+                                  window=window)
+        )
         wind2_stack = _remap.remap_ppm(
             pe1[None], jnp.stack(wind_xyz), pe2[None], iv=-1, kord=kord,
             window=window,

@@ -157,12 +157,7 @@ def _cached_topology():
 
 @lru_cache(maxsize=None)
 def _cached_tables(n: int, h: int) -> HaloTables:
-    # topology depends only on the face layout, which is fixed; derive from
-    # a small grid to keep this cheap.
-    from fv3net_tpu.grid.geometry import make_grid
-
-    topo = make_grid(min(n, 4)).topology
-    return build_halo_tables(topo, n, h)
+    return build_halo_tables(_cached_topology(), n, h)
 
 
 def halo_append_gather(
@@ -310,11 +305,26 @@ def halo_append(field: jnp.ndarray, h: int, tables=None,
     )
 
 
-def halo_append_vector(fields, h: int, tables: HaloTables = None):
-    """Halo-append each Cartesian component of a 3-D tangent-vector field.
+def halo_append_numpy(field: np.ndarray, h: int) -> np.ndarray:
+    """Host-side float64-exact halo append (numpy fancy indexing over the
+    gather tables).  Used for geometry-table construction, which must not
+    round adjacent-center differences through the device dtype."""
+    n = field.shape[-1]
+    tables = _cached_tables(n, h)
+    lead_shape = field.shape[1:-2]
+    B = int(np.prod(lead_shape)) if lead_shape else 1
+    f = np.ascontiguousarray(field).reshape(NUM_TILES, B, n, n)
 
-    No rotation is required: components are in a global frame.  (Contrast
-    with the reference, which must rotate lat-lon / D-grid components at
-    tile boundaries.)
-    """
-    return tuple(halo_append(c, h, tables) for c in fields)
+    we = f[tables.we_tile[:, None, :, :], np.arange(B)[None, :, None, None],
+           tables.we_j[:, None, :, :], tables.we_i[:, None, :, :]]
+    ext = np.zeros((NUM_TILES, B, n + 2 * h, n + 2 * h), field.dtype)
+    ext[:, :, h : h + n, h : h + n] = f
+    ext[:, :, h : h + n, tables.we_dst_i] = we
+    for _ in range(2):
+        sn = ext[tables.sn_tile[:, None, :, :],
+                 np.arange(B)[None, :, None, None],
+                 tables.sn_j[:, None, :, :], tables.sn_i[:, None, :, :]]
+        ext[:, :, tables.sn_dst_j, :] = sn
+    return ext.reshape(
+        (NUM_TILES,) + tuple(lead_shape) + (n + 2 * h, n + 2 * h)
+    )

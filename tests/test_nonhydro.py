@@ -168,3 +168,24 @@ def test_time_loop_nonhydrostatic_runs():
     assert np.isfinite(np.asarray(loop.state.dycore.w)).all()
     assert np.isfinite(np.asarray(loop.state.dycore.delz)).all()
     assert (np.asarray(loop.state.dycore.delz) > 0).all()
+
+
+def test_nonhydrostatic_mountain_rest_stays_at_rest(setup):
+    """Balanced rest over a 2-km mountain with the NONHYDROSTATIC core:
+    the EOS full-pressure PGF, geometric geopotential, terrain w-surface
+    BC (w_s = u·grad z_s = 0 at rest), and the NH energy remap must all
+    preserve the exact balance."""
+    from fv3net_tpu.dycore.testcases import mountain_rest_state
+
+    grid, g = setup
+    state, ak, bk = mountain_rest_state(grid, nz=10, h_max=2000.0)
+    state = add_nonhydrostatic_fields(state)
+    cfg = DycoreConfig(
+        dt=900.0, n_split=2, advection_order=4, diff_coef=0.004,
+        divergence_damp_coef=0.06, remap_te=True, hydrostatic=False,
+    )
+    akj, bkj = jnp.asarray(ak), jnp.asarray(bk)
+    for _ in range(12):  # 3 hours
+        state = dynamics_step(state, g, akj, bkj, cfg)
+    assert np.abs(np.asarray(state.wind)).max() < 1e-7
+    assert np.abs(np.asarray(state.w)).max() < 1e-7
