@@ -14,7 +14,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from fv3net_tpu.core.constants import CP_AIR, GRAVITY, KAPPA, RDGAS
+from fv3net_tpu.core.constants import CP_AIR, KAPPA, RVGAS
 from fv3net_tpu.ops import thermo
 from fv3net_tpu.physics.microphysics import saturation_specific_humidity
 
@@ -47,7 +47,7 @@ def _parcel_profile(T, q, pmid):
     lv = thermo.latent_heat_vaporization(T_dry)
     excess = jnp.maximum(q_sfc - qsat, 0.0)
     # one linearized correction for latent heating
-    dqsat_dT = lv * qsat / (461.5 * jnp.maximum(T_dry, 150.0) ** 2)
+    dqsat_dT = lv * qsat / (RVGAS * jnp.maximum(T_dry, 150.0) ** 2)
     dT = lv * excess / (CP_AIR * (1.0 + lv / CP_AIR * dqsat_dT))
     return T_dry + dT
 
@@ -65,13 +65,11 @@ def betts_miller(
     conserves column enthalpy.
     """
     T_ref = _parcel_profile(T, q, pmid)
-    unstable = (T_ref > T) & (pmid > params.p_top)
-    any_unstable = unstable.any(axis=-1, keepdims=True)
+    w = (T_ref > T) & (pmid > params.p_top)
 
     T_ref = jnp.minimum(T_ref, T + params.buoyancy_cap)
     q_ref = params.rh_ref * saturation_specific_humidity(T_ref, pmid)
 
-    w = unstable & any_unstable
     dT = jnp.where(w, (T_ref - T) * dt / params.tau, 0.0)
     dq = jnp.where(w, (q_ref - q) * dt / params.tau, 0.0)
     dq = jnp.maximum(dq, -q)  # cannot dry below zero humidity
@@ -85,10 +83,24 @@ def betts_miller(
     col_dq = (dq * dm).sum(axis=-1, keepdims=True)
     dq_shift = jnp.where(wm > 0, jnp.maximum(col_dq, 0.0) / jnp.maximum(wm, 1.0), 0.0)
     dq = jnp.where(w, dq - dq_shift, 0.0)
-    # (2) shift dT so cp<dT> + Lv<dq> = 0 (column moist enthalpy conserved)
+    # the shift can over-dry layers that were already near zero humidity:
+    # clamp to dq >= -q, then remove the clamp's water residual from the
+    # layers that still have moisture (weighted by what they can spare) —
+    # otherwise the clip silently CREATES column water
+    dq = jnp.maximum(dq, -q)
+    col_dq = (dq * dm).sum(axis=-1, keepdims=True)
+    excess = jnp.maximum(col_dq, 0.0)
+    cap = jnp.maximum(q + dq, 0.0) * dm * w
+    cap_sum = cap.sum(axis=-1, keepdims=True)
+    take = jnp.where(
+        cap_sum > 0.0, excess * cap / jnp.maximum(cap_sum, 1e-30) / dm, 0.0
+    )
+    dq = dq - take
+    # (2) shift dT so cp<dT> + Lv<dq> = 0 for the FINAL dq (column moist
+    # enthalpy conserved exactly, including the clamped layers)
     col_h = (CP_AIR * dT * dm + lv * dq * dm).sum(axis=-1, keepdims=True)
     corr = jnp.where(wm > 0, col_h / (CP_AIR * jnp.maximum(wm, 1.0)), 0.0)
     dT = jnp.where(w, dT - corr, 0.0)
 
     precip = jnp.maximum(-(dq * dm).sum(axis=-1) / dt, 0.0)
-    return T + dT, jnp.maximum(q + dq, 0.0), precip
+    return T + dT, q + dq, precip

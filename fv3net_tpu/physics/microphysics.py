@@ -61,7 +61,10 @@ def gscond(T, q, qc, p, dt: float, params: MicrophysicsParams = MicrophysicsPara
     """Grid-scale condensation/evaporation (the 'gscond' stage).
 
     Args/returns are (..., nz) arrays: temperature K, specific humidity
-    and cloud water kg/kg, midlayer pressure Pa.
+    and cloud water kg/kg, midlayer pressure Pa.  The adjustment is
+    INSTANTANEOUS (saturation is removed fully each call, iterated
+    ``n_adjust`` times); ``dt`` is accepted for the stage's uniform hook
+    signature but does not scale the condensation.
     """
     for _ in range(params.n_adjust):
         lv = thermo.latent_heat_vaporization(T)
@@ -80,8 +83,11 @@ def precpd(
     """Precipitation production + fall with re-evaporation (the 'precpd'
     stage).  Returns (T, q, qc, surface_precip_rate [kg/m^2/s]).
     """
-    # autoconversion + (crude) accretion, limited by available cloud water
-    rate = params.auto_conversion_rate * jnp.maximum(qc - params.qc_crit, 0.0)
+    # autoconversion + crude accretion (collection scales with the cloud
+    # water itself), limited by available cloud water
+    rate = (
+        params.auto_conversion_rate + params.accretion_rate * qc
+    ) * jnp.maximum(qc - params.qc_crit, 0.0)
     dqp = jnp.minimum(rate * dt, qc)
     qc = qc - dqp
 

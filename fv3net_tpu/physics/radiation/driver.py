@@ -104,8 +104,19 @@ class RadiationDriver:
 
         T = cols(T)
         dp = cols(dp)
-        q = cols(state.get("specific_humidity", jnp.zeros_like(T) + 1e-6))
-        qc = cols(state.get("cloud_water_mixing_ratio", jnp.zeros_like(T)))
+        # defaults must be built at the FLAT column shape: zeros_like of
+        # the already-flattened T re-reshaped with the original lead ndim
+        # crashes for multi-dim leads
+        q_raw = state.get("specific_humidity")
+        q = (
+            cols(q_raw) if q_raw is not None
+            else jnp.full((ncol, nz), 1e-6, jnp.float32)
+        )
+        qc_raw = state.get("cloud_water_mixing_ratio")
+        qc = (
+            cols(qc_raw) if qc_raw is not None
+            else jnp.zeros((ncol, nz), jnp.float32)
+        )
         tsfc = cols(state["surface_temperature"])
         lat = cols(state["latitude"])
         lon = cols(state["longitude"])
@@ -161,13 +172,19 @@ class RadiationDriver:
         # threads fresh rand2d_data per call): fold the seed with a
         # state-derived integer so successive calls see different
         # subcolumn patterns without an API change
-        state_fold = (jnp.abs(T).sum() * 16.0).astype(jnp.int32) % 1000003
+        # modulo in FLOAT before the integer cast: f32->s32 saturates at
+        # 2^31 for realistic grids, which would freeze the fold
+        state_fold = ((jnp.abs(T).sum() * 16.0) % 1000003.0).astype(
+            jnp.int32
+        )
         key = jax.random.fold_in(
             jax.random.PRNGKey(cfg.mcica_seed), state_fold
         )
-        mask_lw = optics.mcica_subcolumns(cldfrac, P.NGPT_LW, key)
+        mask_lw = optics.mcica_subcolumns(
+            cldfrac, P.NGPT_LW, key, iovr=cfg.iovr
+        )
         mask_sw = optics.mcica_subcolumns(
-            cldfrac, P.NGPT_SW, jax.random.fold_in(key, 1)
+            cldfrac, P.NGPT_SW, jax.random.fold_in(key, 1), iovr=cfg.iovr
         )
 
         # ---------------- longwave

@@ -62,7 +62,10 @@ def lw_transfer(tau, e_lev, e_lay, e_sfc, emis, dp):
     fup_sfc = emis[:, None] * e_sfc + (1.0 - emis[:, None]) * fdn_sfc
 
     def up(fup, inp):
-        x_k, et, eb = inp
+        # xs are (x, e_bot, e_top); upward propagation has near = BOTTOM
+        # and far = TOP (in the opaque limit the upward flux must equal
+        # the Planck emission of the layer's top boundary)
+        x_k, eb, et = inp
         tr, src = _source_terms(eb, et, x_k)
         f = fup * tr + src
         return f, f

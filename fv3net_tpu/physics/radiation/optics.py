@@ -126,18 +126,23 @@ def cloud_optics(lwp, iwp, re_liq, re_ice, cldfrac) -> CloudOptics:
                        jnp.clip(asy, 0.0, 1.0), cldfrac)
 
 
-def mcica_subcolumns(cldfrac, ngpt: int, key) -> jnp.ndarray:
-    """Binary cloud mask [ncol, ngpt, nlay] with maximum-random overlap.
+def mcica_subcolumns(cldfrac, ngpt: int, key, iovr: int = 1) -> jnp.ndarray:
+    """Binary cloud mask [ncol, ngpt, nlay].
 
-    The reference threads `rand2d_data` into radlw/radsw for McICA
-    (radlw_main.py lwrad rand2d_data arg); here the deviates come from the
-    jax PRNG and the overlap recursion is a `lax.scan` down the column:
-    adjacent cloudy layers share the same deviate (maximum overlap),
-    layers separated by clear air re-draw (random overlap).
+    ``iovr=1``: maximum-random overlap (the reference's default) —
+    adjacent cloudy layers share a deviate, layers separated by clear air
+    re-draw.  ``iovr=0``: pure random overlap (independent deviates per
+    layer).  The reference threads `rand2d_data` into radlw/radsw for
+    McICA (radlw_main.py lwrad rand2d_data arg); here the deviates come
+    from the jax PRNG and the overlap recursion is a `lax.scan` down the
+    column.
     """
     ncol, nlay = cldfrac.shape
     u = jax.random.uniform(key, (nlay, ncol, ngpt), jnp.float32)
     cf = jnp.moveaxis(cldfrac, -1, 0)[:, :, None]  # [nlay, ncol, 1]
+
+    if iovr == 0:  # random overlap: independent per layer
+        return jnp.moveaxis(u < cf, 0, -1)
 
     def body(x_prev, inp):
         u_k, cf_prev, cf_k = inp

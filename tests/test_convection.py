@@ -68,3 +68,25 @@ def test_adjustment_reduces_instability():
     dT_before = T[0, -1] - T[0, nz_mid := 8]
     dT_after = Tn[0, -1] - Tn[0, nz_mid]
     assert dT_after < dT_before + 1e-9
+
+
+def test_dry_midlevels_conserve_water_and_enthalpy():
+    """A bone-dry mid-troposphere over a moist boundary layer: the
+    reference-shift clamp must not create column water (regression: the
+    final q>=0 clip injected ~kg/m^2 of water with zero precip)."""
+    T, q, pmid, delp = column(t_sfc=305.0, lapse=9.5e-3, rh=0.9)
+    q = np.asarray(q)
+    q[0, 4:10] = 1e-8  # dry slot
+    qj = jnp.asarray(q)
+    params = ConvectionParams(tau=900.0)  # tau=dt: strongest adjustment
+    T2, q2, precip = map(
+        np.asarray, betts_miller(T, qj, pmid, delp, 900.0, params)
+    )
+    dm = np.asarray(delp) / c.GRAVITY
+    water = ((q2 - q) * dm).sum() + float(precip[0]) * 900.0
+    assert abs(water) < 1e-10
+    lv = np.asarray(thermo.latent_heat_vaporization(T))
+    dh = (c.CP_AIR * (T2 - np.asarray(T)) * dm + lv * (q2 - q) * dm).sum()
+    scale = float((c.CP_AIR * np.abs(T2 - np.asarray(T)) * dm).sum()) + 1.0
+    assert abs(dh) < 1e-6 * scale + 1e-6
+    assert (q2 >= 0).all()

@@ -274,3 +274,43 @@ def test_wrapper_scheme_dispatch():
     assert "tendency_of_air_temperature_due_to_radiation" in out_gray
     with pytest.raises(ValueError):
         Radiation(RadiationConfig(scheme="nope"), 900.0).validate()
+
+
+def test_lw_opaque_limit_emits_from_layer_top():
+    """In the optically thick limit the upward flux leaving a layer must
+    equal the Planck emission of its TOP boundary (regression: the up-pass
+    source boundaries were swapped, biasing OLR toward the warmer lower
+    boundary in every thick g-point)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics.radiation.lw import lw_transfer
+
+    ncol, ngpt, nlay = 2, 1, 4
+    e_lev = jnp.asarray(np.linspace(1.0, 5.0, nlay + 1))[None, None, :]
+    e_lev = e_lev * jnp.ones((ncol, ngpt, 1))
+    tau = jnp.full((ncol, ngpt, nlay), 50.0)
+    fl = lw_transfer(
+        tau, e_lev, None, e_lev[..., -1], jnp.ones((ncol,)),
+        jnp.full((ncol, nlay), 1e4),
+    )
+    assert abs(float(fl.up[0, 0]) - 1.0) < 0.05
+    # downward flux at the surface likewise emits from the BOTTOM boundary
+    assert abs(float(fl.dn[0, -1]) - 5.0) < 0.25
+
+
+def test_mcica_random_overlap_option():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics.radiation.optics import mcica_subcolumns
+
+    cf = jnp.full((16, 10), 0.5)
+    k = jax.random.PRNGKey(0)
+    m1 = np.asarray(mcica_subcolumns(cf, 64, k, iovr=1))
+    m0 = np.asarray(mcica_subcolumns(cf, 64, k, iovr=0))
+    assert not np.array_equal(m1, m0)
+    # both honor the cloud fraction statistically
+    for m in (m0, m1):
+        assert abs(m.mean() - 0.5) < 0.05
