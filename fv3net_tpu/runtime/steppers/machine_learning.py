@@ -122,6 +122,13 @@ def add_tendency(state: DerivedState, tendencies, dt: float) -> None:
     add_tendency)."""
     for key, tend in tendencies.items():
         target = names.TENDENCY_TO_STATE_NAME.get(key)
+        if target is None and key.endswith("_tendency_due_to_nudging"):
+            # nudged variables outside the dQ* conventions (e.g. surface
+            # fields) carry their state name in the tendency key;
+            # dropping them silently made such nudging a no-op
+            candidate = key[: -len("_tendency_due_to_nudging")]
+            if candidate in state:
+                target = candidate
         if target is None:
             continue
         cur = state[target]

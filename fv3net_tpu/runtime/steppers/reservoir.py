@@ -2,7 +2,8 @@
 
 reference: workflows/prognostic_c48_run/runtime/steppers/reservoir.py
 (507 LoC): ReservoirConfig with per-rank models, _FiniteStateMachine:84
-enforcing increment-before-predict sequencing, TimeAverageInputs:123,
+enforcing increment-before-predict sequencing, TimeAverageInputs:123
+(here folded into the incrementer's reservoir-timestep accumulation),
 ReservoirIncrementOnlyStepper:238 / ReservoirPredictStepper:317.
 
 Here "per-rank models" collapse to one model over all columns (no MPI
@@ -41,6 +42,12 @@ class _FiniteStateMachine:
     def __init__(self):
         self._last_called: Optional[str] = None
         self.completed_increments = 0
+        # reservoir-timestep bookkeeping (shared by the increment/predict
+        # stepper pair through the model)
+        self.accum = None
+        self.accum_n = 0
+        self.last_fire = None
+        self.pending_predict = False
 
     def __call__(self, state: str) -> None:
         if state == self.INCREMENT:
@@ -56,32 +63,6 @@ class _FiniteStateMachine:
             raise ValueError(state)
 
 
-class TimeAverageInputs:
-    """Running mean of input fields between reservoir steps
-    (reference reservoir.py:123-160)."""
-
-    def __init__(self, variables: Sequence[str]):
-        self.variables = list(variables)
-        self._sum: Dict[str, jnp.ndarray] = {}
-        self._count = 0
-
-    def increment(self, data: Dict[str, jnp.ndarray]) -> None:
-        for v in self.variables:
-            if v in self._sum:
-                self._sum[v] = self._sum[v] + data[v]
-            else:
-                self._sum[v] = data[v]
-        self._count += 1
-
-    def get_averages(self) -> Dict[str, jnp.ndarray]:
-        if self._count == 0:
-            raise ValueError("no inputs accumulated")
-        out = {v: self._sum[v] / self._count for v in self.variables}
-        self._sum = {}
-        self._count = 0
-        return out
-
-
 class _ReservoirStepper:
     def __init__(self, model, config: ReservoirConfig,
                  input_variables: Optional[Sequence[str]] = None):
@@ -92,7 +73,6 @@ class _ReservoirStepper:
         )
         self._fsm = getattr(model, "_fsm", None) or _FiniteStateMachine()
         model._fsm = self._fsm
-        self.averager = TimeAverageInputs(self.input_variables)
 
     @property
     def _spatial(self) -> bool:
@@ -126,20 +106,37 @@ class _ReservoirStepper:
 
 
 class ReservoirIncrementOnlyStepper(_ReservoirStepper):
-    """Drive the reservoir state with current model state
-    (reference reservoir.py:238)."""
+    """Drive the reservoir with TIME-AVERAGED model state at the
+    reservoir's own cadence (reference reservoir.py:238 +
+    TimeAverageInputs:123 — models are trained on averaged inputs at
+    ``reservoir_timestep_seconds``, which may be a multiple of the model
+    step)."""
 
     label = "reservoir_incrementer"
 
     def __call__(self, time, state: DerivedState):
         u = self._pull_inputs(state)
-        if not self._spatial and (
-            self.model.state.ndim < 2
-            or self.model.state.shape[0] != u.shape[0]
-        ):
-            self.model.reset_state(batch_shape=(u.shape[0],))
-        self.model.increment(u)
-        self._fsm(self._fsm.INCREMENT)
+        f = self._fsm
+        f.accum = u if f.accum is None else f.accum + u
+        f.accum_n += 1
+        rts = self.config.reservoir_timestep_seconds
+        due = (
+            f.last_fire is None
+            or (time - f.last_fire).total_seconds() + 1e-6 >= rts
+        )
+        if due:
+            u_avg = f.accum / f.accum_n
+            if not self._spatial and (
+                self.model.state.ndim < 2
+                or self.model.state.shape[0] != u_avg.shape[0]
+            ):
+                self.model.reset_state(batch_shape=(u_avg.shape[0],))
+            self.model.increment(u_avg)
+            f(f.INCREMENT)
+            f.accum = None
+            f.accum_n = 0
+            f.last_fire = time
+            f.pending_predict = True
         return {}, {}, {}
 
 
@@ -150,6 +147,9 @@ class ReservoirPredictStepper(_ReservoirStepper):
     label = "reservoir_predictor"
 
     def __call__(self, time, state: DerivedState):
+        if not self._fsm.pending_predict:
+            return {}, {}, {}  # between reservoir timesteps: no-op
+        self._fsm.pending_predict = False
         self._fsm(self._fsm.PREDICT)
         if self._fsm.completed_increments <= self.config.synchronize_steps:
             return {}, {}, {}
@@ -158,6 +158,13 @@ class ReservoirPredictStepper(_ReservoirStepper):
         state_updates = {}
         if self._spatial:
             nz = state[names.DELP].shape[1]
+            n_out = len(self.model.output_variables)
+            if pred.shape[-1] != n_out * nz:
+                raise ValueError(
+                    f"spatial reservoir prediction has {pred.shape[-1]} "
+                    f"features but the run expects {n_out} x nz={nz} "
+                    "(model trained on a different vertical grid?)"
+                )
             start = 0
             for v in self.model.output_variables:
                 chunk = pred[..., start : start + nz]  # [6, y, x, z]
@@ -169,9 +176,18 @@ class ReservoirPredictStepper(_ReservoirStepper):
         grid_shape = tuple(
             state[names.DELP].shape[i] for i in (0, 2, 3)
         )
+        feats = getattr(self.model, "output_features", None)
+        if not feats:
+            if len(self.model.output_variables) == 1:
+                feats = [pred.shape[-1]]  # one variable owns the vector
+            else:
+                raise ValueError(
+                    "reservoir model lacks output_features metadata and "
+                    "has multiple output variables; cannot split the "
+                    "prediction unambiguously"
+                )
         start = 0
-        for v, nf in zip(self.model.output_variables,
-                         getattr(self.model, "output_features", None) or []):
+        for v, nf in zip(self.model.output_variables, feats):
             chunk = pred[:, start : start + nf]
             start += nf
             state_updates[v] = Quantity(

@@ -14,7 +14,8 @@ from fv3net_tpu.fit.reservoir import (
     train_reservoir_model,
 )
 from fv3net_tpu.runtime.steppers.reservoir import (
-    TimeAverageInputs,
+    ReservoirConfig,
+    ReservoirIncrementOnlyStepper,
     _FiniteStateMachine,
 )
 
@@ -94,14 +95,40 @@ def test_finite_state_machine_enforces_order():
     assert fsm.completed_increments == 1
 
 
-def test_time_average_inputs():
-    avg = TimeAverageInputs(["a"])
-    avg.increment({"a": jnp.asarray(1.0)})
-    avg.increment({"a": jnp.asarray(3.0)})
-    out = avg.get_averages()
-    np.testing.assert_allclose(float(out["a"]), 2.0)
-    with pytest.raises(ValueError):
-        avg.get_averages()  # buffer was reset
+def test_incrementer_time_averages_at_reservoir_cadence():
+    """The incrementer accumulates model-step inputs and fires the
+    reservoir with their average every reservoir_timestep_seconds."""
+    import datetime
+
+    fired = []
+
+    class FakeSpatialModel:
+        divider = object()  # marks the model as spatial/subdomain
+        input_variables = ["a"]
+
+        def increment(self, u):
+            fired.append(np.asarray(u))
+
+    model = FakeSpatialModel()
+    rc = ReservoirConfig(reservoir_timestep_seconds=1800.0)
+    inc = ReservoirIncrementOnlyStepper(model, rc)
+    t0 = datetime.datetime(2020, 1, 1)
+    dt = datetime.timedelta(seconds=900)
+
+    def state_with(value):
+        arr = jnp.full((6, 4, 4), value)  # [tile, y, x]
+        return {"a": Quantity(arr, ("tile", "y", "x"))}
+
+    inc(t0, state_with(1.0))          # first call always fires
+    assert len(fired) == 1
+    np.testing.assert_allclose(fired[0], 1.0)
+    inc(t0 + dt, state_with(2.0))     # accumulates (900 < 1800 elapsed)
+    assert len(fired) == 1
+    inc(t0 + 2 * dt, state_with(4.0))  # 1800 s elapsed: fires the average
+    assert len(fired) == 2
+    np.testing.assert_allclose(fired[1], 3.0)  # mean of 2.0 and 4.0
+    assert inc.completed_sync_steps == 2
+    assert inc._fsm.pending_predict
 
 
 # ----------------------------------------------------- subdomain reservoir

@@ -63,3 +63,34 @@ def test_log_viewer_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "2 steps" in out
     assert "PRATEsfc" in out and "max=3" in out
+
+
+def test_add_tendency_applies_nudging_keys_to_state_variables():
+    """``{var}_tendency_due_to_nudging`` keys outside the dQ* conventions
+    must update ``var`` directly (dropping them silently made surface
+    nudging a no-op)."""
+    from fv3net_tpu.runtime.steppers.machine_learning import add_tendency
+
+    state = {
+        "air_temperature": Quantity(jnp.full((2, 3), 250.0), ("y", "x")),
+        "surface_temperature": Quantity(jnp.full((2, 3), 290.0), ("y", "x")),
+    }
+    tendencies = {
+        # dQ1 maps to air_temperature through TENDENCY_TO_STATE_NAME
+        "dQ1": Quantity(jnp.full((2, 3), 1e-3), ("y", "x")),
+        # non-dQ nudging key: state name embedded in the key
+        "surface_temperature_tendency_due_to_nudging": Quantity(
+            jnp.full((2, 3), 2e-3), ("y", "x")
+        ),
+        # unknown key with no matching state variable: ignored
+        "mystery_tendency_due_to_nudging": Quantity(
+            jnp.full((2, 3), 5.0), ("y", "x")
+        ),
+    }
+    add_tendency(state, tendencies, dt=100.0)
+    np.testing.assert_allclose(
+        np.asarray(state["air_temperature"].data), 250.0 + 0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["surface_temperature"].data), 290.0 + 0.2
+    )
