@@ -48,6 +48,8 @@ class ZarrArray:
         fv = meta.get("fill_value", 0)
         if isinstance(fv, str):  # zarr v2 encodes NaN/Infinity as strings
             fv = {"NaN": np.nan, "Infinity": np.inf, "-Infinity": -np.inf}[fv]
+        if fv is None:  # zarr "undefined" fill: any value is legal for holes
+            fv = 0
         self.fill_value = fv
         comp = meta.get("compressor")
         self.compressed = comp is not None and comp.get("id") == "zlib"
@@ -154,7 +156,8 @@ class ZarrArray:
         sel = []
         for k, size in zip(key + (slice(None),) * (len(self.shape) - len(key)),
                            self.shape):
-            if isinstance(k, int):
+            if isinstance(k, (int, np.integer)):
+                k = int(k) + size if k < 0 else int(k)
                 sel.append(slice(k, k + 1))
             else:
                 start, stop, step = k.indices(size)

@@ -194,12 +194,25 @@ class StorageHook:
             return
         names = self.variables or sorted(state)
         if self._store is None:
-            self._store = zarrio.ZarrGroup.create(self.output_path)
+            existing = os.path.exists(
+                os.path.join(self.output_path, ".zgroup")
+            )
+            if existing:
+                # resumed segment: append after what previous segments
+                # wrote instead of truncating the store
+                self._store = zarrio.ZarrGroup(self.output_path)
+                have = self._store.array_names()
+                if have:
+                    self._n = self._store[have[0]].shape[0]
+            else:
+                self._store = zarrio.ZarrGroup.create(self.output_path)
             for name in names:
+                if existing and name in self._store.array_names():
+                    continue
                 arr = np.asarray(state[name])
                 self._store.create_array(
                     name,
-                    shape=(0,) + arr.shape,
+                    shape=(self._n,) + arr.shape,
                     chunks=(1,) + arr.shape,
                     dtype="<f4",
                     dims=("time",) + tuple(

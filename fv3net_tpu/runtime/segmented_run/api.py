@@ -88,6 +88,7 @@ def run_segment(
         if profile
         else contextlib.nullcontext()
     )
+    failure: Optional[BaseException] = None
     with trace_ctx:
         it = iter(loop)
         step = 0
@@ -101,13 +102,30 @@ def run_segment(
             ):
                 try:
                     time, diags = next(it)
+                    diag_mgr.observe(time, diags)
+                    scalars = metrics.globally_average_2d_diagnostics(
+                        diags, area
+                    )
+                    metrics.log_scalar(time, scalars)
                 except StopIteration:
                     break
-                diag_mgr.observe(time, diags)
-                scalars = metrics.globally_average_2d_diagnostics(diags, area)
-                metrics.log_scalar(time, scalars)
+                except Exception as e:  # noqa: BLE001
+                    # segment-level coarse recovery (reference
+                    # append.py:66-74: a nonzero model exit is a warning
+                    # and the partial segment is still post-processed):
+                    # keep the diagnostics written so far and the last
+                    # completed state's RESTART
+                    logger.warning(
+                        "segment failed at step %d (%s); writing partial "
+                        "segment", step, e,
+                    )
+                    failure = e
+                    break
             step += 1
     diag_mgr.close()
+    if failure is not None and step == 0:
+        # nothing completed: there is no meaningful partial segment
+        raise failure
     restart_dir = os.path.join(output_dir, "RESTART")
     save_state(loop.state, loop.time, restart_dir)
     # also the reference's per-category/per-tile NetCDF layout, so

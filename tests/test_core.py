@@ -133,3 +133,25 @@ def test_zarr_compressed_roundtrip(tmp_path):
     data = np.eye(5)
     arr[:, :] = data
     np.testing.assert_array_equal(ZarrArray(path).read(), data)
+
+
+def test_zarr_null_fill_value_and_negative_index(tmp_path):
+    """External zarrs may carry fill_value: null; negative int indices
+    must address from the end (both previously crashed/no-opped)."""
+    import json
+
+    from fv3net_tpu.core import zarrio
+
+    path = str(tmp_path / "a")
+    arr = zarrio.ZarrArray.create(path, shape=(4, 3), dtype="<f4",
+                                  chunks=(2, 3))
+    # simulate an externally written store with a null fill value
+    meta_path = path + "/.zarray"
+    meta = json.load(open(meta_path))
+    meta["fill_value"] = None
+    json.dump(meta, open(meta_path, "w"))
+    arr = zarrio.ZarrArray(path)
+    arr[(-1,)] = np.arange(3, dtype=np.float32)
+    out = arr.read()
+    np.testing.assert_array_equal(out[3], [0, 1, 2])
+    np.testing.assert_array_equal(out[:3], 0.0)

@@ -119,3 +119,29 @@ def test_resolve_url():
 
     with pytest.raises(ValueError):
         resolve_url("gs://b", "Bad_Project", "t")
+
+
+def test_storage_hook_appends_across_segments(tmp_path):
+    """A resumed process must append to an existing store, not truncate
+    it (segmented-run training-data capture)."""
+    import datetime
+
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.emulation.hooks import StorageHook
+
+    path = str(tmp_path / "store.zarr")
+    t0 = datetime.datetime(2016, 8, 1)
+    state = {"air_temperature": jnp.full((3, 4), 250.0)}
+
+    hook1 = StorageHook(path, output_freq_sec=900.0)
+    hook1(state, t0)
+    hook1(state, t0 + datetime.timedelta(seconds=900))
+    # new process, same store
+    hook2 = StorageHook(path, output_freq_sec=900.0)
+    hook2({"air_temperature": jnp.full((3, 4), 260.0)},
+          t0 + datetime.timedelta(seconds=1800))
+    out = zarrio.open_zarr(path)["air_temperature"]
+    assert out.data.shape[0] == 3
+    np.testing.assert_allclose(np.asarray(out.data)[2], 260.0)

@@ -67,3 +67,38 @@ def test_cli_create(tmp_path):
     url = str(tmp_path / "run")
     assert main(["create", url, cfg_path]) == 0
     assert os.path.exists(os.path.join(url, "fv3config.yml"))
+
+
+def test_partial_segment_written_on_mid_run_failure(tmp_path, caplog):
+    """A crash mid-segment is a warning, not a loss: diagnostics written
+    so far and the last completed state's RESTART survive (reference
+    append.py:66-74 partial-segment semantics)."""
+    import logging
+
+    from fv3net_tpu.runtime.config import get_config
+
+    url = str(tmp_path / "run")
+    api.create(url, CONFIG)
+    config = get_config(yaml.safe_load(open(os.path.join(url, "fv3config.yml"))))
+    out = str(tmp_path / "seg")
+
+    real_observe = api.DiagnosticsManager.observe
+    calls = {"n": 0}
+
+    def flaky_observe(self, time, diags):
+        real_observe(self, time, diags)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected mid-segment fault")
+
+    # fault injection: fail during the SECOND step's host-side handling
+    api.DiagnosticsManager.observe = flaky_observe
+    try:
+        with caplog.at_level(logging.WARNING):
+            api.run_segment(config, out)
+    finally:
+        api.DiagnosticsManager.observe = real_observe
+    assert any("partial" in r.message for r in caplog.records)
+    assert os.path.isdir(os.path.join(out, "RESTART"))
+    ds = zarrio.open_zarr(os.path.join(out, "diags.zarr"))
+    assert ds["surface_precipitation_rate"].shape[0] >= 1
