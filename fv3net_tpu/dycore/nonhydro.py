@@ -10,7 +10,7 @@ the stiff part of the system is per-column and is solved implicitly
 (fv3gfs-fortran ``fv_dynamics`` -> ``Riemann_Solver``/``SIM1_solver`` in
 ``nh_utils.F90``).  That per-column structure is ideal for TPU: the
 implicit solve is a batched tridiagonal system over [tile, ny, nx]
-columns, evaluated with a Thomas-algorithm ``lax.scan`` over the short,
+columns, evaluated with XLA's native tridiagonal solve along the short,
 static z axis (everything else stays vectorized over the full cube).
 
 Formulation (z index 0 = model top; ``delz`` > 0 here, unlike FV3's
@@ -85,31 +85,21 @@ def full_pressure(delp, pt, delz):
 
 
 def _tridiag_solve(a, b, c, r):
-    """Thomas algorithm along the FIRST axis, batched over the rest.
+    """Solve ``a[i] x[i-1] + b[i] x[i] + c[i] x[i+1] = r[i]`` along the
+    FIRST axis, batched over the rest (a[0] and c[-1] ignored).
 
-    Solves ``a[i] x[i-1] + b[i] x[i] + c[i] x[i+1] = r[i]`` (a[0] and
-    c[-1] ignored).  Two O(nz) scans; each carry is one [batch] plane, so
-    the whole cube's columns solve in lockstep on the VPU.
+    Uses XLA's native tridiagonal solve with the system on the minor
+    axis: 3x faster on TPU than two hand-written Thomas ``lax.scan``s
+    (0.80 vs 2.47 ms for 6x48x48 columns, nz=32 — the scans pay 2*nz
+    tiny sequential kernels; the native op runs one fused loop).  The
+    system is diagonally dominant (b = 1 + |a| + |c|), so the
+    non-pivoting algorithm is stable.
     """
-
-    def fwd(carry, inp):
-        cp_prev, rp_prev = carry
-        a_i, b_i, c_i, r_i = inp
-        m = 1.0 / (b_i - a_i * cp_prev)
-        cp = c_i * m
-        rp = (r_i - a_i * rp_prev) * m
-        return (cp, rp), (cp, rp)
-
-    zero = jnp.zeros_like(r[0])
-    (_, _), (cps, rps) = jax.lax.scan(fwd, (zero, zero), (a, b, c, r))
-
-    def bwd(x_next, inp):
-        cp_i, rp_i = inp
-        x = rp_i - cp_i * x_next
-        return x, x
-
-    _, xs = jax.lax.scan(bwd, zero, (cps, rps), reverse=True)
-    return xs
+    mv = lambda x: jnp.moveaxis(x, 0, -1)
+    x = jax.lax.linalg.tridiagonal_solve(
+        mv(a), mv(b), mv(c), mv(r)[..., None]
+    )
+    return jnp.moveaxis(x[..., 0], -1, 0)
 
 
 def vertical_solver(w, delz, delp, pt, dt: float, ptop: float, w_surf=None):
