@@ -72,6 +72,7 @@ def physics_step(
     microphysics_emulator=None,
     radiation_fn=None,
     sgh=None,  # [6, ny, nx] subgrid-orography std (m) enables GWD
+    evap_factor=None,  # [6, ny, nx] bucket-land beta (physics/land.py)
 ) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
     """Apply one physics interval; returns (new_state, diagnostics).
 
@@ -118,7 +119,7 @@ def physics_step(
     speed = jnp.sqrt((wind_sfc ** 2).sum(axis=0))
     fluxes = sfc.bulk_surface_fluxes(
         T[..., -1], q[..., -1], pe[..., -1], delp[..., -1], speed, t_surface,
-        cfg.surface,
+        cfg.surface, evap_factor=evap_factor,
     )
     mass_sfc = delp[..., -1] / GRAVITY
     T = T.at[..., -1].add(dt * fluxes["SHTFLsfc"] / (CP_AIR * mass_sfc))
@@ -220,6 +221,7 @@ def physics_step(
     diags["CPRATsfc"] = conv_precip  # convective precip (GFS diag name)
     diags["LHTFLsfc"] = fluxes["LHTFLsfc"]
     diags["SHTFLsfc"] = fluxes["SHTFLsfc"]
+    diags["evaporation"] = fluxes["evaporation"]  # kg/m^2/s (bucket budget)
     diags["tendency_of_air_temperature_due_to_fv3_physics"] = _zmid(
         (T - T0) / dt
     )

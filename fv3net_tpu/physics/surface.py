@@ -27,12 +27,17 @@ class SurfaceParams:
 def bulk_surface_fluxes(
     t_air, q_air, p_sfc, delp_sfc, wind_speed, t_surface,
     params: SurfaceParams = SurfaceParams(),
+    evap_factor=None,
 ) -> Dict[str, jnp.ndarray]:
     """Sensible/latent heat fluxes + momentum drag over a saturated surface.
 
     Args: lowest-layer air temperature/humidity, surface pressure, lowest
     layer thickness, lowest-layer wind speed, surface (skin/SST)
-    temperature.  All (...) arrays.
+    temperature.  All (...) arrays.  ``evap_factor``: optional per-point
+    evaporation efficiency in [0, 1] (the bucket land beta,
+    physics/land.py) multiplying the potential evaporation; the latent
+    heat flux scales consistently so surface energy and water budgets
+    stay coupled.
 
     Returns dict with LHTFLsfc [W/m^2], SHTFLsfc [W/m^2], evaporation
     [kg/m^2/s], drag_factor [1/s] (to be applied to lowest-layer wind).
@@ -46,6 +51,8 @@ def bulk_surface_fluxes(
         params.ocean_evaporation_factor
         * rho * ch * v * jnp.maximum(qsat_s - q_air, 0.0)
     )
+    if evap_factor is not None:
+        evap = evap * evap_factor
     lv = thermo.latent_heat_vaporization(t_surface)
     lhf = lv * evap
     # momentum: dv/dt = -drag_factor * v on the lowest layer

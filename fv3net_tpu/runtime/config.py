@@ -204,6 +204,12 @@ class NamelistConfig:
     # the climatology by linearized photochemistry (physics/ozone.py),
     # consumed by the band radiation
     prognostic_ozone: bool = False
+    # bucket land hydrology (physics/land.py): prognostic soil moisture
+    # limits land evaporation; runoff closes the land water budget.
+    # Active where land_sea_mask > 0.5 (pair with slab_ocean for the
+    # land surface-temperature side)
+    bucket_land: bool = False
+    bucket_capacity_m: float = 0.15
 
 
 @dataclasses.dataclass

@@ -113,6 +113,14 @@ class TimeLoop:
             tracers = dict(d.tracers)
             tracers["o3mr"] = jnp.moveaxis(o3, -1, 1).astype(d.pt.dtype)
             self.state.dycore = dataclasses.replace(d, tracers=tracers)
+        if nml.bucket_land and "soil_moisture" not in self.state.surface:
+            from fv3net_tpu.physics.land import BucketLandParams
+
+            p = BucketLandParams(field_capacity_m=nml.bucket_capacity_m)
+            self.state.surface["soil_moisture"] = jnp.full_like(
+                self.state.surface[names.TSFC],
+                p.initial_fraction * p.field_capacity_m,
+            )
         self._timestep = nml.dt_atmos
         self._dyn_cfg = DycoreConfig(
             dt=nml.dt_atmos,
@@ -199,6 +207,25 @@ class TimeLoop:
 
     def _step_physics(self) -> Dict[str, Quantity]:
         cosz = self._cos_zenith().astype(self.state.dycore.pt.dtype)
+        nml = self._config.namelist
+        evap_factor = None
+        if nml.bucket_land:
+            from fv3net_tpu.physics.land import (
+                BucketLandParams,
+                evaporation_efficiency,
+            )
+
+            land_p = BucketLandParams(
+                field_capacity_m=nml.bucket_capacity_m
+            )
+            mask = self.state.surface.get(names.MASK)
+            beta = evaporation_efficiency(
+                self.state.surface["soil_moisture"], land_p
+            )
+            # ocean points evaporate at full potential
+            evap_factor = (
+                beta if mask is None else jnp.where(mask > 0.5, beta, 1.0)
+            )
         new_dycore, raw = physics_step(
             self.state.dycore,
             self.state.surface[names.TSFC],
@@ -210,9 +237,28 @@ class TimeLoop:
             # subgrid-orography std enables mountain-wave drag when a
             # surface field provides it (zero/absent on aquaplanets)
             sgh=self.state.surface.get("sgh"),
+            evap_factor=evap_factor,
         )
         self.state.dycore = new_dycore
-        nml = self._config.namelist
+        if nml.bucket_land:
+            from fv3net_tpu.physics.land import bucket_hydrology_update
+
+            w_new, runoff = bucket_hydrology_update(
+                self.state.surface["soil_moisture"],
+                raw["PRATEsfc"],
+                raw["evaporation"],
+                self._timestep,
+                land_p,
+            )
+            mask = self.state.surface.get(names.MASK)
+            if mask is not None:  # bucket only on land points
+                w_new = jnp.where(
+                    mask > 0.5, w_new, self.state.surface["soil_moisture"]
+                )
+                runoff = jnp.where(mask > 0.5, runoff, 0.0)
+            self.state.surface["soil_moisture"] = w_new
+            raw["soil_moisture"] = w_new
+            raw["RUNOFFsfc"] = runoff
         if nml.slab_ocean:
             from fv3net_tpu.physics.slab_ocean import (
                 SlabOceanParams,
