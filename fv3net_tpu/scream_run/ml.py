@@ -34,9 +34,27 @@ def open_model(config: MachineLearningConfig) -> MultiModelAdapter:
     return MultiModelAdapter([fit.load(path) for path in config.models])
 
 
-def predict(model: MultiModelAdapter, state: Dict[str, Quantity]) -> Dataset:
+def predict(
+    model: MultiModelAdapter,
+    state: Dict[str, Quantity],
+    scaling: Dict[str, float] = None,
+) -> Dataset:
     inputs = Dataset({k: state[k] for k in model.input_variables})
-    return model.predict(inputs)
+    pred = model.predict(inputs)
+    if scaling:
+        # per-output multiplicative factors (reference
+        # machine_learning.py MachineLearningConfig.scaling) — applied
+        # BEFORE the humidity limiter so the constraint sees the scaled
+        # tendencies
+        out = dict(pred.items())
+        for name, factor in scaling.items():
+            if name in out:
+                q = out[name]
+                out[name] = Quantity(
+                    jnp.asarray(q.data) * factor, q.dims, q.units
+                )
+        pred = Dataset(out)
+    return pred
 
 
 def enforce_non_negative_humidity(
@@ -71,8 +89,9 @@ def predict_with_qv_constraint(
     state: Dict[str, Quantity],
     dt: float,
     mse_conserving_limiter: bool = True,
+    scaling: Dict[str, float] = None,
 ) -> Dataset:
     """(reference machine_learning.py:114-121)"""
     return enforce_non_negative_humidity(
-        predict(model, state), state, dt, mse_conserving_limiter
+        predict(model, state, scaling), state, dt, mse_conserving_limiter
     )

@@ -50,6 +50,7 @@ class ScreamMLStepper:
         pred = predict_with_qv_constraint(
             self.model, scream_state, self.timestep,
             self.config.mse_conserving_limiter,
+            scaling=self.config.scaling,
         )
         grid_shape = tuple(state[names.DELP].shape[i] for i in (0, 2, 3))
         unstacked = {}

@@ -104,3 +104,25 @@ def test_write_rundir_and_run_cli(tmp_path):
 
     assert main(["run", os.path.join(rundir, "scream_config.yaml"),
                  rundir]) == 0
+
+
+def test_output_scaling_applied_before_constraint():
+    """MachineLearningConfig.scaling factors multiply the named outputs
+    (previously a silently ignored config key)."""
+    from fv3net_tpu.scream_run.ml import predict
+
+    class FakeModel:
+        input_variables = ["qv"]
+        output_variables = ["dQ1", "dQ2"]
+
+        def predict(self, X):
+            shape = jnp.asarray(X["qv"].data).shape
+            return Dataset({
+                "dQ1": Quantity(jnp.full(shape, 2.0), ("y", "z")),
+                "dQ2": Quantity(jnp.full(shape, 4.0), ("y", "z")),
+            })
+
+    state = {"qv": Quantity(jnp.full((3, 5), 1e-3), ("y", "z"))}
+    out = predict(FakeModel(), state, scaling={"dQ2": 0.5})
+    np.testing.assert_allclose(np.asarray(out["dQ1"].data), 2.0)
+    np.testing.assert_allclose(np.asarray(out["dQ2"].data), 2.0)
