@@ -1,0 +1,77 @@
+"""Land+ocean stability run: bucket hydrology + slab ocean on an
+idealized continent (land where cos(lon) > 0.3, ~1/3 of the sphere).
+
+One JSON line per simulated day: soil-moisture statistics, SST range,
+precipitable-water drift, finiteness — the land-model counterpart of
+scripts/long_run.py.
+
+Usage: python scripts/land_run.py [days] [npx] [npz]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(days: int = 10, npx: int = 24, npz: int = 16):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fv3net_tpu.runtime import TimeLoop, names
+    from fv3net_tpu.runtime.config import NamelistConfig, UserConfig
+
+    cfg = UserConfig(
+        namelist=NamelistConfig(
+            npx=npx, npz=npz, dt_atmos=900.0, n_split=2,
+            slab_ocean=True, bucket_land=True,
+        ),
+        duration_seconds=days * 86400.0,
+    )
+    loop = TimeLoop(cfg)
+    lon = np.asarray(loop.grid.lon)
+    mask = jnp.asarray((np.cos(lon) > 0.3).astype(np.float32))
+    loop.state.surface[names.MASK] = mask
+    land = np.asarray(mask) > 0.5
+
+    area = np.asarray(loop.grid.area)
+    steps_per_day = int(86400 / 900.0)
+    t0 = time.perf_counter()
+    step = 0
+    for _, diags in loop:
+        step += 1
+        if step % steps_per_day:
+            continue
+        w = np.asarray(loop.state.surface["soil_moisture"])[land]
+        tsfc = np.asarray(loop.state.surface[names.TSFC])
+        q = np.asarray(loop.state.dycore.tracers["sphum"])
+        delp = np.asarray(loop.state.dycore.delp)
+        pw = (q * delp).sum(1) / 9.80665  # kg/m^2 per column
+        print(
+            json.dumps(
+                {
+                    "day": step // steps_per_day,
+                    "soil_w_mean": round(float(w.mean()), 5),
+                    "soil_w_minmax": [round(float(w.min()), 5),
+                                      round(float(w.max()), 5)],
+                    "tsfc_minmax": [round(float(tsfc.min()), 2),
+                                    round(float(tsfc.max()), 2)],
+                    "pw_mean": round(float((pw * area).sum() / area.sum()), 3),
+                    "finite": bool(
+                        np.isfinite(tsfc).all() and np.isfinite(w).all()
+                        and np.isfinite(q).all()
+                    ),
+                    "wall_s": round(time.perf_counter() - t0, 1),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
