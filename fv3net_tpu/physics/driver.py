@@ -73,6 +73,8 @@ def physics_step(
     radiation_fn=None,
     sgh=None,  # [6, ny, nx] subgrid-orography std (m) enables GWD
     evap_factor=None,  # [6, ny, nx] bucket-land beta (physics/land.py)
+    land_frac=None,  # [6, ny, nx] land fraction for the radiation surface
+    ice_frac=None,  # [6, ny, nx] sea-ice fraction (albedo feedback)
 ) -> Tuple[DycoreState, Dict[str, jnp.ndarray]]:
     """Apply one physics interval; returns (new_state, diagnostics).
 
@@ -106,11 +108,21 @@ def physics_step(
             else None
         )
         heating, rad_diags = radiation_fn(
-            T, delp, q, qc, t_surface, cos_zenith, lat, o3=o3_rad
+            T, delp, q, qc, t_surface, cos_zenith, lat, o3=o3_rad,
+            land=land_frac, ice=ice_frac,
         )
     else:
+        albedo = None
+        if ice_frac is not None:
+            # sea-ice albedo feedback for the gray scheme: blend the
+            # broadband ice albedo over the icy fraction
+            albedo = (
+                cfg.radiation.albedo
+                + ice_frac * (0.60 - cfg.radiation.albedo)
+            )
         heating, rad_diags = rad.gray_radiation(
-            T, delp, t_surface, cos_zenith, lat, cfg.radiation
+            T, delp, t_surface, cos_zenith, lat, cfg.radiation,
+            albedo=albedo,
         )
     T = T + dt * heating
 

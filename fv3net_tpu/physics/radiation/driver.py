@@ -122,6 +122,8 @@ class RadiationDriver:
         lon = cols(state["longitude"])
         land = cols(state.get("land_sea_mask", jnp.zeros(lead)))
         land = jnp.clip(land, 0.0, 1.0)
+        ice = cols(state.get("ice_fraction", jnp.zeros(lead)))
+        ice = jnp.clip(ice, 0.0, 1.0)
 
         plev = thermo.pressure_at_interface(dp)
         play = 0.5 * (plev[..., :-1] + plev[..., 1:])
@@ -219,7 +221,7 @@ class RadiationDriver:
             g = gwtau / jnp.maximum(wtau, 1e-12)
             return tau, jnp.clip(ssa, 0.0, 1.0), jnp.clip(g, 0.0, 1.0)
 
-        alb_dir_b, alb_dif_b = optics.surface_albedo(cosz, land)
+        alb_dir_b, alb_dif_b = optics.surface_albedo(cosz, land, ice_frac=ice)
         alb_dir = alb_dir_b @ expand.T
         alb_dif = alb_dif_b @ expand.T
         src = s0 * self.solar_gpt[None, :] * jnp.ones((ncol, 1), jnp.float32)

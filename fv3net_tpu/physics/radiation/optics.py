@@ -174,9 +174,10 @@ def aerosol_optics(play, dp, land_frac):
 _SW_IS_VIS = jnp.asarray(_SW_LAM_UM < 0.7, jnp.float32)  # [nbands_sw]
 
 
-def surface_albedo(cosz, land_frac):
+def surface_albedo(cosz, land_frac, ice_frac=None):
     """Per-band direct/diffuse albedo [ncol, nbands_sw] (reference:
-    radiation_sfc.py setalb; ocean direct albedo after Briegleb 1992)."""
+    radiation_sfc.py setalb; ocean direct albedo after Briegleb 1992,
+    bare sea-ice albedos on the icy part of the ocean fraction)."""
     mu = jnp.maximum(cosz, 0.01)
     ocean_dir = 0.026 / (mu ** 1.7 + 0.065) + 0.15 * (mu - 0.1) * (
         mu - 0.5
@@ -184,13 +185,22 @@ def surface_albedo(cosz, land_frac):
     ocean_dif = jnp.full_like(cosz, 0.06)
     land_vis, land_nir = 0.18, 0.30
     land_alb = land_vis * _SW_IS_VIS + land_nir * (1.0 - _SW_IS_VIS)  # [nb]
+    if ice_frac is not None:
+        ice_vis, ice_nir = 0.73, 0.33  # GFS-like bare sea ice
+        ice_alb = ice_vis * _SW_IS_VIS + ice_nir * (1.0 - _SW_IS_VIS)
+        fi = ice_frac[:, None]
+        sea_dir = fi * ice_alb[None, :] + (1.0 - fi) * ocean_dir[:, None]
+        sea_dif = fi * ice_alb[None, :] + (1.0 - fi) * ocean_dif[:, None]
+    else:
+        sea_dir = ocean_dir[:, None]
+        sea_dif = ocean_dif[:, None]
     dir_alb = (
         land_frac[:, None] * land_alb[None, :]
-        + (1.0 - land_frac)[:, None] * ocean_dir[:, None]
+        + (1.0 - land_frac)[:, None] * sea_dir
     )
     dif_alb = (
         land_frac[:, None] * land_alb[None, :]
-        + (1.0 - land_frac)[:, None] * ocean_dif[:, None]
+        + (1.0 - land_frac)[:, None] * sea_dif
     )
     return jnp.clip(dir_alb, 0.0, 1.0), jnp.clip(dif_alb, 0.0, 1.0)
 

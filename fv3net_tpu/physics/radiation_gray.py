@@ -52,6 +52,7 @@ def _lw_optical_depth(sigma_interface, lat, params):
 def gray_radiation(
     T, delp, t_surface, cos_zenith, lat,
     params: GrayRadiationParams = GrayRadiationParams(),
+    albedo=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Radiative heating rate [K/s] + flux diagnostics.
 
@@ -61,6 +62,8 @@ def gray_radiation(
         t_surface: (...) surface temperature
         cos_zenith: (...) cosine solar zenith angle (negative = night)
         lat: (...) latitude in radians
+        albedo: optional (...) per-point surface albedo overriding the
+            scalar parameter (the sea-ice albedo feedback)
 
     Returns:
         (heating_rate, diags) where diags holds the standard flux names
@@ -107,7 +110,8 @@ def gray_radiation(
     sw_toa = SOLAR_CONSTANT * jnp.maximum(cos_zenith, 0.0)
     absorbed = params.sw_absorption * sw_toa
     sw_sfc_down = (sw_toa - absorbed)
-    sw_sfc_net = sw_sfc_down * (1.0 - params.albedo)
+    alb = params.albedo if albedo is None else albedo
+    sw_sfc_net = sw_sfc_down * (1.0 - alb)
     # distribute SW absorption by mass
     sw_heat = (
         absorbed[..., None] * (delp / ps) * GRAVITY / (CP_AIR * delp)
@@ -121,8 +125,8 @@ def gray_radiation(
     diags = {
         "DSWRFtoa": sw_toa,
         "DSWRFsfc": sw_sfc_down,
-        "USWRFtoa": (sw_toa - absorbed) * params.albedo,
-        "USWRFsfc": sw_sfc_down * params.albedo,
+        "USWRFtoa": (sw_toa - absorbed) * alb,
+        "USWRFsfc": sw_sfc_down * alb,
         "DLWRFsfc": jnp.moveaxis(D_if, 0, -1)[..., -1],
         "ULWRFsfc": Bs,
         "ULWRFtoa": jnp.moveaxis(U_if, 0, -1)[..., 0],

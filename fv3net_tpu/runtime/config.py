@@ -210,6 +210,18 @@ class NamelistConfig:
     # land surface-temperature side)
     bucket_land: bool = False
     bucket_capacity_m: float = 0.15
+    # zero-layer thermodynamic sea ice on the slab ocean
+    # (physics/sea_ice.py): freezing deficits grow ice, melting consumes
+    # it before the mixed layer warms; ice fraction feeds the radiation
+    # albedo.  Requires slab_ocean
+    sea_ice: bool = False
+
+    def __post_init__(self):
+        if self.sea_ice and not self.slab_ocean:
+            raise ValueError(
+                "sea_ice requires slab_ocean (the ice exchanges latent "
+                "heat with the mixed-layer energy budget)"
+            )
 
 
 @dataclasses.dataclass

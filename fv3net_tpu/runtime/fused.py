@@ -73,7 +73,8 @@ def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
     driver = RadiationDriver(DriverConfig())
     epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
 
-    def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat, o3=None):
+    def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat, o3=None,
+                     land=None, ice=None):
         state = {
             "air_temperature": T,
             "pressure_thickness_of_atmospheric_layer": delp,
@@ -85,6 +86,10 @@ def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
         }
         if o3 is not None:  # prognostic o3mr tracer reaches the bands
             state["ozone_mixing_ratio"] = o3
+        if land is not None:
+            state["land_sea_mask"] = land
+        if ice is not None:  # sea-ice albedo feedback
+            state["ice_fraction"] = ice
         out = driver(epoch, state, cosz=cos_zenith)
         heating = out["tendency_of_air_temperature_due_to_radiation"]
         return heating, {

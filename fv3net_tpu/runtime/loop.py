@@ -113,6 +113,10 @@ class TimeLoop:
             tracers = dict(d.tracers)
             tracers["o3mr"] = jnp.moveaxis(o3, -1, 1).astype(d.pt.dtype)
             self.state.dycore = dataclasses.replace(d, tracers=tracers)
+        if nml.sea_ice and "ice_thickness" not in self.state.surface:
+            self.state.surface["ice_thickness"] = jnp.zeros_like(
+                self.state.surface[names.TSFC]
+            )
         if nml.bucket_land and "soil_moisture" not in self.state.surface:
             from fv3net_tpu.physics.land import BucketLandParams
 
@@ -226,6 +230,11 @@ class TimeLoop:
             evap_factor = (
                 beta if mask is None else jnp.where(mask > 0.5, beta, 1.0)
             )
+        ice_frac = None
+        if nml.sea_ice:
+            from fv3net_tpu.physics.sea_ice import ice_fraction
+
+            ice_frac = ice_fraction(self.state.surface["ice_thickness"])
         new_dycore, raw = physics_step(
             self.state.dycore,
             self.state.surface[names.TSFC],
@@ -238,6 +247,8 @@ class TimeLoop:
             # surface field provides it (zero/absent on aquaplanets)
             sgh=self.state.surface.get("sgh"),
             evap_factor=evap_factor,
+            land_frac=self.state.surface.get(names.MASK),
+            ice_frac=ice_frac,
         )
         self.state.dycore = new_dycore
         if nml.bucket_land:
@@ -270,15 +281,34 @@ class TimeLoop:
             # fluxes; close the budget with sigma*Ts^4 and ocean albedo
             raw.setdefault("ULWRFsfc", 5.670374e-8 * tsfc ** 4)
             raw.setdefault("USWRFsfc", 0.06 * raw["DSWRFsfc"])
-            new_tsfc = slab_ocean_update(
-                tsfc,
-                raw,
-                self._timestep,
-                SlabOceanParams(
-                    mixed_layer_depth_m=nml.mixed_layer_depth_m
-                ),
-                land_mask=self.state.surface.get(names.MASK),
+            ocean_params = SlabOceanParams(
+                mixed_layer_depth_m=nml.mixed_layer_depth_m
             )
+            if nml.sea_ice:
+                from fv3net_tpu.physics.sea_ice import (
+                    ice_fraction,
+                    slab_ocean_seaice_update,
+                )
+
+                new_tsfc, h_new = slab_ocean_seaice_update(
+                    tsfc,
+                    self.state.surface["ice_thickness"],
+                    raw,
+                    self._timestep,
+                    ocean_params,
+                    land_mask=self.state.surface.get(names.MASK),
+                )
+                self.state.surface["ice_thickness"] = h_new
+                raw["ice_thickness"] = h_new
+                raw["ice_fraction"] = ice_fraction(h_new)
+            else:
+                new_tsfc = slab_ocean_update(
+                    tsfc,
+                    raw,
+                    self._timestep,
+                    ocean_params,
+                    land_mask=self.state.surface.get(names.MASK),
+                )
             self.state.surface[names.TSFC] = new_tsfc
             self.state.surface[names.SST] = new_tsfc
         diags: Dict[str, Quantity] = {}
