@@ -153,9 +153,20 @@ def save_fortran_restarts(
         )
         sfc_vars = {}
         for name, arr in state.surface.items():
+            # GFS sfc_data names (reference coarsen_restarts.py surface
+            # handling): tsea/slmsk/hice; fice is derived from thickness
             out_name = {"surface_temperature": "tsea",
-                        "land_sea_mask": "slmsk"}.get(name, name)
+                        "land_sea_mask": "slmsk",
+                        "ice_thickness": "hice"}.get(name, name)
             sfc_vars[out_name] = q2(np.asarray(arr)[t])
+        if "ice_thickness" in state.surface:
+            from fv3net_tpu.physics.sea_ice import ice_fraction
+
+            sfc_vars["fice"] = q2(
+                np.asarray(
+                    ice_fraction(state.surface["ice_thickness"])
+                )[t]
+            )
         if sfc_vars:
             write_netcdf(
                 Dataset(sfc_vars),
@@ -264,7 +275,9 @@ def load_fortran_restarts(
     surface: Dict[str, jnp.ndarray] = {}
     if "sfc_data" in cats:
         sfc = cats["sfc_data"]
-        renames = {"tsea": "surface_temperature", "slmsk": "land_sea_mask"}
+        renames = {"tsea": "surface_temperature",
+                   "slmsk": "land_sea_mask",
+                   "hice": "ice_thickness"}
         for name in sfc.keys():
             surface[renames.get(name, name)] = jnp.asarray(
                 np.asarray(sfc[name].values)[:, 0]

@@ -1,9 +1,10 @@
-"""Land+ocean stability run: bucket hydrology + slab ocean on an
-idealized continent (land where cos(lon) > 0.3, ~1/3 of the sphere).
+"""Land+ocean+ice stability run: bucket hydrology + slab ocean +
+zero-layer sea ice on an idealized continent (land where cos(lon) > 0.3,
+~1/3 of the sphere).
 
 One JSON line per simulated day: soil-moisture statistics, SST range,
-precipitable-water drift, finiteness — the land-model counterpart of
-scripts/long_run.py.
+sea-ice coverage, precipitable-water drift, finiteness — the surface-
+model counterpart of scripts/long_run.py.
 
 Usage: python scripts/land_run.py [days] [npx] [npz]
 """
@@ -28,7 +29,7 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
     cfg = UserConfig(
         namelist=NamelistConfig(
             npx=npx, npz=npz, dt_atmos=900.0, n_split=2,
-            slab_ocean=True, bucket_land=True,
+            slab_ocean=True, bucket_land=True, sea_ice=True,
         ),
         duration_seconds=days * 86400.0,
     )
@@ -47,6 +48,7 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
         if step % steps_per_day:
             continue
         w = np.asarray(loop.state.surface["soil_moisture"])[land]
+        ice = np.asarray(loop.state.surface["ice_thickness"])
         tsfc = np.asarray(loop.state.surface[names.TSFC])
         q = np.asarray(loop.state.dycore.tracers["sphum"])
         delp = np.asarray(loop.state.dycore.delp)
@@ -60,10 +62,13 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
                                       round(float(w.max()), 5)],
                     "tsfc_minmax": [round(float(tsfc.min()), 2),
                                     round(float(tsfc.max()), 2)],
+                    "ice_h_max": round(float(ice.max()), 4),
+                    "ice_area_frac": round(
+                        float((area * (ice > 0)).sum() / area.sum()), 4),
                     "pw_mean": round(float((pw * area).sum() / area.sum()), 3),
                     "finite": bool(
                         np.isfinite(tsfc).all() and np.isfinite(w).all()
-                        and np.isfinite(q).all()
+                        and np.isfinite(q).all() and np.isfinite(ice).all()
                     ),
                     "wall_s": round(time.perf_counter() - t0, 1),
                 }
