@@ -794,9 +794,22 @@ def remap_apply(search, q1, iv: int = 1, kord: int = 9,
         from fv3net_tpu.ops import pallas_remap
 
         packed = search.get("_packed")
+        if packed is not None and any(
+            isinstance(x, jax.core.Tracer)
+            for x in jax.tree_util.tree_leaves(packed)
+        ):
+            # cached pack holds tracers leaked from an earlier trace of a
+            # different jit — never reuse those, rebuild for this trace
+            packed = None
         if packed is None:
             packed = pallas_remap.pack_search(search)
-            search["_packed"] = packed  # per-trace cache: one pack per step
+            if not any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves(packed)
+            ):
+                # cache only concrete packs (built outside any trace);
+                # inside a trace XLA CSEs the repeated pack ops instead
+                search["_packed"] = packed
         return pallas_remap.apply_packed(packed, q1, al, ar, a6)
     m_edges = jnp.concatenate(
         [jnp.zeros_like(q1[..., :1]), jnp.cumsum(q1 * dp1, axis=-1)], axis=-1

@@ -59,4 +59,10 @@ def slab_ocean_update(
             land_mask > 0.5, params.land_depth_m, depth
         )
     heat_capacity = params.rho_water * params.cp_water * depth
-    return jnp.maximum(t_surface + dt * f_net / heat_capacity, params.t_min)
+    t_new = t_surface + dt * f_net / heat_capacity
+    floored = jnp.maximum(t_new, params.t_min)
+    if land_mask is not None:
+        # the floor expresses seawater freezing — ocean points only;
+        # continental skin temperature may drop below -1.8 C freely
+        return jnp.where(land_mask > 0.5, t_new, floored)
+    return floored

@@ -162,11 +162,14 @@ def save_fortran_restarts(
         if "ice_thickness" in state.surface:
             from fv3net_tpu.physics.sea_ice import ice_fraction
 
-            sfc_vars["fice"] = q2(
-                np.asarray(
-                    ice_fraction(state.surface["ice_thickness"])
-                )[t]
-            )
+            fice = np.asarray(ice_fraction(state.surface["ice_thickness"]))
+            sfc_vars["fice"] = q2(fice[t])
+            if "slmsk" in sfc_vars:
+                # restore the GFS 3-value convention: icy ocean -> 2
+                land = np.asarray(sfc_vars["slmsk"].data)[0]
+                sfc_vars["slmsk"] = q2(
+                    np.where((land < 0.5) & (fice[t] > 0.15), 2.0, land)
+                )
         if sfc_vars:
             write_netcdf(
                 Dataset(sfc_vars),
@@ -193,6 +196,52 @@ def _temperature_of(d: DycoreState) -> np.ndarray:
     pmid = delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
     return np.asarray(
         temperature_from_theta_v(d.pt, pmid, d.tracers["sphum"])
+    )
+
+
+def dgrid_wind_to_cartesian(u_d, v_d, grid, dtype=jnp.float32):
+    """Rotate FV3 D-grid restart winds into Cartesian tangent vectors.
+
+    FV3 ``fv_core.res`` u/v (without agrid_vel_rst) are GRID-RELATIVE
+    (covariant) components along the local i/j grid lines, NOT
+    eastward/northward — the reference rotates them with wind-rotation
+    matrices (external/vcm/vcm/cubedsphere/rotate.py).  Here: average the
+    staggered components to cell centers, then solve the 2x2 dual-basis
+    system V.e1 = u, V.e2 = v with e1/e2 the local grid-direction unit
+    vectors (non-orthogonal near tile corners).
+
+    u_d: [6, nz, ny+1, nx] (on x-edges), v_d: [6, nz, ny, nx+1]
+    (on y-edges); returns wind [3, 6, nz, ny, nx].
+    """
+    u_cov = 0.5 * (u_d[..., :-1, :] + u_d[..., 1:, :])  # along e1
+    v_cov = 0.5 * (v_d[..., :-1] + v_d[..., 1:])  # along e2
+    c = grid.corners_xyz
+
+    def _unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    wmid = _unit(c[:, :-1, :-1] + c[:, 1:, :-1])  # west-face midpoints
+    emid = _unit(c[:, :-1, 1:] + c[:, 1:, 1:])
+    smid = _unit(c[:, :-1, :-1] + c[:, :-1, 1:])
+    nmid = _unit(c[:, 1:, :-1] + c[:, 1:, 1:])
+    khat = grid.centers_xyz
+
+    def _tangent_unit(d):
+        d = d - np.sum(d * khat, axis=-1, keepdims=True) * khat
+        return _unit(d)
+
+    e1 = _tangent_unit(emid - wmid)  # [6, ny, nx, 3] +i direction
+    e2 = _tangent_unit(nmid - smid)  # +j direction
+    cos12 = np.sum(e1 * e2, axis=-1)  # [6, ny, nx]
+    det = 1.0 - cos12 ** 2
+    # contravariant expansion coefficients: V = a*e1 + b*e2
+    a = (u_cov - cos12[:, None] * v_cov) / det[:, None]
+    b = (v_cov - cos12[:, None] * u_cov) / det[:, None]
+    e1c = jnp.asarray(np.moveaxis(e1, -1, 0), dtype)
+    e2c = jnp.asarray(np.moveaxis(e2, -1, 0), dtype)
+    return (
+        e1c[:, :, None] * jnp.asarray(a, dtype)[None]
+        + e2c[:, :, None] * jnp.asarray(b, dtype)[None]
     )
 
 
@@ -248,14 +297,14 @@ def load_fortran_restarts(
     east = jnp.asarray(np.moveaxis(grid.east, -1, 0), delp.dtype)
     north = jnp.asarray(np.moveaxis(grid.north, -1, 0), delp.dtype)
     if "ua" in core:
+        # A-grid winds (agrid_vel_rst=true) are true eastward/northward
         ua = tile3("ua", core)
         va = tile3("va", core)
-    else:  # D-grid u/v from a Fortran restart: average to A-grid centers
+        wind = east[:, :, None] * ua[None] + north[:, :, None] * va[None]
+    else:
         u_d = np.asarray(core["u"].values)[:, 0]  # [6, z, y+1, x]
         v_d = np.asarray(core["v"].values)[:, 0]  # [6, z, y, x+1]
-        ua = jnp.asarray(0.5 * (u_d[..., :-1, :] + u_d[..., 1:, :]))
-        va = jnp.asarray(0.5 * (v_d[..., :-1] + v_d[..., 1:]))
-    wind = east[:, :, None] * ua[None] + north[:, :, None] * va[None]
+        wind = dgrid_wind_to_cartesian(u_d, v_d, grid, dtype=delp.dtype)
 
     phis = (
         jnp.asarray(np.asarray(core["phis"].values)[:, 0])
@@ -282,6 +331,27 @@ def load_fortran_restarts(
             surface[renames.get(name, name)] = jnp.asarray(
                 np.asarray(sfc[name].values)[:, 0]
             )
+        if "land_sea_mask" in surface:
+            # GFS slmsk takes {0 ocean, 1 land, 2 sea ice}; every internal
+            # consumer treats mask>0.5 as LAND, so normalize: land iff
+            # slmsk==1.  Sea-ice points stay ocean for the mask and carry
+            # their ice through ice_thickness (seeded from hice, or a
+            # nominal 1 m where the restart lacks hice) so the sea-ice
+            # thermodynamics — not bucket land — handles them.
+            slmsk = surface["land_sea_mask"]
+            is_ice = jnp.abs(slmsk - 2.0) < 0.5
+            surface["land_sea_mask"] = (
+                jnp.abs(slmsk - 1.0) < 0.5
+            ).astype(slmsk.dtype)
+            hice = surface.get("ice_thickness")
+            if hice is None:
+                surface["ice_thickness"] = jnp.where(is_ice, 1.0, 0.0).astype(
+                    slmsk.dtype
+                )
+            else:
+                surface["ice_thickness"] = jnp.where(
+                    is_ice & (hice <= 0.0), 1.0, jnp.where(is_ice, hice, 0.0)
+                ).astype(slmsk.dtype)
 
     time = _read_coupler_res(os.path.join(path, "coupler.res"))
     return ModelState(dycore=dycore, surface=surface), time

@@ -96,7 +96,9 @@ class _Model:
             self.step_radiation()
         heating = self._heating
 
-        def cached_radiation(T, delp, q, qc, tsfc, cosz, lat, o3=None):
+        def cached_radiation(
+            T, delp, q, qc, tsfc, cosz, lat, o3=None, land=None, ice=None
+        ):
             return heating, {}
 
         new_dycore, raw = physics_step(

@@ -98,6 +98,96 @@ def test_fortran_restart_roundtrip(tmp_path):
     assert "2016" in text and "Current model time" in text
 
 
+def test_dgrid_wind_rotation_recovers_eastward_flow():
+    """Covariant D-grid components of a solid-body eastward flow must
+    reconstruct the true vector — the naive treat-as-east/north reading
+    is badly wrong on the rotated tiles (ADVICE r1: the reference rotates
+    with wind-rotation matrices, external/vcm/vcm/cubedsphere/rotate.py)."""
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.runtime.checkpoint import dgrid_wind_to_cartesian
+
+    grid = make_grid(12)
+    c = grid.corners_xyz
+    zhat = np.array([0.0, 0.0, 1.0])
+
+    def _unit(v):
+        return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+    def covariant(p1, p2):
+        """V.t at the edge midpoint for V = zhat x r (solid body,
+        |V| = cos(lat) eastward), t = unit edge tangent."""
+        mid = _unit(p1 + p2)
+        V = np.cross(np.broadcast_to(zhat, mid.shape), mid)
+        t = p2 - p1
+        t = _unit(t - np.sum(t * mid, axis=-1, keepdims=True) * mid)
+        return np.sum(V * t, axis=-1)
+
+    u_d = covariant(c[:, :, :-1], c[:, :, 1:])[:, None]  # [6,1,n+1,n]
+    v_d = covariant(c[:, :-1, :], c[:, 1:, :])[:, None]  # [6,1,n,n+1]
+    wind = np.asarray(dgrid_wind_to_cartesian(u_d, v_d, grid))  # [3,6,1,n,n]
+    V_true = np.cross(
+        np.broadcast_to(zhat, grid.centers_xyz.shape), grid.centers_xyz
+    )
+    V_true = np.moveaxis(V_true, -1, 0)[:, :, None]
+    # small discretization error from edge->center averaging only
+    assert np.abs(wind - V_true).max() < 0.02
+    # the OLD bug: treating u_cov/v_cov as east/north gives O(1) errors
+    # on the polar tiles; verify our result has no spurious northward flow
+    north = np.moveaxis(grid.north, -1, 0)[:, :, None]
+    v_north = (wind * north).sum(axis=0)
+    assert np.abs(v_north).max() < 0.02
+
+
+def test_slmsk_three_values_normalized(tmp_path):
+    """slmsk {0,1,2} from a reference restart: land mask is slmsk==1
+    only, and sea-ice points (slmsk==2) seed ice_thickness (ADVICE r1)."""
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.core.netcdfio import write_netcdf, Dataset
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.runtime.checkpoint import (
+        load_fortran_restarts,
+        save_fortran_restarts,
+    )
+    from fv3net_tpu.runtime.derived_state import ModelState
+
+    grid = make_grid(6)
+    dstate, *_ = init_state(grid, nz=8)
+    state = ModelState(
+        dycore=dstate,
+        surface={"surface_temperature": jnp.full((6, 6, 6), 300.0)},
+    )
+    path = str(tmp_path / "RESTART")
+    save_fortran_restarts(
+        state, datetime.datetime(2016, 8, 1), path, grid
+    )
+    # overwrite sfc_data with a 3-valued slmsk (no hice provided)
+    slmsk = np.zeros((6, 6, 6))
+    slmsk[0, :3] = 1.0  # land
+    slmsk[1, :2] = 2.0  # sea ice
+    from fv3net_tpu.core.quantity import Quantity
+
+    for t in range(6):
+        write_netcdf(
+            Dataset({
+                "tsea": Quantity(
+                    jnp.full((1, 6, 6), 271.0),
+                    ("Time", "yaxis_1", "xaxis_1"),
+                ),
+                "slmsk": Quantity(
+                    jnp.asarray(slmsk[t][None]),
+                    ("Time", "yaxis_1", "xaxis_1"),
+                ),
+            }),
+            f"{path}/sfc_data.tile{t + 1}.nc",
+        )
+    loaded, _ = load_fortran_restarts(path)
+    mask = np.asarray(loaded.surface["land_sea_mask"])
+    np.testing.assert_array_equal(mask, (slmsk == 1.0).astype(mask.dtype))
+    hice = np.asarray(loaded.surface["ice_thickness"])
+    assert (hice[slmsk == 2.0] > 0).all()
+    assert (hice[slmsk != 2.0] == 0).all()
+
+
 def test_initial_conditions_from_fortran_restarts(tmp_path):
     """A run configured with initial_conditions pointing at a
     reference-layout RESTART starts from that state and time."""

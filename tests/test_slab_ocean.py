@@ -37,6 +37,30 @@ def test_slab_energy_bookkeeping():
     assert float(frozen.min()) >= p.t_min
 
 
+def test_freezing_floor_is_ocean_only():
+    """The 271.35 K floor expresses seawater freezing — continental skin
+    temperature may drop below it (ADVICE r1)."""
+    from fv3net_tpu.physics.slab_ocean import (
+        SlabOceanParams,
+        slab_ocean_update,
+    )
+
+    p = SlabOceanParams(land_depth_m=0.5)
+    cold = {
+        "DSWRFsfc": jnp.zeros((6, 4, 4)),
+        "USWRFsfc": jnp.zeros((6, 4, 4)),
+        "DLWRFsfc": jnp.zeros((6, 4, 4)),
+        "ULWRFsfc": jnp.full((6, 4, 4), 500.0),
+        "SHTFLsfc": jnp.zeros((6, 4, 4)),
+        "LHTFLsfc": jnp.zeros((6, 4, 4)),
+    }
+    mask = jnp.zeros((6, 4, 4)).at[0].set(1.0)
+    ts = jnp.full((6, 4, 4), 272.0)
+    new = slab_ocean_update(ts, cold, 1e7, p, land_mask=mask)
+    assert float(new[0].max()) < p.t_min  # land cools past the floor
+    assert float(new[1:].min()) >= p.t_min  # ocean is floored
+
+
 def test_slab_ocean_in_time_loop():
     from fv3net_tpu.runtime import TimeLoop, names
     from fv3net_tpu.runtime.config import get_config

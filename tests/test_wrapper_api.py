@@ -54,6 +54,22 @@ def test_staged_step_sequence(model):
         wrapper.get_diagnostic_by_name("nope")
 
 
+def test_radiation_fn_protocol():
+    """Every radiation_fn implementation must bind the canonical call
+    made by physics/driver.py:110 — positional (T, delp, q, qc, tsfc,
+    cosz, lat) plus keywords o3=, land=, ice=."""
+    import inspect
+
+    from fv3net_tpu.physics import PhysicsConfig
+    from fv3net_tpu.runtime import fused
+
+    fn = fused._build_radiation_fn(PhysicsConfig(radiation_scheme="rrtmg"))
+    inspect.signature(fn).bind(
+        *[None] * 7, o3=None, land=None, ice=None
+    )
+    assert fused._build_radiation_fn(PhysicsConfig()) is None
+
+
 def test_get_set_state_mass_conserving(model):
     state = wrapper.get_state(["specific_humidity", "air_temperature"])
     q = state["specific_humidity"]
