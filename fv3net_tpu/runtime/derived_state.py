@@ -139,12 +139,26 @@ class DerivedState:
             pt = theta_v_from_temperature(data, self._pmid(), d.tracers["sphum"])
             self.state.dycore = dataclasses.replace(d, pt=pt)
         elif key == names.SPHUM:
-            # changing q changes theta_v(T, q); keep temperature fixed
+            # the set_state_mass_conserving semantics (reference
+            # derived_state.py:123-145 -> wrapper.set_state_mass_conserving):
+            # overwriting specific humidity changes the layer's water mass,
+            # so delp is rescaled to keep the DRY air mass per layer exact:
+            # delp_dry = delp*(1-q) invariant.  The implied column water
+            # source/sink is closed by precipitation_sum in the TimeLoop
+            # (reference loop.py:536-554).  Temperature is held fixed
+            # (theta_v recomputed at the new pmid and q).
             T = self._temperature()
+            q_old = d.tracers["sphum"]
+            delp_new = d.delp * (1.0 - q_old) / (1.0 - data)
             tracers = dict(d.tracers)
             tracers["sphum"] = data
+            self.state.dycore = dataclasses.replace(
+                d, delp=delp_new, tracers=tracers
+            )
             pt = theta_v_from_temperature(T, self._pmid(), data)
-            self.state.dycore = dataclasses.replace(d, tracers=tracers, pt=pt)
+            self.state.dycore = dataclasses.replace(
+                self.state.dycore, pt=pt
+            )
         elif key == names.CLOUD:
             tracers = dict(d.tracers)
             tracers["cloud_water"] = data

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fv3net_tpu.core.constants import GRAVITY
 from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.dycore import DycoreConfig, dynamics_step, init_state
 from fv3net_tpu.dycore.core import GridArrays
@@ -318,16 +319,68 @@ class TimeLoop:
         diags["cos_zenith_angle"] = Quantity(cosz, DIMS_2D)
         # reference surface precip name (kg/m2/s)
         diags[names.PHYSICS_PRECIP_RATE] = diags["PRATEsfc"]
+        # per-step physics precip accumulation [m] — the TOTAL_PRECIP
+        # state the postphysics precipitation_sum builds on (reference
+        # loop.py:536-554, diagnostics/compute.py:123-146)
+        precip_m = raw["PRATEsfc"] * self._timestep / 1000.0
+        self.state.surface[names.TOTAL_PRECIP] = precip_m
+        diags[names.TOTAL_PRECIP] = Quantity(precip_m, DIMS_2D, "m")
         return diags
 
-    def _apply_stepper(self, stepper) -> Dict[str, Quantity]:
+    def _apply_stepper(
+        self, stepper, track_precip: bool = False
+    ) -> Dict[str, Quantity]:
         state = self._derived()
         tendencies, diagnostics, state_updates = stepper(self.time, state)
+        delp_before = (
+            jnp.asarray(state[names.DELP].data) if track_precip else None
+        )
         add_tendency(state, tendencies, self._timestep)
+        # a stepper updating TOTAL_PRECIP_RATE directly overrides the
+        # accumulation (reference _replace_precip_rate_with_accumulation)
+        state_updates = dict(state_updates)
+        rate_update = state_updates.pop(names.TOTAL_PRECIP_RATE, None)
         for key, value in state_updates.items():
             state[key] = value
-        self.state = state.state
         out = dict(diagnostics)
+        if track_precip:
+            # precipitation_sum: physics precip + ML-induced drying,
+            # thresholded non-negative (reference
+            # diagnostics/compute.py:123-146; feeds TOTAL_PRECIP so the
+            # surface water budget closes under active dQ2).  The
+            # moistening is measured from the ACTUAL column delp change:
+            # the sphum setter conserves dry mass exactly, so the delp
+            # change IS the water added — this closes the budget to
+            # roundoff where the reference's ∫dQ2·delp form is only
+            # O(q) accurate.
+            delp_after = jnp.asarray(state[names.DELP].data)
+            net_moistening = (delp_after - delp_before).sum(axis=1) / (
+                GRAVITY * self._timestep
+            )
+            phys_precip = self.state.surface.get(names.TOTAL_PRECIP)
+            if phys_precip is None:
+                phys_precip = jnp.zeros_like(
+                    self.state.surface[names.TSFC]
+                )
+            total = phys_precip - net_moistening * self._timestep / 1000.0
+            if rate_update is not None:
+                total = (
+                    jnp.asarray(rate_update.data) * self._timestep / 1000.0
+                )
+            total = jnp.maximum(total, 0.0)
+            state.state.surface[names.TOTAL_PRECIP] = total
+            out[names.TOTAL_PRECIP] = Quantity(total, DIMS_2D, "m")
+            out[names.TOTAL_PRECIP_RATE] = Quantity(
+                1000.0 * total / self._timestep, DIMS_2D, "kg/m^2/s"
+            )
+            out["net_moistening_due_to_machine_learning"] = Quantity(
+                net_moistening, DIMS_2D, "kg/m^2/s"
+            )
+        elif rate_update is not None:
+            state.state.surface[names.TOTAL_PRECIP] = (
+                jnp.asarray(rate_update.data) * self._timestep / 1000.0
+            )
+        self.state = state.state
         for key, tend in tendencies.items():
             out[f"{key}_{stepper.label}"] = tend
         return out
@@ -335,7 +388,9 @@ class TimeLoop:
     def _step_postphysics(self) -> Dict[str, Quantity]:
         if self._postphysics_stepper is None:
             return {}
-        return self._apply_stepper(self._postphysics_stepper)
+        return self._apply_stepper(
+            self._postphysics_stepper, track_precip=True
+        )
 
     # -- iteration --------------------------------------------------------
     def __iter__(self) -> Iterator[Tuple[datetime.datetime, Dict[str, Quantity]]]:
