@@ -1,0 +1,156 @@
+"""K-distribution table schemas + synthetic fabrication.
+
+The real RRTMG lookup tables live on GCS in the reference deployment
+(external/radiation/radiation/config.py:4-5 — unreachable here), but the
+solvers take them as a plain dict of arrays (``lwdict``/``swdict``,
+external/radiation/radiation/radlw/radlw_main.py:1492-1560, io.py:29-180).
+This module documents every table's shape and fabricates synthetic,
+smooth, positive tables at those shapes.  The SAME dict drives both this
+package's JAX solvers and the reference's in-tree Python solvers, which
+is what makes quantitative oracle validation possible without the
+proprietary data (tests/test_rrtmg_oracle.py).
+
+If the real tables become available, load them with the reference's
+netCDF layout and pass them in place of the synthetic dict — the solver
+is agnostic.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from fv3net_tpu.physics.radiation.rrtmg import params as P
+
+# per-band minor-gas / cfc table inventory for the LW
+# (name -> kind): kind "m1" = [ng, 19] minor, "m2" = [ng, 9, 19]
+# species-dependent minor, "m2u" = [ng, 5, 19] upper species-dependent,
+# "cfc" = [ng]
+LW_BAND_MINORS = {
+    0: {"ka_mn2": "m1"},
+    2: {"ka_mn2o": "m2", "kb_mn2o": "m2u"},
+    4: {"ka_mo3": "m2", "ccl4": "cfc"},
+    5: {"ka_mco2": "m1", "cfc11adj": "cfc", "cfc12": "cfc"},
+    6: {"ka_mco2": "m2", "kb_mco2": "m1"},
+    7: {"ka_mo3": "m1", "ka_mco2": "m1", "kb_mco2": "m1", "cfc12": "cfc",
+        "ka_mn2o": "m1", "kb_mn2o": "m1", "cfc22adj": "cfc"},
+    8: {"ka_mn2o": "m2", "kb_mn2o": "m1"},
+    10: {"ka_mo2": "m1", "kb_mo2": "m1"},
+    12: {"ka_mco2": "m2", "ka_mco": "m2", "kb_mo3": "m1"},
+    14: {"ka_mn2": "m2"},
+}
+# bands whose lower-atmosphere key is a 2-species combination
+LW_TWO_SPECIES_LOWER = (2, 3, 4, 6, 8, 11, 12, 14, 15)
+# bands whose upper-atmosphere key is a 2-species combination
+LW_TWO_SPECIES_UPPER = (2, 3, 4)
+# bands with no absb (nothing above the troposphere)
+LW_NO_UPPER = (5, 11, 14)  # band 6 has cfc-only, 12/15 zero
+LW_NO_UPPER_TABLE = (5, 11, 12, 14)  # no absb table present
+
+
+def _rows_a(nspa: int) -> int:
+    # lower-atmosphere k-table rows: 13 ref pressures x 5 ref temps x
+    # nspa key-species columns, + stencil slack (the 3-point species
+    # stencil reads up to +11 beyond the base index)
+    return 13 * 5 * nspa + 3 * nspa + 16
+
+
+def _rows_b(nspb: int) -> int:
+    # upper-atmosphere: 47 ref pressures x 5 ref temps x nspb columns
+    return 235 * max(nspb, 1) + 16
+
+
+def _smooth(rng, shape, scale):
+    """Smooth positive random table: low-frequency lognormal field."""
+    raw = rng.standard_normal(shape)
+    # smooth along every axis with a small box filter
+    for ax in range(len(shape)):
+        if shape[ax] >= 3:
+            raw = (
+                raw
+                + np.roll(raw, 1, axis=ax)
+                + np.roll(raw, -1, axis=ax)
+            ) / 3.0
+    return scale * np.exp(0.6 * raw)
+
+
+def make_lw_tables(seed: int = 0) -> Dict:
+    """Fabricate a complete ``lwdict`` with the reference solver's table
+    layout (radlw_main.py:1492-1560): planck/reference data, cloud
+    optics tables, and per-band k-distributions ``radlw_kgb01..16``."""
+    rng = np.random.default_rng(seed)
+    d: Dict = {}
+
+    # integrated Planck function per band vs temperature (159..339 K);
+    # smooth, monotone in T, magnitudes giving ~300 W/m2 OLR totals
+    t_grid = 159.0 + np.arange(P.NPLNK)
+    band_w = 1.0 / P.DELWAVE_LW / P.NBANDS_LW
+    d["totplnk"] = (
+        2.0e-8 * (t_grid[:, None] / 250.0) ** 4.2
+        * (P.DELWAVE_LW * band_w * 250.0)[None, :]
+        * (1.0 + 0.2 * rng.random(P.NBANDS_LW))[None, :]
+    )
+    # ln reference pressures: exactly the grid the jp index math assumes
+    d["preflog"] = 6.96 - 0.2 * np.arange(59)
+    # reference temperatures at those pressures (smooth profile)
+    d["tref"] = 288.0 - 1.5 * np.arange(59) + 20.0 * np.exp(
+        -((np.arange(59) - 40.0) / 10.0) ** 2
+    )
+    # reference minor-gas mixing ratios [7 gases, 59 levels]
+    chi = np.empty((7, 59))
+    chi[0] = 8.0e-3 * np.exp(-np.arange(59) / 6.0) + 3.0e-6  # h2o
+    chi[1] = 3.55e-4  # co2
+    chi[2] = 3.0e-8 + 8.0e-6 * np.exp(-((np.arange(59) - 22.0) / 7.0) ** 2)
+    chi[3] = 3.2e-7 * np.exp(-np.arange(59) / 50.0)  # n2o
+    chi[4] = 1.7e-6  # ch4
+    chi[5] = 0.209  # o2
+    chi[6] = 1.5e-7  # co
+    d["chi_mls"] = chi
+
+    # cloud optics tables (Hu&Stamnes liquid, 3 ice parameterizations)
+    d["absliq1"] = _smooth(rng, (58, P.NBANDS_LW), 0.08)
+    d["absice0"] = np.array([0.005, 1.0])
+    d["absice1"] = _smooth(rng, (2, 5), 0.005) + np.array([[0.002], [3.0]])
+    d["absice2"] = _smooth(rng, (43, P.NBANDS_LW), 0.004)
+    d["absice3"] = _smooth(rng, (46, P.NBANDS_LW), 0.004)
+
+    for b in range(P.NBANDS_LW):
+        ng = P.NG_LW[b]
+        band: Dict = {}
+        band["selfref"] = _smooth(rng, (ng, 10), 0.3)
+        band["forref"] = _smooth(rng, (ng, 4), 0.1)
+        band["absa"] = _smooth(rng, (ng, _rows_a(P.NSPA_LW[b])), 4.0e-3)
+        if b not in LW_NO_UPPER_TABLE:
+            band["absb"] = _smooth(rng, (ng, _rows_b(P.NSPB_LW[b])), 2.0e-3)
+        if b in LW_TWO_SPECIES_LOWER:
+            band["fracrefa"] = _smooth(rng, (ng, 9), 1.0 / ng)
+        else:
+            band["fracrefa"] = _smooth(rng, (ng,), 1.0 / ng)
+        if b in LW_TWO_SPECIES_UPPER:
+            band["fracrefb"] = _smooth(rng, (ng, 5), 1.0 / ng)
+        elif b in (11, 14):  # bands 12/15: no upper fracs at all
+            pass
+        else:
+            band["fracrefb"] = _smooth(rng, (ng,), 1.0 / ng)
+        for name, kind in LW_BAND_MINORS.get(b, {}).items():
+            if kind == "m1":
+                band[name] = _smooth(rng, (ng, 19), 1.0e-7)
+            elif kind == "m2":
+                band[name] = _smooth(rng, (ng, 9, 19), 1.0e-7)
+            elif kind == "m2u":
+                band[name] = _smooth(rng, (ng, 5, 19), 1.0e-7)
+            else:  # cfc: per-g cross sections
+                band[name] = _smooth(rng, (ng,), 1.0e-4)
+        # bands 6/13 carry fracrefb despite absent absb (cfc/o3 upper)
+        if b == 5:
+            band.pop("fracrefb", None)
+        d[f"radlw_kgb{b + 1:02d}"] = band
+
+    # normalize planck fractions so each band's fracs sum ~1 over g
+    for b in range(P.NBANDS_LW):
+        band = d[f"radlw_kgb{b + 1:02d}"]
+        for key in ("fracrefa", "fracrefb"):
+            if key in band:
+                f = band[key]
+                band[key] = f / f.sum(axis=0, keepdims=True).clip(1e-30)
+    return d
