@@ -70,9 +70,17 @@ HEATFAC = CON_G * 1.0e-2 / CON_CP  # K/s (ilwrate=2)
 # ---------------------------------------------------------------- shortwave
 NBANDS_SW = 14
 NGPT_SW = 112
-NG_SW = (16, 16, 16, 14, 16, 8, 4, 14, 8, 6, 6, 8, 6, 12)
+NG_SW = (6, 12, 8, 8, 10, 10, 2, 10, 8, 6, 6, 8, 6, 12)
 NS_SW = tuple(int(x) for x in np.concatenate([[0], np.cumsum(NG_SW)[:-1]]))
 NGB_SW = np.repeat(np.arange(NBANDS_SW), NG_SW)
 NSPA_SW = (9, 9, 9, 9, 1, 9, 9, 1, 9, 1, 0, 1, 9, 1)
 NSPB_SW = (1, 5, 1, 1, 1, 5, 1, 0, 1, 0, 0, 1, 5, 1)
 NBLOW = 16  # first SW band number (RRTMG band numbering 16..29)
+# surface-flux spectral group per band: 1 nir, 2 uv+vis, 0 split
+IDXSFC_SW = (1, 1, 1, 1, 1, 1, 1, 1, 0, 2, 2, 2, 2, 1)
+# Ebert&Curry ice band index per SW band
+IDXEBC_SW = (5, 5, 4, 4, 3, 3, 2, 2, 1, 1, 1, 1, 1, 5)
+NUVB_SW = 27  # uv-b band number
+S0_SW = 1368.22  # internal solar constant W/m^2
+FTINY = 1.0e-12
+FLIMIT = 1.0e-20

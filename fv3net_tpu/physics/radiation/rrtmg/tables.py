@@ -154,3 +154,129 @@ def make_lw_tables(seed: int = 0) -> Dict:
                 f = band[key]
                 band[key] = f / f.sum(axis=0, keepdims=True).clip(1e-30)
     return d
+
+
+# SW band k-table inventory (io.py:252-282); band index is 0-based
+# (RRTMG band = 16+b).  Values: table name -> kind.
+SW_BAND_TABLES = {
+    0: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    1: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    2: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    3: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    4: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "absch4": "g", "rayl": "r0"},
+    5: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    6: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "rayl": "r0"},
+    7: {"selfref": "s", "forref": "f", "absa": "a", "rayl": "rg",
+        "givfac": "r0"},
+    8: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+        "abso3a": "g", "abso3b": "g", "rayla": "r2", "raylb": "rg"},
+    9: {"absa": "a", "abso3a": "g", "abso3b": "g", "rayl": "rg"},
+    10: {"rayl": "rg"},
+    11: {"absa": "a", "absb": "b", "rayl": "rg"},
+    12: {"absa": "a", "absb": "b", "rayl": "r0"},
+    13: {"selfref": "s", "forref": "f", "absa": "a", "absb": "b",
+         "absh2o": "g", "absco2": "g", "rayl": "r0"},
+}
+
+
+def make_sw_tables(seed: int = 1):
+    """Fabricate a complete ``swdict`` (reference io.py:180-295 layout:
+    solar-source tables, setcoef reference data, cloud optics, per-band
+    k-distributions).  SW k-tables are stored rows-leading [rows, ng]."""
+    rng = np.random.default_rng(seed)
+    d = {}
+
+    # solar-source spectral tables
+    d["strrat"] = np.exp(rng.uniform(np.log(0.1), np.log(50.0), 14))
+    specwt = np.full(14, 8.0)
+    specwt[[1, 12]] = 4.0  # bands 17/28 use the 5-row sfluxref02
+    d["specwt"] = specwt
+    layreffr = np.full(14, 6, dtype=np.int64)
+    layreffr[[1, 12]] = 30  # upper-atmosphere reference layer
+    d["layreffr"] = layreffr
+    # key species pairs (1-based colamt indices)
+    d["ix1"] = np.array([1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 3, 3, 1])
+    d["ix2"] = np.array([5, 2, 5, 2, 2, 2, 6, 2, 6, 6, 6, 2, 6, 2])
+    d["ibx"] = np.arange(1, 15)
+    d["sfluxref01"] = _smooth(rng, (16, 1, 14), 1.0 / P.NGPT_SW)
+    d["sfluxref02"] = _smooth(rng, (16, 5, 14), 1.0 / P.NGPT_SW)
+    d["sfluxref03"] = _smooth(rng, (16, 9, 14), 1.0 / P.NGPT_SW)
+    d["scalekur"] = 0.935
+    # normalize so total solar ~ s0: sum over all g of sfluxzen ~ 1
+    for k in ("sfluxref01", "sfluxref02", "sfluxref03"):
+        d[k] = d[k] / d[k].sum()
+
+    d["preflog"] = 6.96 - 0.2 * np.arange(59)
+    d["tref"] = 288.0 - 1.5 * np.arange(59) + 20.0 * np.exp(
+        -((np.arange(59) - 40.0) / 10.0) ** 2
+    )
+
+    # cloud optics
+    for name, shape, scale in [
+        ("extliq1", (58, 14), 0.1), ("extliq2", (58, 14), 0.1),
+        ("extice2", (43, 14), 0.05), ("extice3", (46, 14), 0.05),
+    ]:
+        d[name] = _smooth(rng, shape, scale)
+    for name, shape in [
+        ("ssaliq1", (58, 14)), ("ssaliq2", (58, 14)),
+        ("ssaice2", (43, 14)), ("ssaice3", (46, 14)),
+    ]:
+        d[name] = 0.4 + 0.55 * rng.random(shape)
+    for name, shape in [
+        ("asyliq1", (58, 14)), ("asyliq2", (58, 14)),
+        ("asyice2", (43, 14)), ("asyice3", (46, 14)),
+    ]:
+        d[name] = 0.2 + 0.7 * rng.random(shape)
+    d["abari"] = 0.003 + 0.002 * rng.random(5)
+    d["bbari"] = 1.0 + rng.random(5)
+    d["cbari"] = 0.01 * rng.random(5)
+    d["dbari"] = 1e-4 * rng.random(5)
+    d["ebari"] = 0.7 + 0.1 * rng.random(5)
+    d["fbari"] = 1e-3 * rng.random(5)
+    d["b0s"] = 0.03 * rng.random(14)
+    d["b1s"] = 1e-4 * rng.random(14)
+    d["b0r"] = 0.2 * rng.random(14)
+    d["c0s"] = 0.5 + 0.4 * rng.random(14)
+    d["c0r"] = 0.5 + 0.4 * rng.random(14)
+    d["a0r"] = 3.07e-3
+    d["a1r"] = 0.0
+    d["a0s"] = 0.0
+    d["a1s"] = 1.5
+
+    for b in range(P.NBANDS_SW):
+        ng = P.NG_SW[b]
+        band = {}
+        for name, kind in SW_BAND_TABLES[b].items():
+            if kind == "s":
+                band[name] = _smooth(rng, (10, ng), 0.3)
+            elif kind == "f":
+                band[name] = _smooth(rng, (4, ng), 0.1)
+            elif kind == "a":
+                band[name] = _smooth(
+                    rng, (_rows_a(P.NSPA_SW[b]), ng), 4.0e-3
+                )
+            elif kind == "b":
+                band[name] = _smooth(
+                    rng, (_rows_b(P.NSPB_SW[b]), ng), 2.0e-3
+                )
+            elif kind == "g":  # per-g cross section
+                band[name] = _smooth(rng, (ng,), 1.0e-4)
+            elif kind == "rg":  # per-g rayleigh
+                band[name] = _smooth(rng, (ng,), 3.0e-6)
+            elif kind == "r2":  # species-dependent rayleigh [ng, 9]
+                band[name] = _smooth(rng, (ng, 9), 3.0e-6)
+            else:  # scalar
+                band[name] = (
+                    float(_smooth(rng, (1,), 3.0e-6)[0])
+                    if name == "rayl"
+                    else 1.0 + 0.1 * rng.random()
+                )
+        d[f"radsw_kgb{b + 16}"] = band
+    return d

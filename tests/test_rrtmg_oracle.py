@@ -213,6 +213,123 @@ def test_lw_fluxes_match_reference_f32(oracle_and_ours):
     )
 
 
+@pytest.fixture(scope="module")
+def ref_sw(ref_lw):
+    import importlib
+
+    return importlib.import_module("radiation.radsw.radsw_main")
+
+
+@pytest.fixture(scope="module")
+def sw_oracle_and_ours(ref_sw):
+    from fv3net_tpu.physics.radiation.rrtmg.tables import make_sw_tables
+    from fv3net_tpu.physics.radiation.rrtmg.sw import (
+        prep_sw_tables,
+        swrad,
+    )
+
+    pr = _profiles()
+    C, L = pr["plyr"].shape
+    swdict = make_sw_tables(seed=1)
+    rng = np.random.default_rng(11)
+    rand2d = rng.random((C, P.NGPT_SW * L))
+    cosz = np.array([0.82, 0.47, 0.21, 0.0])[:C]  # last column: night
+    nday = int((cosz > 0.0001).sum())
+    idxday = np.arange(1, nday + 1)
+    sfcalb = np.tile(
+        np.array([[0.23, 0.21, 0.09, 0.07]]), (C, 1)
+    ) * np.array([1.0, 0.6, 1.3, 0.4])[:C, None]
+    solcon = 1360.8
+    aer = np.zeros((C, L, P.NBANDS_SW, 3))
+    aer[..., 0] = 0.015 * (pr["plyr"] / 1013.0)[..., None]
+    aer[..., 1] = 0.88
+    aer[..., 2] = 0.66
+
+    solver = ref_sw.RadSWClass(iovrsw=1, isubcsw=2)
+    ref_out = solver.swrad(
+        pr["plyr"], pr["plvl"], pr["tlyr"], pr["tlvl"], pr["qlyr"],
+        pr["olyr"], pr["gasvmr"], pr["clouds"], aer, sfcalb,
+        pr["dzlyr"], pr["delp"], np.zeros(C), cosz, solcon,
+        nday, idxday, C, L, L + 1, False, False, True, False, True,
+        rand2d, swdict,
+    )
+    (hswc, upfxc_t, dnfxc_t, upfx0_t, upfxc_s, dnfxc_s, upfx0_s,
+     dnfx0_s, cldtau, hsw0, uvbf0, uvbfc, nirbm, nirdf, visbm,
+     visdf) = ref_out
+    ref = dict(
+        hswc=hswc, hsw0=hsw0, upfxc_t=upfxc_t, dnfxc_t=dnfxc_t,
+        upfx0_t=upfx0_t, upfxc_s=upfxc_s, dnfxc_s=dnfxc_s,
+        upfx0_s=upfx0_s, dnfx0_s=dnfx0_s, uvbf0=uvbf0, uvbfc=uvbfc,
+        nirbm=nirbm, nirdf=nirdf, visbm=visbm, visdf=visdf,
+    )
+
+    x64_was = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ours = swrad(
+            *[jnp.asarray(x, jnp.float64) for x in
+              (pr["plyr"], pr["plvl"], pr["tlyr"], pr["tlvl"],
+               pr["qlyr"], pr["olyr"], pr["gasvmr"], pr["clouds"],
+               aer, sfcalb, pr["delp"], cosz)],
+            solcon,
+            jnp.asarray(rand2d, jnp.float64),
+            prep_sw_tables(swdict, dtype=jnp.float64),
+        )
+        ours = {k: np.asarray(v) for k, v in ours.items()}
+    finally:
+        jax.config.update("jax_enable_x64", x64_was)
+    return ref, ours
+
+
+def test_sw_fluxes_match_reference_f64(sw_oracle_and_ours):
+    ref, ours = sw_oracle_and_ours
+    pairs = [
+        ("upfxc_t", "ftoauc"), ("dnfxc_t", "ftoadc"),
+        ("upfx0_t", "ftoau0"), ("upfxc_s", "fsfcuc"),
+        ("dnfxc_s", "fsfcdc"), ("upfx0_s", "fsfcu0"),
+        ("dnfx0_s", "fsfcd0"),
+    ]
+    for ref_key, our_key in pairs:
+        np.testing.assert_allclose(
+            ours[our_key], ref[ref_key], rtol=1e-9, atol=1e-9,
+            err_msg=ref_key,
+        )
+
+
+def test_sw_heating_and_components_match_f64(sw_oracle_and_ours):
+    ref, ours = sw_oracle_and_ours
+    np.testing.assert_allclose(
+        ours["hswc"], ref["hswc"], rtol=1e-8, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        ours["hsw0"], ref["hsw0"], rtol=1e-8, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        ours["sfbmc"][:, 0], ref["nirbm"], rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["sfdfc"][:, 0], ref["nirdf"], rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["sfbmc"][:, 1], ref["visbm"], rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["sfdfc"][:, 1], ref["visdf"], rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["suvbf0"], ref["uvbf0"], rtol=1e-9, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["suvbfc"], ref["uvbfc"], rtol=1e-9, atol=1e-9
+    )
+
+
+def test_sw_night_columns_zero(sw_oracle_and_ours):
+    _, ours = sw_oracle_and_ours
+    assert ours["ftoadc"][-1] == 0.0
+    assert np.all(ours["hswc"][-1] == 0.0)
+
+
 def test_lw_fluxes_physically_sane(oracle_and_ours):
     ref, ours, _ = oracle_and_ours
     assert (ours["upfxc_t"] > 0).all()
