@@ -1,0 +1,323 @@
+"""GFS-driver adapter for the real RRTMG band solvers.
+
+The ``Radiation``-wrapper-shaped surface (reference wrapper_api.py:119-349
++ radiation_driver.py _GFS_radiation_driver:380): one pure call of
+(time, named state columns) -> RENAME_OUT-named fluxes and heating rates,
+now backed by the oracle-validated RRTMG-LW/SW solvers (lw.py / sw.py)
+instead of the synthetic band model (physics/radiation/driver.py, kept as
+scheme "synthband").
+
+K-tables default to the documented-shape synthetic set (tables.py) since
+the real GCS lookup data is unreachable here; pass ``lw_tables`` /
+``sw_tables`` dicts (reference netCDF layout) to run with real data.
+"""
+from __future__ import annotations
+
+import dataclasses
+import datetime
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fv3net_tpu.core.constants import GRAVITY
+from fv3net_tpu.ops import thermo, zenith
+from fv3net_tpu.physics.radiation import gases, optics
+from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
+from fv3net_tpu.physics.radiation.rrtmg import params as P
+from fv3net_tpu.physics.radiation.rrtmg import sw as rsw
+from fv3net_tpu.physics.radiation.rrtmg import tables as rtables
+
+# representative halocarbon volume mixing ratios (reference
+# radiation_gases.py defaults)
+_CFC11 = 2.6e-10
+_CFC12 = 5.3e-10
+_CFC22 = 1.1e-10
+_CCL4 = 9.0e-11
+
+# continental vs maritime aerosol optical character per SW band
+# (compact stand-in for radiation_aerosols.py's climatological maps:
+# Angstrom spectral slope on extinction, band-dependent ssa/asy)
+_SW_BAND_WVN = np.array([
+    2925.0, 3625.0, 4325.0, 4900.0, 5650.0, 6925.0, 7875.0, 10450.0,
+    14425.0, 19325.0, 25825.0, 33500.0, 44000.0, 1710.0,
+])  # band-center wavenumbers cm-1 (published RRTMG-SW band bounds)
+_SW_LAM_UM = 1.0e4 / _SW_BAND_WVN
+
+
+@dataclasses.dataclass
+class RRTMGConfig:
+    iovr: int = 1  # max-random overlap
+    isol: int = 0
+    ico2: int = 0
+    iaer: int = 1
+    icld: int = 1
+    year: int = 2016
+    mcica_seed: int = 42
+    solcon: float = 1368.22
+
+
+class RRTMGDriver:
+    """Builds table data once; ``__call__`` is pure and jit-friendly."""
+
+    def __init__(
+        self,
+        config: RRTMGConfig = RRTMGConfig(),
+        lw_tables: Optional[Dict] = None,
+        sw_tables: Optional[Dict] = None,
+        dtype=jnp.float32,
+    ):
+        self.config = config
+        self.Tlw = rlw.prep_lw_tables(
+            lw_tables or rtables.make_lw_tables(), dtype
+        )
+        self.Tsw = rsw.prep_sw_tables(
+            sw_tables or rtables.make_sw_tables(), dtype
+        )
+        self.dtype = dtype
+
+    def _aerosols(self, play_mb, dp_mb, land, nbands, lw_mode):
+        """[C, L, nbands, 3] (tau, ssa, asy); boundary-layer climatology
+        with an Angstrom spectral slope for SW and a flat gray
+        absorption for LW."""
+        aod550 = 0.12 * land + 0.06 * (1.0 - land)
+        w = dp_mb * (play_mb > 700.0)
+        w = w / jnp.maximum(w.sum(-1, keepdims=True), 1.0)
+        prof = aod550[:, None] * w  # [C, L]
+        if lw_mode:
+            tau = prof[..., None] * 0.06 * jnp.ones(nbands, self.dtype)
+            ssa = jnp.zeros_like(tau)
+            asy = jnp.zeros_like(tau)
+        else:
+            spectral = jnp.asarray(
+                (_SW_LAM_UM / 0.55) ** -1.3, self.dtype
+            )
+            tau = prof[..., None] * spectral
+            ssa = jnp.full_like(tau, 0.95)
+            asy = jnp.full_like(tau, 0.70)
+        return jnp.stack([tau, ssa, asy], axis=-1)
+
+    def __call__(
+        self,
+        time: datetime.datetime,
+        state: Dict[str, jnp.ndarray],
+        cosz: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """state: z-last columns with z index 0 = model TOP (this
+        framework's convention; flipped internally to the solvers'
+        surface-first order).  Same keys as the synthband driver."""
+        cfg = self.config
+        dt = self.dtype
+        T_in = state["air_temperature"]
+        lead, nz = T_in.shape[:-1], T_in.shape[-1]
+        ncol = int(np.prod(lead)) if lead else 1
+
+        def cols(x, flip=True):
+            x = jnp.asarray(x, dt).reshape(
+                (ncol,) + jnp.shape(x)[len(lead):]
+            )
+            return x[:, ::-1] if (flip and x.ndim > 1) else x
+
+        T = cols(T_in)  # [C, L] surface-first
+        dp_pa = cols(state["pressure_thickness_of_atmospheric_layer"])
+        q = (
+            cols(state["specific_humidity"])
+            if "specific_humidity" in state
+            else jnp.full((ncol, nz), 1e-6, dt)
+        )
+        qc = (
+            cols(state["cloud_water_mixing_ratio"])
+            if "cloud_water_mixing_ratio" in state
+            else jnp.zeros((ncol, nz), dt)
+        )
+        tsfc = cols(state["surface_temperature"], flip=False)
+        lat = cols(state["latitude"], flip=False)
+        lon = cols(state["longitude"], flip=False)
+        land = jnp.clip(
+            cols(state.get("land_sea_mask", jnp.zeros(lead)), flip=False),
+            0.0, 1.0,
+        )
+        ice = jnp.clip(
+            cols(state.get("ice_fraction", jnp.zeros(lead)), flip=False),
+            0.0, 1.0,
+        )
+
+        # pressures in mb, surface-first levels
+        dp_td = jnp.asarray(
+            state["pressure_thickness_of_atmospheric_layer"], dt
+        ).reshape(ncol, nz)
+        plev_td = thermo.pressure_at_interface(dp_td)  # [C, L+1] top-down
+        plvl = plev_td[:, ::-1] * 0.01
+        plyr = (0.5 * (plev_td[..., :-1] + plev_td[..., 1:]))[:, ::-1] * 0.01
+        delp = dp_pa * 0.01
+        # interface temperatures, surface-first: level 0 extrapolates
+        # below the lowest layer, level L above the top layer
+        tlvl = jnp.concatenate(
+            [
+                T[:, :1] + 0.25 * (T[:, :1] - T[:, 1:2]),
+                0.5 * (T[:, :-1] + T[:, 1:]),
+                T[:, -1:] - 0.25 * (T[:, -2:-1] - T[:, -1:]),
+            ],
+            axis=-1,
+        )
+
+        # ozone mass mixing ratio
+        if "ozone_mixing_ratio" in state:
+            o3 = jnp.maximum(cols(state["ozone_mixing_ratio"]), 0.0)
+        else:
+            o3 = gases.ozone_profile(plyr * 100.0, lat)
+
+        # well-mixed gas VOLUME mixing ratios -> gasvmr slots
+        co2 = gases.co2vmr(cfg.year, cfg.ico2)
+        ones = jnp.ones_like(plyr)
+        gasvmr = jnp.stack(
+            [
+                ones * co2,
+                ones * gases.N2OVMR_DEF,
+                ones * gases.CH4VMR_DEF,
+                ones * gases.O2VMR_DEF,
+                ones * 1.5e-7,  # co
+                ones * _CFC11,
+                ones * _CFC12,
+                ones * _CFC22,
+                ones * _CCL4,
+                jnp.zeros_like(plyr),
+            ],
+            axis=-1,
+        )
+
+        # clouds: condensate -> in-cloud paths/radii (same compact
+        # progcld scheme as the synthband driver)
+        t_frac_ice = jnp.clip((268.0 - T) / 15.0, 0.0, 1.0)
+        wpath = qc * dp_pa * (1000.0 / GRAVITY)
+        cldfrac = jnp.where(qc > 1e-7, 1.0 - jnp.exp(-qc / 3.0e-5), 0.0)
+        if cfg.icld == 0:
+            cldfrac = jnp.zeros_like(cldfrac)
+        incloud = wpath / jnp.maximum(cldfrac, 0.05)
+        lwp = incloud * (1.0 - t_frac_ice)
+        iwp = incloud * t_frac_ice
+        re_liq = jnp.broadcast_to(
+            (10.0 * land + 14.0 * (1.0 - land))[:, None], lwp.shape
+        )
+        re_ice = jnp.clip(326.3 + 12.42 * (T - 273.15), 20.0, 130.0)
+        zeros = jnp.zeros_like(cldfrac)
+        clouds = jnp.stack(
+            [cldfrac, lwp, re_liq, iwp, re_ice,
+             zeros, zeros, zeros, zeros],
+            axis=-1,
+        )
+
+        days = zenith.days_from_2000(time)
+        if cosz is None:
+            cosz = zenith.cos_zenith_angle(
+                days, jnp.rad2deg(lon), jnp.rad2deg(lat)
+            )
+        cosz = jnp.asarray(cosz, dt).reshape(ncol)
+
+        # McICA randoms decorrelated across calls via a state fold
+        state_fold = ((jnp.abs(T).sum() * 16.0) % 1000003.0).astype(
+            jnp.int32
+        )
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.mcica_seed), state_fold
+        )
+        rand_lw = jax.random.uniform(
+            key, (ncol, P.NGPT_LW * nz), dtype=jnp.float32
+        ).astype(dt)
+        rand_sw = jax.random.uniform(
+            jax.random.fold_in(key, 1), (ncol, P.NGPT_SW * nz),
+            dtype=jnp.float32,
+        ).astype(dt)
+
+        sfemis = optics.surface_emissivity(land)
+        aer_lw = self._aerosols(plyr, delp, land, P.NBANDS_LW, True)
+        aer_sw = self._aerosols(plyr, delp, land, P.NBANDS_SW, False)
+        if not cfg.iaer:
+            aer_lw = jnp.zeros_like(aer_lw)
+            aer_sw = jnp.zeros_like(aer_sw)
+
+        lw_out = rlw.lwrad(
+            plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_lw,
+            sfemis, tsfc, delp, rand_lw, self.Tlw, iovrlw=cfg.iovr,
+        )
+
+        # broadband dir/dif albedo -> (nir-bm, nir-df, vis-bm, vis-df)
+        alb_dir_b, alb_dif_b = optics.surface_albedo(
+            cosz, land, ice_frac=ice
+        )
+        vis = jnp.asarray(_SW_LAM_UM < 0.7, dt)
+        wsum_v = jnp.maximum(vis.sum(), 1.0)
+        wsum_n = jnp.maximum((1.0 - vis).sum(), 1.0)
+        nbands_old = alb_dir_b.shape[-1]
+        if nbands_old == P.NBANDS_SW:
+            a_nir_bm = (alb_dir_b * (1.0 - vis)).sum(-1) / wsum_n
+            a_nir_df = (alb_dif_b * (1.0 - vis)).sum(-1) / wsum_n
+            a_vis_bm = (alb_dir_b * vis).sum(-1) / wsum_v
+            a_vis_df = (alb_dif_b * vis).sum(-1) / wsum_v
+        else:  # fall back to band means
+            a_nir_bm = a_vis_bm = alb_dir_b.mean(-1)
+            a_nir_df = a_vis_df = alb_dif_b.mean(-1)
+        sfcalb = jnp.stack(
+            [a_nir_bm, a_nir_df, a_vis_bm, a_vis_df], axis=-1
+        )
+
+        s0 = cfg.solcon
+        if cfg.isol:
+            doy = jnp.mod(days, 365.25)
+            s0 = cfg.solcon * (
+                1.0 + 0.034 * jnp.cos(2.0 * jnp.pi * (doy - 2.0) / 365.25)
+            )
+        sw_out = rsw.swrad(
+            plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_sw,
+            sfcalb, delp, cosz, s0, rand_sw, self.Tsw, iovrsw=cfg.iovr,
+        )
+
+        def resh(x, flip=False):
+            if flip:
+                x = x[:, ::-1]
+            return x.reshape(lead + x.shape[1:])
+
+        hlwc = lw_out["hlwc"]
+        hswc = sw_out["hswc"]
+        out = {
+            "total_sky_longwave_heating_rate_python": resh(hlwc, True),
+            "clear_sky_longwave_heating_rate_python": resh(
+                lw_out["hlw0"], True
+            ),
+            "total_sky_shortwave_heating_rate_python": resh(hswc, True),
+            "clear_sky_shortwave_heating_rate_python": resh(
+                sw_out["hsw0"], True
+            ),
+            "total_sky_upward_longwave_flux_at_top_of_atmosphere_python":
+                resh(lw_out["upfxc_t"]),
+            "clear_sky_upward_longwave_flux_at_top_of_atmosphere_python":
+                resh(lw_out["upfx0_t"]),
+            "total_sky_upward_shortwave_flux_at_top_of_atmosphere_python":
+                resh(sw_out["ftoauc"]),
+            "clear_sky_upward_shortwave_flux_at_top_of_atmosphere_python":
+                resh(sw_out["ftoau0"]),
+            "total_sky_downward_shortwave_flux_at_top_of_atmosphere_python":
+                resh(sw_out["ftoadc"]),
+            "total_sky_upward_longwave_flux_at_surface_python":
+                resh(lw_out["upfxc_s"]),
+            "clear_sky_upward_longwave_flux_at_surface_python":
+                resh(lw_out["upfx0_s"]),
+            "total_sky_downward_longwave_flux_at_surface_python":
+                resh(lw_out["dnfxc_s"]),
+            "clear_sky_downward_longwave_flux_at_surface_python":
+                resh(lw_out["dnfx0_s"]),
+            "total_sky_upward_shortwave_flux_at_surface_python":
+                resh(sw_out["fsfcuc"]),
+            "clear_sky_upward_shortwave_flux_at_surface_python":
+                resh(sw_out["fsfcu0"]),
+            "total_sky_downward_shortwave_flux_at_surface_python":
+                resh(sw_out["fsfcdc"]),
+            "clear_sky_downward_shortwave_flux_at_surface_python":
+                resh(sw_out["fsfcd0"]),
+            "cos_zenith_angle": resh(cosz),
+            "tendency_of_air_temperature_due_to_radiation": resh(
+                hlwc + hswc, True
+            ),
+        }
+        return out

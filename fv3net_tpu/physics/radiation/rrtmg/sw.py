@@ -652,9 +652,16 @@ def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2):
     zt1 = zrp1 * (za1n + zrkg4)
     zt2 = zrm1 * (za1n - zrkg4)
     zt3 = zrk2 * (zgam4 + za1n * cosz)
-    zexm1 = lut(zrk * ztau1)
+
+    def nonzero(x):
+        # f32 only: exp(-500) underflows to 0 and 1/0 would NaN the
+        # unused-but-computed branch; exact-zero never occurs in f64
+        # (min table value ~7e-218), so the oracle path is untouched
+        return jnp.where(x == 0.0, jnp.asarray(1e-30, x.dtype), x)
+
+    zexm1 = nonzero(lut(zrk * ztau1))
     zexp1 = 1.0 / zexm1
-    zexm2 = lut(ztau1 * sntz)
+    zexm2 = nonzero(lut(ztau1 * sntz))
     zexp2 = 1.0 / zexm2
     ze1r45 = zr4 * zexp1 + zr5 * zexm1
     degenerate = (ze1r45 >= -_EPS1) & (ze1r45 <= _EPS1)
@@ -693,10 +700,15 @@ def _vrtqdr(zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt):
     C, Lp1, G = zrefb.shape
     L = Lp1 - 1
 
+    def recip(d):
+        # f32 only: totally-reflective layer stacks can round
+        # 1 - r*r' to exactly 0; never exact in the f64 oracle path
+        return 1.0 / jnp.where(d == 0.0, jnp.asarray(1e-30, d.dtype), d)
+
     def up_body(carry, xs):
         zrupb_k, zrupd_k = carry
         refb_kp, refd_kp, trab_kp, trad_kp, ldbt_kp = xs
-        zden1 = 1.0 / (1.0 - zrupd_k * refd_kp)
+        zden1 = recip(1.0 - zrupd_k * refd_kp)
         zrupb_kp = refb_kp + (
             trad_kp
             * ((trab_kp - ldbt_kp) * zrupd_k + ldbt_kp * zrupb_k)
@@ -722,7 +734,7 @@ def _vrtqdr(zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt):
     def dn_body(carry, xs):
         ztdn_k, zrdnd_k = carry
         refb_k, refd_k, trab_k, trad_k, tdbt_k = xs
-        zden1 = 1.0 / (1.0 - refd_k * zrdnd_k)
+        zden1 = recip(1.0 - refd_k * zrdnd_k)
         ztdn_km1 = tdbt_k * trab_k + (
             trad_k * ((ztdn_k - tdbt_k) + tdbt_k * refb_k * zrdnd_k)
         ) * zden1
@@ -759,7 +771,7 @@ def _vrtqdr(zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt):
         axis=1,
     )
 
-    zden1 = 1.0 / (1.0 - zrdnd * zrupd)
+    zden1 = recip(1.0 - zrdnd * zrupd)
     zfu = (ztdbt * zrupb + (ztdn - ztdbt) * zrupd) * zden1
     zfd = ztdbt + (ztdn - ztdbt + ztdbt * zrupb * zrdnd) * zden1
     return zfu, zfd

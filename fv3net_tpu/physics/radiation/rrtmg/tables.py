@@ -82,14 +82,17 @@ def make_lw_tables(seed: int = 0) -> Dict:
     d: Dict = {}
 
     # integrated Planck function per band vs temperature (159..339 K);
-    # smooth, monotone in T, magnitudes giving ~300 W/m2 OLR totals
+    # smooth, monotone in T, normalized so the surface upward flux at
+    # 288 K matches sigma*T^4 (sum_b delwave*totplnk * wtdiff*fluxfac)
     t_grid = 159.0 + np.arange(P.NPLNK)
-    band_w = 1.0 / P.DELWAVE_LW / P.NBANDS_LW
-    d["totplnk"] = (
-        2.0e-8 * (t_grid[:, None] / 250.0) ** 4.2
-        * (P.DELWAVE_LW * band_w * 250.0)[None, :]
-        * (1.0 + 0.2 * rng.random(P.NBANDS_LW))[None, :]
-    )
+    shape = (t_grid[:, None] / 288.0) ** 4.2 * (
+        1.0 + 0.2 * rng.random(P.NBANDS_LW)
+    )[None, :] / P.DELWAVE_LW[None, :]
+    sigma = 5.670374e-8
+    i288 = int(288.0 - 159.0)
+    target = (sigma * 288.0 ** 4) / (0.5 * np.pi * 2.0e4)
+    total_288 = float((P.DELWAVE_LW * shape[i288]).sum())
+    d["totplnk"] = shape * (target / total_288)
     # ln reference pressures: exactly the grid the jp index math assumes
     d["preflog"] = 6.96 - 0.2 * np.arange(59)
     # reference temperatures at those pressures (smooth profile)
@@ -209,9 +212,17 @@ def make_sw_tables(seed: int = 1):
     d["sfluxref02"] = _smooth(rng, (16, 5, 14), 1.0 / P.NGPT_SW)
     d["sfluxref03"] = _smooth(rng, (16, 9, 14), 1.0 / P.NGPT_SW)
     d["scalekur"] = 0.935
-    # normalize so total solar ~ s0: sum over all g of sfluxzen ~ 1
-    for k in ("sfluxref01", "sfluxref02", "sfluxref03"):
-        d[k] = d[k] / d[k].sum()
+    # the real sfluxref tables carry ABSOLUTE spectral fluxes summing to
+    # the internal solar constant s0 (ssolar is the dimensionless
+    # solcon/s0 * cosz); normalize so sfluxzen sums to s0 over the 112
+    # g-points whatever reference column is selected
+    for key in ("sfluxref01", "sfluxref02", "sfluxref03"):
+        tab = d[key]
+        for b in range(P.NBANDS_SW):
+            ng = P.NG_SW[b]
+            colsum = tab[:ng, :, b].sum(axis=0, keepdims=True)
+            tab[:ng, :, b] *= P.S0_SW / (P.NBANDS_SW * colsum)
+        d[key] = tab
 
     d["preflog"] = 6.96 - 0.2 * np.arange(59)
     d["tref"] = 288.0 - 1.5 * np.arange(59) + 20.0 * np.exp(
@@ -255,26 +266,26 @@ def make_sw_tables(seed: int = 1):
         band = {}
         for name, kind in SW_BAND_TABLES[b].items():
             if kind == "s":
-                band[name] = _smooth(rng, (10, ng), 0.3)
+                band[name] = _smooth(rng, (10, ng), 0.02)
             elif kind == "f":
-                band[name] = _smooth(rng, (4, ng), 0.1)
+                band[name] = _smooth(rng, (4, ng), 0.01)
             elif kind == "a":
                 band[name] = _smooth(
-                    rng, (_rows_a(P.NSPA_SW[b]), ng), 4.0e-3
+                    rng, (_rows_a(P.NSPA_SW[b]), ng), 2.0e-4
                 )
             elif kind == "b":
                 band[name] = _smooth(
-                    rng, (_rows_b(P.NSPB_SW[b]), ng), 2.0e-3
+                    rng, (_rows_b(P.NSPB_SW[b]), ng), 1.0e-4
                 )
             elif kind == "g":  # per-g cross section
-                band[name] = _smooth(rng, (ng,), 1.0e-4)
+                band[name] = _smooth(rng, (ng,), 1.0e-5)
             elif kind == "rg":  # per-g rayleigh
-                band[name] = _smooth(rng, (ng,), 3.0e-6)
+                band[name] = _smooth(rng, (ng,), 5.0e-7)
             elif kind == "r2":  # species-dependent rayleigh [ng, 9]
-                band[name] = _smooth(rng, (ng, 9), 3.0e-6)
+                band[name] = _smooth(rng, (ng, 9), 5.0e-7)
             else:  # scalar
                 band[name] = (
-                    float(_smooth(rng, (1,), 3.0e-6)[0])
+                    float(_smooth(rng, (1,), 5.0e-7)[0])
                     if name == "rayl"
                     else 1.0 + 0.1 * rng.random()
                 )

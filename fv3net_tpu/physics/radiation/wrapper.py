@@ -15,9 +15,13 @@ from fv3net_tpu.physics.radiation.driver import DriverConfig, RadiationDriver
 
 @dataclasses.dataclass
 class RadiationConfig:
-    """(reference wrapper_api.py:40-78 GFSPhysicsControl subset)"""
+    """(reference wrapper_api.py:40-78 GFSPhysicsControl subset)
 
-    scheme: str = "gray"  # gray | rrtmg
+    schemes: ``gray`` (Frierson gray gas), ``rrtmg`` (the REAL RRTMG
+    band solvers, oracle-validated — rrtmg/), ``synthband`` (the
+    compact synthetic band model, physics/radiation/driver.py)."""
+
+    scheme: str = "gray"  # gray | rrtmg | synthband
     gray: gray.GrayRadiationParams = gray.GrayRadiationParams()
     # RRTMG namelist-style options (driver.DriverConfig meanings)
     iovr_lw: int = 1
@@ -38,15 +42,30 @@ class Radiation:
         self._driver: RadiationDriver | None = None
 
     def validate(self) -> None:
-        if self.config.scheme not in ("gray", "rrtmg"):
+        if self.config.scheme not in ("gray", "rrtmg", "synthband"):
             raise ValueError(f"unknown radiation scheme {self.config.scheme}")
 
     def init_driver(self) -> None:
         """(reference wrapper_api.py init_driver downloads GCS lookup
-        tables; here the spectral data is generated locally once —
-        spectra.py — and cached on device)"""
+        tables; here the spectral/k-table data is generated locally once
+        — rrtmg/tables.py or spectra.py — and cached on device)"""
         self.validate()
         if self.config.scheme == "rrtmg":
+            from fv3net_tpu.physics.radiation.rrtmg.driver import (
+                RRTMGConfig,
+                RRTMGDriver,
+            )
+
+            self._driver = RRTMGDriver(
+                RRTMGConfig(
+                    iovr=self.config.iovr_lw,
+                    isol=self.config.isol,
+                    ico2=self.config.ico2,
+                    iaer=self.config.iaer,
+                    icld=self.config.icld,
+                )
+            )
+        elif self.config.scheme == "synthband":
             self._driver = RadiationDriver(
                 DriverConfig(
                     iovr=self.config.iovr_lw,
@@ -74,7 +93,7 @@ class Radiation:
         """
         if not self._initialized:
             self.init_driver()
-        if self.config.scheme == "rrtmg":
+        if self.config.scheme in ("rrtmg", "synthband"):
             return self._driver(time, state)
         days = zenith.days_from_2000(time)
         cosz = zenith.cos_zenith_angle(

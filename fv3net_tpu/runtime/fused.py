@@ -59,18 +59,30 @@ def ml_correction_fn(model) -> Tuple[Callable, object]:
 
 
 def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
-    """The rrtmg band-solver closure handed to physics_step (None for the
-    default gray scheme, which physics_step computes internally)."""
-    if phys_cfg.radiation_scheme != "rrtmg":
+    """The band-solver closure handed to physics_step (None for the
+    default gray scheme, which physics_step computes internally).
+
+    scheme "rrtmg" = the real RRTMG solvers (rrtmg/driver.py,
+    oracle-validated); "synthband" = the compact synthetic band model
+    (physics/radiation/driver.py)."""
+    if phys_cfg.radiation_scheme not in ("rrtmg", "synthband"):
         return None
     import datetime
 
-    from fv3net_tpu.physics.radiation.driver import (
-        DriverConfig,
-        RadiationDriver,
-    )
+    if phys_cfg.radiation_scheme == "rrtmg":
+        from fv3net_tpu.physics.radiation.rrtmg.driver import (
+            RRTMGConfig,
+            RRTMGDriver,
+        )
 
-    driver = RadiationDriver(DriverConfig())
+        driver = RRTMGDriver(RRTMGConfig())
+    else:
+        from fv3net_tpu.physics.radiation.driver import (
+            DriverConfig,
+            RadiationDriver,
+        )
+
+        driver = RadiationDriver(DriverConfig())
     epoch = datetime.datetime(2016, 7, 1)  # isol=0: date only seeds o3
 
     def radiation_fn(T, delp, q, qc, t_surface, cos_zenith, lat, o3=None,
