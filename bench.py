@@ -3,10 +3,16 @@
 Target (BASELINE.md): >= 5 simulated years per day per TPU chip for the
 C48 hybrid run (dycore + physics + ML corrective step, dt_atmos = 900 s,
 reference workload definition at
-workflows/prognostic_c48_run/tests/test_regression.py:40-46).
+workflows/prognostic_c48_run/tests/test_regression.py:40-46).  The
+workload is reference-shaped: the REAL RRTMG band solvers run on an
+hourly interval (radiation_interval=4 against dt=900), like the GFS.
+
+Also reports model FLOP utilization (mfu): XLA cost-analysis FLOPs of
+the fused chunk divided by wall time and the chip's bf16 peak
+(methodology: docs/performance.md).
 
 Prints exactly one JSON line:
-{"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+{"metric", "value", "unit", "vs_baseline", "mfu", ...}
 """
 import json
 import os
@@ -14,6 +20,22 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# per-chip peak FLOP/s (dense bf16 MXU) for MFU accounting
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5": 459e12,  # v5p
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e (Trillium)
+}
+
+
+def _peak_for(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for key, val in _PEAK_FLOPS.items():
+        if kind.startswith(key):
+            return val
+    return 197e12
 
 
 def main():
@@ -24,23 +46,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from __graft_entry__ import entry
+    from __graft_entry__ import _flagship
 
-    import jax.numpy as jnp
-    from jax import lax
-
-    fn, args = entry()
-    state, ml_params, sst, cosz = args
     dt_atmos = 900.0
+    CHUNK = 8  # steps per XLA program; radiation every 4th step (hourly)
 
-    # chain CHUNK steps inside one XLA program: measures true device
-    # throughput rather than per-dispatch host/tunnel latency
-    CHUNK = 8
-
-    @jax.jit
-    def multi_step(s):
-        return lax.fori_loop(0, CHUNK, lambda _, st: fn(st, ml_params, sst,
-                                                        cosz), s)
+    multi_step, args = _flagship(chunk=CHUNK, radiation_interval=4)
+    state, ml_params, sst, cosz = args
 
     import numpy as np
 
@@ -52,14 +64,26 @@ def main():
         return float(np.asarray(st.pt[0, 0, 0, 0]))
 
     # warmup/compile
-    out = multi_step(state)
+    out = multi_step(state, ml_params, sst, cosz)
     sync(out)
+
+    # XLA's own FLOP count for the compiled chunk (for MFU)
+    flops_per_chunk = None
+    try:
+        cost = multi_step.lower(
+            state, ml_params, sst, cosz
+        ).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_chunk = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     n_calls = 4
     t0 = time.perf_counter()
     s = state
     for _ in range(n_calls):
-        s = multi_step(s)
+        s = multi_step(s, ml_params, sst, cosz)
     sync(s)
     elapsed = time.perf_counter() - t0
 
@@ -67,16 +91,18 @@ def main():
     sim_seconds_per_wall_second = dt_atmos * steps_per_sec
     sypd = sim_seconds_per_wall_second * 86400.0 / (365.0 * 86400.0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "c48_hybrid_prognostic_throughput",
-                "value": round(sypd, 3),
-                "unit": "SYPD",
-                "vs_baseline": round(sypd / 5.0, 3),
-            }
-        )
-    )
+    result = {
+        "metric": "c48_hybrid_prognostic_throughput",
+        "value": round(sypd, 3),
+        "unit": "SYPD",
+        "vs_baseline": round(sypd / 5.0, 3),
+    }
+    if flops_per_chunk:
+        achieved = flops_per_chunk * (n_calls / elapsed)
+        peak = _peak_for(jax.devices()[0])
+        result["mfu"] = round(achieved / peak, 4)
+        result["tflops"] = round(achieved / 1e12, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

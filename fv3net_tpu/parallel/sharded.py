@@ -3,49 +3,78 @@
 The TPU-native replacement for the reference's MPI domain decomposition
 (reference: §2.9 of the design survey; pace.util CubedSpherePartitioner +
 CubedSphereCommunicator over mpi4py, runtime/main.py:32,
-runtime/loop.py:210-212).  Design:
+runtime/loop.py:210-212; 6 tiles x layout_x x layout_y ranks,
+segmented_run/run.py:58-59).  Design:
 
-- One 1-D mesh axis ``"fv"`` shards the intra-tile y axis of every
-  [6, nz, ny, nx] field (the analog of a ``layout=(1, N)`` MPI rank
-  layout; the 6-tile axis stays local so cube-topology gathers never
-  need special-case communication code).
-- The halo exchange is the same static gather (fv3net_tpu.parallel.halo)
-  executed under jit with sharding annotations: XLA partitions the
-  gather and inserts the needed collectives over ICI automatically — the
-  "annotate shardings, let XLA insert collectives" recipe.  A hand-tuned
-  shard_map + ppermute edge exchange is a later-round optimization with
-  the same call signature.
+- A 2-D mesh ``("fv", "fv_x")`` shards the intra-tile (y, x) axes of
+  every [6, nz, ny, nx] field (the analog of an MPI
+  ``layout=(px, py)``); the 6-tile axis stays local so cube-topology
+  gathers never need special-case communication code, and the usable
+  device count scales as ny*nx rather than ny.  A 1-D layout is the
+  px=1 special case.
+- The default halo exchange is the static gather
+  (fv3net_tpu.parallel.halo) executed under jit with sharding
+  annotations: XLA partitions the gather and inserts the collectives
+  over ICI automatically.  The explicit corner-aware shard_map +
+  lax.ppermute exchange lives in parallel/shardmap_halo.py
+  (bit-compared against the gather path) for square layouts.
 - Global reductions (metrics psum) and replicated parameters follow from
   the same sharding annotations.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-FV_AXIS = "fv"
+FV_AXIS = "fv"  # intra-tile y
+FV_X_AXIS = "fv_x"  # intra-tile x
 
 
-def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D device mesh over the ``fv`` (intra-tile y) axis."""
+def default_layout(n_devices: int) -> Tuple[int, int]:
+    """Squarest (py, px) factorization with py >= px."""
+    px = int(np.floor(np.sqrt(n_devices)))
+    while n_devices % px:
+        px -= 1
+    return n_devices // px, px
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices=None,
+    layout: Optional[Tuple[int, int]] = None,
+) -> Mesh:
+    """2-D device mesh over the intra-tile (y, x) axes.
+
+    ``layout=(py, px)``: defaults to the squarest factorization of the
+    device count (8 -> (4, 2)); pass (n, 1) for the legacy 1-D mesh."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (FV_AXIS,))
+    devices = np.asarray(devices)
+    if layout is None:
+        layout = default_layout(devices.size)
+    py, px = layout
+    if py * px != devices.size:
+        raise ValueError(f"layout {layout} != {devices.size} devices")
+    return Mesh(devices.reshape(py, px), (FV_AXIS, FV_X_AXIS))
 
 
 def state_sharding(mesh: Mesh):
-    """PartitionSpec tree for a DycoreState: 3-D fields sharded over ny."""
+    """PartitionSpec tree for a DycoreState: 3-D fields sharded over
+    (ny, nx)."""
     from fv3net_tpu.dycore.state import DycoreState
 
-    s3 = NamedSharding(mesh, P(None, None, FV_AXIS, None))  # [6, nz, ny, nx]
-    s2 = NamedSharding(mesh, P(None, FV_AXIS, None))  # [6, ny, nx]
-    s_wind = NamedSharding(mesh, P(None, None, None, FV_AXIS, None))
+    x_axis = FV_X_AXIS if FV_X_AXIS in mesh.axis_names else None
+    s3 = NamedSharding(
+        mesh, P(None, None, FV_AXIS, x_axis)
+    )  # [6, nz, ny, nx]
+    s2 = NamedSharding(mesh, P(None, FV_AXIS, x_axis))  # [6, ny, nx]
+    s_wind = NamedSharding(mesh, P(None, None, None, FV_AXIS, x_axis))
 
     def spec(state: DycoreState):
         return DycoreState(
@@ -68,7 +97,10 @@ def shard_state(state, mesh: Mesh):
 
 
 def shard_field2d(field, mesh: Mesh):
-    return jax.device_put(field, NamedSharding(mesh, P(None, FV_AXIS, None)))
+    x_axis = FV_X_AXIS if FV_X_AXIS in mesh.axis_names else None
+    return jax.device_put(
+        field, NamedSharding(mesh, P(None, FV_AXIS, x_axis))
+    )
 
 
 def replicate(tree, mesh: Mesh):

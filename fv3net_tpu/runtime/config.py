@@ -215,8 +215,17 @@ class NamelistConfig:
     # it before the mixed layer warms; ice fraction feeds the radiation
     # albedo.  Requires slab_ocean
     sea_ice: bool = False
+    # radiation scheme for the IN-LOOP physics step: "gray" (Frierson),
+    # "rrtmg" (real RRTMG band solvers), "synthband" (compact band
+    # model).  The GFS runs band radiation; gray is the cheap default
+    # for idealized runs
+    radiation: str = "gray"
 
     def __post_init__(self):
+        if self.radiation not in ("gray", "rrtmg", "synthband"):
+            raise ValueError(
+                f"unknown radiation scheme {self.radiation!r}"
+            )
         if self.sea_ice and not self.slab_ocean:
             raise ValueError(
                 "sea_ice requires slab_ocean (the ice exchanges latent "
@@ -253,6 +262,17 @@ class UserConfig:
     initial_conditions: Optional[str] = None
     duration_seconds: float = 3600.0
     initial_time: str = "2016-08-01T00:00:00"
+    # fused fast path: chunk this many model steps into ONE jitted
+    # lax.scan dispatch (runtime/fused.py build_fused_multi_step) when
+    # the configured steppers allow it — the production-TimeLoop analog
+    # of the benchmark's fused step (eliminates per-substep host
+    # round-trips; diagnostics drain at chunk boundaries).  0/1 = the
+    # per-substep loop
+    fused_chunk_steps: int = 0
+    # compute band radiation every N steps inside the fused chunk,
+    # reusing stored heating in between (GFS calls RRTMG hourly against
+    # dt_atmos=900 -> 4)
+    radiation_interval_steps: int = 1
 
     def __post_init__(self):
         if self.wrapper not in ("fv3gfs.wrapper", "shield.wrapper"):

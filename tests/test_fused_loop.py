@@ -1,0 +1,99 @@
+"""Fused production TimeLoop (VERDICT r1 #4): chunked multi-step
+dispatches through the segmented-run path."""
+import numpy as np
+import jax.numpy as jnp
+
+from fv3net_tpu.runtime import TimeLoop, names
+from fv3net_tpu.runtime.config import get_config
+
+
+def _cfg(**kw):
+    base = {
+        "namelist": {"npx": 6, "npz": 8},
+        "duration_seconds": 3600.0,
+    }
+    base.update(kw)
+    return get_config(base)
+
+
+def test_fused_loop_runs_and_chunks():
+    cfg = _cfg(fused_chunk_steps=4)
+    loop = TimeLoop(cfg)
+    assert loop.fusable()
+    t0 = np.asarray(loop.state.dycore.pt).copy()
+    times = [t for t, _d in loop]
+    # 4 steps/chunk, 4 steps total -> ONE yield
+    assert len(times) == 1
+    assert (times[0] - loop.time).total_seconds() == 0
+    t1 = np.asarray(loop.state.dycore.pt)
+    assert np.isfinite(t1).all() and np.abs(t1 - t0).max() > 0
+
+
+def test_fused_loop_remainder_chunks():
+    cfg = _cfg(fused_chunk_steps=3)  # 4 steps -> chunks of 3 + 1
+    loop = TimeLoop(cfg)
+    out = list(loop)
+    assert len(out) == 2
+    _, diags = out[-1]
+    assert names.TEMP in diags and "surface_pressure" in diags
+    assert np.isfinite(np.asarray(diags[names.TEMP].data)).all()
+
+
+def test_fused_matches_perstep_statistically():
+    """The fused path holds cos-zenith fixed per chunk, so it is not
+    bitwise-equal to the per-step loop — but one hour of an identical
+    config must stay close in the prognostic fields."""
+    cfg_f = _cfg(fused_chunk_steps=4)
+    cfg_s = _cfg()
+    lf, ls = TimeLoop(cfg_f), TimeLoop(cfg_s)
+    for _ in lf:
+        pass
+    for _ in ls:
+        pass
+    Tf = np.asarray(lf.state.dycore.pt)
+    Ts = np.asarray(ls.state.dycore.pt)
+    assert np.abs(Tf - Ts).max() / np.abs(Ts).max() < 5e-3
+
+
+def test_steppers_disable_fusion():
+    class _Stub:
+        label = "machine_learning"
+
+        def __call__(self, time, state):
+            return {}, {}, {}
+
+    cfg = _cfg(fused_chunk_steps=4)
+    loop = TimeLoop(cfg, postphysics_stepper=_Stub())
+    assert not loop.fusable()
+    # surface prognostics also force the per-step path
+    cfg2 = _cfg(fused_chunk_steps=4)
+    cfg2.namelist.slab_ocean = True
+    assert not TimeLoop(cfg2).fusable()
+
+
+def test_fused_segment_through_run_segment(tmp_path):
+    """runfv3-style segment execution takes the fused path end-to-end
+    and still writes diagnostics + RESTART."""
+    import os
+
+    from fv3net_tpu.runtime.segmented_run.api import run_segment
+
+    cfg = get_config(
+        {
+            "namelist": {"npx": 6, "npz": 8},
+            "duration_seconds": 3600.0,
+            "fused_chunk_steps": 4,
+            "diagnostics": [
+                {
+                    "name": "state_after_timestep.zarr",
+                    "variables": ["air_temperature", "surface_pressure"],
+                    "times": {"kind": "every"},
+                }
+            ],
+        }
+    )
+    out = str(tmp_path / "seg")
+    loop = run_segment(cfg, out)
+    assert loop.fusable()
+    assert os.path.isdir(os.path.join(out, "RESTART"))
+    assert os.path.isdir(os.path.join(out, "state_after_timestep.zarr"))

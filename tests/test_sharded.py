@@ -151,6 +151,64 @@ def test_rrtmg_radiation_matches_under_sharding():
 
 
 @requires_devices
+def test_flagship_shaped_fused_step_matches_under_2d_sharding():
+    """Full flagship-FEATURED graph (nonhydrostatic, n_split=2, PPM
+    advection, divergence damping, real RRTMG radiation) on a reduced
+    grid, sharded over an explicit 2-D (2, 2) intra-tile layout; asserts
+    pt/delp/WIND/w against the single-device step (VERDICT r1 #2)."""
+    from fv3net_tpu.dycore import add_nonhydrostatic_fields
+    from fv3net_tpu.runtime.fused import build_fused_step
+    from fv3net_tpu.runtime.loop import aquaplanet_sst
+
+    grid = make_grid(16)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = init_state(grid, nz=16, perturbation=2.0)
+    state = add_nonhydrostatic_fields(state)
+    akj = jnp.asarray(ak, jnp.float32)
+    bkj = jnp.asarray(bk, jnp.float32)
+    dyn_cfg = DycoreConfig(
+        dt=450.0, n_split=2, kord=9, advection_order=4, diff_coef=0.004,
+        divergence_damp_coef=0.06, hydrostatic=False,
+    )
+    phys_cfg = PhysicsConfig(radiation_scheme="rrtmg")
+    sst = aquaplanet_sst(g.lat).astype(jnp.float32)
+    cosz = jnp.clip(jnp.cos(g.lat) * jnp.cos(g.lon), 0.0, 1.0).astype(
+        jnp.float32
+    )
+
+    step = build_fused_step(g, akj, bkj, dyn_cfg, phys_cfg)
+    out_single = step(state, 0, sst, cosz)
+
+    mesh = sharded.make_mesh(4, layout=(2, 2))
+    state_s = sharded.shard_state(state, mesh)
+    g_r = sharded.replicate(g, mesh)
+    step_s = build_fused_step(
+        g_r, sharded.replicate(akj, mesh), sharded.replicate(bkj, mesh),
+        dyn_cfg, phys_cfg,
+    )
+    out_sharded = step_s(
+        state_s, 0,
+        sharded.shard_field2d(sst, mesh),
+        sharded.shard_field2d(cosz, mesh),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.pt), np.asarray(out_single.pt), rtol=2e-6,
+        atol=2e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.delp), np.asarray(out_single.delp),
+        rtol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.wind), np.asarray(out_single.wind),
+        atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.w), np.asarray(out_single.w), atol=1e-4
+    )
+
+
+@requires_devices
 def test_nonhydrostatic_step_matches_under_sharding():
     from fv3net_tpu.dycore import add_nonhydrostatic_fields
 

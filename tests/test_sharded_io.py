@@ -6,21 +6,21 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from fv3net_tpu.core.sharded_io import read_sharded, write_sharded
 from fv3net_tpu.core.zarrio import ZarrGroup, open_zarr
-from fv3net_tpu.parallel.sharded import FV_AXIS, make_mesh
+from fv3net_tpu.parallel.sharded import FV_AXIS, FV_X_AXIS, make_mesh
 
 
 def test_write_and_read_sharded_roundtrip(tmp_path):
-    mesh = make_mesh(8)
+    mesh = make_mesh(8)  # (4, 2) 2-D layout
     rng = np.random.RandomState(0)
     full = rng.randn(6, 4, 16, 8).astype(np.float32)  # [tile, z, y, x]
-    sharding = NamedSharding(mesh, P(None, None, FV_AXIS, None))
+    sharding = NamedSharding(mesh, P(None, None, FV_AXIS, FV_X_AXIS))
     arr = jax.device_put(jnp.asarray(full), sharding)
     assert len(arr.addressable_shards) == 8
 
     group = ZarrGroup.create(str(tmp_path / "s.zarr"))
     za = write_sharded(group, "delp", arr, dims=("tile", "z", "y", "x"))
     # chunks align with shard boundaries -> lock-free parallel writes
-    assert za.chunks == (6, 4, 2, 8)
+    assert za.chunks == (6, 4, 4, 4)
 
     # a plain (unsharded) reader sees the full array
     ds = open_zarr(str(tmp_path / "s.zarr"))
