@@ -67,22 +67,37 @@ def block_max(x, factor: int):
     return block_reduce(x, factor, jnp.max)
 
 
-def block_mode(x, factor: int):
+def block_mode(x, factor: int, where=None):
     """Blockwise mode ("dominant" reduction used for categorical surface
     fields, reference coarsen.py:750 _block_mode).
 
     Computed by sorting each block and finding the longest run — avoids
     data-dependent shapes so it jits.  Ties break toward the smallest
     value, matching scipy.stats.mode semantics used by the reference.
+
+    ``where``: optional boolean mask (broadcastable to x); excluded
+    cells are omitted from the count (the reference's
+    nan_policy="omit" over .where()-masked inputs,
+    coarsen_restarts.py:1165-1184).
     """
     b = _blockify(x, factor)
     *lead, nyc, f1, nxc, f2 = b.shape
     v = jnp.moveaxis(b, -3, -2).reshape(*lead, nyc, nxc, f1 * f2)
-    s = jnp.sort(v, axis=-1)
-    n = f1 * f2
-    # count[i] = number of elements equal to s[i] (run length containing i)
-    eq = s[..., :, None] == s[..., None, :]
-    counts = jnp.sum(eq, axis=-1)
+    if where is not None:
+        m = _blockify(jnp.broadcast_to(where, x.shape), factor)
+        m = jnp.moveaxis(m, -3, -2).reshape(*lead, nyc, nxc, f1 * f2)
+        # push masked entries past every real value so the sorted runs
+        # of valid values stay contiguous at the front
+        big = jnp.asarray(jnp.inf, v.dtype)
+        order = jnp.argsort(jnp.where(m, v, big), axis=-1)
+        s = jnp.take_along_axis(v, order, axis=-1)
+        sm = jnp.take_along_axis(m, order, axis=-1)
+        eq = (s[..., :, None] == s[..., None, :]) & sm[..., None, :]
+        counts = jnp.where(sm, jnp.sum(eq, axis=-1), -1)
+    else:
+        s = jnp.sort(v, axis=-1)
+        eq = s[..., :, None] == s[..., None, :]
+        counts = jnp.sum(eq, axis=-1)
     # first index achieving the max count -> smallest value on ties
     best = jnp.argmax(counts, axis=-1)
     return jnp.take_along_axis(s, best[..., None], axis=-1)[..., 0]
