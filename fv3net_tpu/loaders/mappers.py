@@ -182,26 +182,94 @@ def open_nudge_to_obs(
 
 
 class Approach(enum.Enum):
-    """(reference _fine_res.py:91-95)"""
+    """(reference _fine_res.py:91-95: apparent_sources_only /
+    plus_nudging_tendencies / extend_lower / dynamics_difference)"""
 
     apparent_sources_only = "apparent_sources_only"
     apparent_sources_plus_nudging_tendencies = (
         "apparent_sources_plus_nudging_tendencies"
     )
+    apparent_sources_extend_lower = "apparent_sources_extend_lower"
+    dynamics_difference = "dynamics_difference"
+
+
+def _extend_lower(q: Quantity, n_levels: int = 2) -> Quantity:
+    """Override the lowest ``n_levels`` layers with the value just above
+    them (reference _fine_res.py:181-200: fine-res apparent sources are
+    unreliable in the surface layer over coarse terrain)."""
+    try:
+        z_ax = q.dims.index("z")
+    except ValueError:
+        raise ValueError(f"no 'z' dim in {q.dims}")
+    data = jnp.asarray(q.data)
+    if data.shape[z_ax] <= n_levels:
+        raise ValueError("vertical_dim must be greater than n_levels")
+    src = jnp.take(data, data.shape[z_ax] - (n_levels + 1), axis=z_ax)
+    src = jnp.expand_dims(src, z_ax)
+    reps = [1] * data.ndim
+    reps[z_ax] = n_levels
+    new = jnp.concatenate(
+        [
+            jnp.take(
+                data, jnp.arange(data.shape[z_ax] - n_levels), axis=z_ax
+            ),
+            jnp.tile(src, reps),
+        ],
+        axis=z_ax,
+    )
+    return Quantity(new, q.dims, q.units)
 
 
 def open_fine_resolution(
     budget_zarr: str,
     approach: Approach = Approach.apparent_sources_only,
     nudging_zarr: Optional[str] = None,
+    include_temperature_nudging: bool = False,
 ) -> GeoMapper:
     """Fine-resolution apparent-source training data
-    (reference _fine_res.py:216): budgets from
+    (reference _fine_res.py:216 + compute_budget:128-155): budgets from
     fv3net_tpu.pipelines.fine_res_budget provide Q1/Q2/dQ1/dQ2 directly;
-    the hybrid approach adds coarse-run nudging tendencies."""
+    ``plus_nudging_tendencies`` adds the coarse-run nudging tendencies,
+    ``extend_lower`` overrides the lowest two layers of the heating
+    source, ``dynamics_difference`` computes
+    Q = fine storage - fine nudging - coarse dynamics tendency
+    (reference DynamicsDifferenceApparentSource:98-125)."""
     budgets = ZarrMapper(budget_zarr)
     if approach == Approach.apparent_sources_only:
         return budgets
+
+    if approach == Approach.apparent_sources_extend_lower:
+        def extend(ds: Dataset) -> Dataset:
+            for key in ("Q1", "dQ1"):
+                if key in ds:
+                    ds[key] = _extend_lower(ds[key])
+            return ds
+
+        return ValMap(extend, budgets)
+
+    if approach == Approach.dynamics_difference:
+        def dyn_diff(ds: Dataset) -> Dataset:
+            t_stor = jnp.asarray(ds["T_storage"].data)
+            q_stor = jnp.asarray(ds["sphum_storage"].data)
+            t_dyn = jnp.asarray(
+                ds["tendency_of_air_temperature_due_to_dynamics"].data
+            )
+            q_dyn = jnp.asarray(
+                ds["tendency_of_specific_humidity_due_to_dynamics"].data
+            )
+            q1 = t_stor - t_dyn
+            if (
+                not include_temperature_nudging
+                and "t_dt_nudge_coarse" in ds
+            ):
+                q1 = q1 - jnp.asarray(ds["t_dt_nudge_coarse"].data)
+            dims = ds["T_storage"].dims
+            ds["Q1"] = Quantity(q1, dims, "K/s")
+            ds["Q2"] = Quantity(q_stor - q_dyn, dims, "kg/kg/s")
+            return ds
+
+        return ValMap(dyn_diff, budgets)
+
     if nudging_zarr is None:
         raise ValueError(f"{approach} requires nudging_zarr")
     nudge = ZarrMapper(nudging_zarr)

@@ -72,6 +72,81 @@ def test_open_fine_resolution(tmp_path):
     assert not np.allclose(base, nudged)
 
 
+def test_open_fine_resolution_extend_lower(tmp_path):
+    """extend_lower overrides the bottom 2 layers of the heating source
+    with the level just above (reference _fine_res.py:181-200)."""
+    budget_p = str(tmp_path / "budget4.zarr")
+    write_zarr(budget_p, ["Q1", "Q2", "dQ1", "dQ2"], nz=5)
+    mapper = open_fine_resolution(
+        budget_p, Approach.apparent_sources_extend_lower
+    )
+    plain = open_fine_resolution(budget_p)
+    q1 = np.asarray(mapper["0"]["Q1"].data)
+    q1_base = np.asarray(plain["0"]["Q1"].data)
+    z = list(mapper["0"]["Q1"].dims).index("z")
+
+    def lev(a, k):
+        return np.take(a, k, axis=z)
+
+    # upper levels untouched
+    np.testing.assert_array_equal(lev(q1, 0), lev(q1_base, 0))
+    np.testing.assert_array_equal(lev(q1, 2), lev(q1_base, 2))
+    # lowest two levels replaced by level -3
+    np.testing.assert_array_equal(lev(q1, 3), lev(q1_base, 2))
+    np.testing.assert_array_equal(lev(q1, 4), lev(q1_base, 2))
+    # Q2/moisture untouched (the reference only extends Q1)
+    np.testing.assert_array_equal(
+        np.asarray(mapper["0"]["Q2"].data),
+        np.asarray(plain["0"]["Q2"].data),
+    )
+
+
+def test_open_fine_resolution_dynamics_difference(tmp_path):
+    """Q = fine storage - fine nudging - coarse dynamics tendency
+    (reference DynamicsDifferenceApparentSource:98-125 budget algebra)."""
+    budget_p = str(tmp_path / "budget5.zarr")
+    names = [
+        "T_storage", "sphum_storage", "t_dt_nudge_coarse",
+        "tendency_of_air_temperature_due_to_dynamics",
+        "tendency_of_specific_humidity_due_to_dynamics",
+    ]
+    ds = write_zarr(budget_p, names)
+    mapper = open_fine_resolution(
+        budget_p, Approach.dynamics_difference,
+        include_temperature_nudging=False,
+    )
+    out = mapper["0"]
+    want_q1 = (
+        np.asarray(ds["T_storage"].data)[0]
+        - np.asarray(ds["t_dt_nudge_coarse"].data)[0]
+        - np.asarray(
+            ds["tendency_of_air_temperature_due_to_dynamics"].data
+        )[0]
+    )
+    want_q2 = (
+        np.asarray(ds["sphum_storage"].data)[0]
+        - np.asarray(
+            ds["tendency_of_specific_humidity_due_to_dynamics"].data
+        )[0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Q1"].data), want_q1, rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["Q2"].data), want_q2, rtol=1e-6
+    )
+    # with temperature nudging included, the nudging term is NOT removed
+    incl = open_fine_resolution(
+        budget_p, Approach.dynamics_difference,
+        include_temperature_nudging=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(incl["0"]["Q1"].data),
+        want_q1 + np.asarray(ds["t_dt_nudge_coarse"].data)[0],
+        rtol=1e-6,
+    )
+
+
 def test_mapper_transforms(tmp_path):
     p = str(tmp_path / "a.zarr")
     write_zarr(p, ["T"], nt=5)
