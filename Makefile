@@ -15,9 +15,13 @@ test_quick:      ## skip the jit-heavy dycore/runtime suites
 test_regression: ## golden/regression-marked tests only
 	python -m pytest tests/ -q -m regression
 
-typecheck:       ## import-time sanity over every module (no mypy dependency)
+typecheck:       ## static analysis: AST checker (undefined names, call arity, dup defs) + import smoke
+	python tools/staticcheck.py fv3net_tpu __graft_entry__.py bench.py tools
 	python -c "import compileall, sys; sys.exit(0 if compileall.compile_dir('fv3net_tpu', quiet=1) else 1)"
 	python -c "import fv3net_tpu, fv3net_tpu.fit, fv3net_tpu.runtime, fv3net_tpu.dycore, fv3net_tpu.diagnostics, fv3net_tpu.pipelines, fv3net_tpu.workflows"
+
+lint:            ## typecheck plus unused-import detection
+	python tools/staticcheck.py --strict fv3net_tpu __graft_entry__.py bench.py tools
 
 bench:           ## headline benchmark (one JSON line; runs on the TPU)
 	python bench.py
