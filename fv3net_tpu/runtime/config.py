@@ -215,6 +215,11 @@ class NamelistConfig:
     # it before the mixed layer warms; ice fraction feeds the radiation
     # albedo.  Requires slab_ocean
     sea_ice: bool = False
+    # surface boundary conditions from the catalog (or a registered
+    # zarr): supplies land_sea_mask / surface_geopotential / sgh /
+    # surface_temperature so configured runs need not be aquaplanets
+    # (e.g. "topography/c48"; fields also loadable from restarts)
+    surface_data: Optional[str] = None
     # radiation scheme for the IN-LOOP physics step: "gray" (Frierson),
     # "rrtmg" (real RRTMG band solvers), "synthband" (compact band
     # model).  The GFS runs band radiation; gray is the cheap default
