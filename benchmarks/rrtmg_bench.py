@@ -135,8 +135,11 @@ def main():
             fr, secdif,
         )
     )
-    out = rtrnmc(fracs, tautot)
-    timeit("lw rtrnmc", rtrnmc, fracs, tautot)
+    try:
+        out = rtrnmc(fracs, tautot)
+        timeit("lw rtrnmc", rtrnmc, fracs, tautot)
+    except Exception as e:
+        print("lw rtrnmc standalone failed:", str(e)[:100])
 
 
 if __name__ == "__main__":

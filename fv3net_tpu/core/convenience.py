@@ -7,9 +7,7 @@ reference: external/vcm/vcm/convenience.py — ``encode_time`` /
 from __future__ import annotations
 
 import datetime
-import os
 import re
-from typing import Union
 
 TIME_FMT = "%Y%m%d.%H%M%S"
 TIMESTEP_RE = re.compile(r"(\d{8}\.\d{6})")

@@ -8,10 +8,8 @@ upstream.
 """
 from __future__ import annotations
 
-import glob
 import os
-import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict
 
 import numpy as np
 

@@ -8,7 +8,7 @@ by DataTransform / ChainedDataTransform configs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Mapping, Sequence
+from typing import Callable, Dict, List, Sequence
 
 import jax.numpy as jnp
 import numpy as np

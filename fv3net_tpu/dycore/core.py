@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

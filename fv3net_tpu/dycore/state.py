@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fv3net_tpu.core.constants import (
-    GRAVITY,
     KAPPA,
     RDGAS,
     REFERENCE_SURFACE_PRESSURE,

@@ -18,8 +18,6 @@ from typing import Callable, Dict, Iterable, List, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from fv3net_tpu.core.dataset import Dataset
-from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.core import zarrio
 
 State = Dict[str, jnp.ndarray]

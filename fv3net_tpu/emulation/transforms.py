@@ -8,7 +8,7 @@ docs/design-docs/log-transformed-emulator.md.  jnp instead of tf.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax.numpy as jnp
 

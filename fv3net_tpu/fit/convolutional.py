@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Tuple
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ supplied by the cube halo gather instead of pace.util slicing.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

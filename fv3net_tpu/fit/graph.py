@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,6 @@ import numpy as np
 import optax
 
 from fv3net_tpu.core.dataset import Dataset
-from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.fit import io
 from fv3net_tpu.fit.convolutional import (
     _channels_to_fields,

@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Iterable, List, Mapping, Sequence
+from typing import Dict, List, Mapping, Sequence
 
 import jax.numpy as jnp
-import numpy as np
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity

@@ -9,7 +9,6 @@ import dataclasses
 from typing import Dict, List, Mapping, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity

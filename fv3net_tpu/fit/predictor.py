@@ -3,7 +3,7 @@ predictor.py:44-90) on this framework's Dataset-of-Quantities boundary."""
 from __future__ import annotations
 
 import abc
-from typing import Iterable, Sequence
+from typing import Iterable
 
 from fv3net_tpu.core.dataset import Dataset
 

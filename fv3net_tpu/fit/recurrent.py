@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ import optax
 from jax import lax
 
 from fv3net_tpu.core.dataset import Dataset
-from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.fit import io, packer
 from fv3net_tpu.fit.dense import init_mlp_params, mlp_apply
 from fv3net_tpu.fit.normalize import StandardScaler

@@ -9,13 +9,12 @@ MultiDatasetMapper (_base.py:13-49), open_nudge_to_fine
 from __future__ import annotations
 
 import enum
-from typing import Callable, Dict, Iterator, List, Mapping, Optional, Sequence
+from typing import Callable, Dict, Iterator, Mapping, Optional, Sequence
 
 import jax.numpy as jnp
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity
-from fv3net_tpu.core import zarrio
 from fv3net_tpu.loaders.batches import ZarrMapper
 
 TEMP_TENDENCY = "air_temperature_tendency_due_to_nudging"

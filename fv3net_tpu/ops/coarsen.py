@@ -16,7 +16,6 @@ names at the boundary (fv3net_tpu.cubedsphere).
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax.numpy as jnp

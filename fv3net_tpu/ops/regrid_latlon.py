@@ -12,7 +12,6 @@ batched over any leading dims.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -13,7 +13,7 @@ grid is equiangular with Clenshaw-Curtis-style latitude weights.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ masking) — pure jnp over raw arrays.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

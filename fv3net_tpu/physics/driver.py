@@ -16,7 +16,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from fv3net_tpu.core.constants import CP_AIR, GRAVITY, KAPPA, REFERENCE_SURFACE_PRESSURE

@@ -14,18 +14,12 @@ the z axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from fv3net_tpu.core.constants import (
-    CP_AIR,
-    GRAVITY,
-    RDGAS,
-    RVGAS,
-)
+from fv3net_tpu.core.constants import CP_AIR, RDGAS, RVGAS
 from fv3net_tpu.ops import thermo
 
 

@@ -12,7 +12,6 @@ import dataclasses
 import jax.numpy as jnp
 from jax import lax
 
-from fv3net_tpu.core.constants import GRAVITY, RDGAS
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,8 +26,9 @@ synthetic tables.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -191,9 +192,25 @@ def setcoef_lw(pavel, tavel, tz, stemp, h2ovmr, colamt, coldry, colbrd, T):
 
 # ------------------------------------------------------------------ taumol
 def _take(tabT, ids):
-    """Row-gather with bounds clamp (out-of-range rows only occur under
-    the opposite-atmosphere mask and are discarded)."""
-    return jnp.take(tabT, jnp.clip(ids, 0, tabT.shape[0] - 1), axis=0)
+    """Row fetch with bounds clamp (out-of-range rows only occur under
+    the opposite-atmosphere mask and are discarded).
+
+    Small tables route through a one-hot contraction instead of a
+    gather: selecting one row via 0/1 weights at HIGHEST precision is
+    bit-exact, and the MXU runs it far faster than TPU gathers (the
+    PPM-remap lesson, CLAUDE.md).
+    """
+    rows = tabT.shape[0]
+    ids = jnp.clip(ids, 0, rows - 1)
+    if rows <= 64:
+        oh = (ids[..., None] == jnp.arange(rows, dtype=ids.dtype)).astype(
+            tabT.dtype
+        )
+        return jnp.einsum(
+            "...r,rg->...g", oh, tabT,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jnp.take(tabT, ids, axis=0)
 
 
 def _self_for(bt, c):
@@ -223,16 +240,37 @@ def _minor1(tab, c):
 
 def _minor2(tab, jm, fm, c):
     """2-D (species x temperature) minor interpolation; tab is
-    [9, 19, ng], jm/fm [C, L]."""
+    [9, 19, ng], jm/fm [C, L].
+
+    Implemented as factored one-hot contractions (temperature axis,
+    then species axis) — bit-exact single-row selections that avoid the
+    four 2-axis advanced-indexing gathers.
+    """
     indm = c["indminor"] - 1
     jmc = jnp.clip(jm, 0, tab.shape[0] - 2)
     imc = jnp.clip(indm, 0, tab.shape[1] - 2)
+    nj, ni = tab.shape[0], tab.shape[1]
+    hi = jax.lax.Precision.HIGHEST
 
-    def g(dj, di):
-        return tab[jmc + dj, imc + di]
+    def ohj(d):
+        return (
+            (jmc + d)[..., None] == jnp.arange(nj, dtype=jmc.dtype)
+        ).astype(tab.dtype)
 
-    m1 = g(0, 0) + fm[..., None] * (g(1, 0) - g(0, 0))
-    m2 = g(0, 1) + fm[..., None] * (g(1, 1) - g(0, 1))
+    def ohi(d):
+        return (
+            (imc + d)[..., None] == jnp.arange(ni, dtype=imc.dtype)
+        ).astype(tab.dtype)
+
+    A0 = jnp.einsum("cli,jig->cljg", ohi(0), tab, precision=hi)
+    A1 = jnp.einsum("cli,jig->cljg", ohi(1), tab, precision=hi)
+    oj0, oj1 = ohj(0), ohj(1)
+
+    def g(A, oj):
+        return jnp.einsum("clj,cljg->clg", oj, A, precision=hi)
+
+    m1 = g(A0, oj0) + fm[..., None] * (g(A0, oj1) - g(A0, oj0))
+    m2 = g(A1, oj0) + fm[..., None] * (g(A1, oj1) - g(A1, oj0))
     return m1 + c["minorfrac"][..., None] * (m2 - m1)
 
 
@@ -970,17 +1008,23 @@ def _make_rt_tables(dtype):
 
 
 def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
-              secdif):
+              secdif, fast_exp: bool = False):
     """McICA radiative transfer (reference radlw_main.py:3381-3717).
 
     semiss/secdif [C, nbands]; delp [C, L] (mb); cldfmc/tautot/fracs
     [C, L, ngpt]; taucld [C, L, nbands]; pklay/pklev [C, nbands, L+1]
     (index 0 = surface).  Returns (totuflux, totdflux, htr, totuclfl,
-    totdclfl, htrcl) with fluxes [C, L+1] and heating [C, L] in K/s."""
+    totdclfl, htrcl) with fluxes [C, L+1] and heating [C, L] in K/s.
+
+    ``fast_exp``: compute exp/tau-transition directly instead of the
+    reference's 10001-entry lookup tables.  The tables are a quantized
+    approximation of exactly these expressions, so the deviation is the
+    table quantization (~1e-4) — but the direct form avoids six 62M-index
+    gathers per call, which dominate on TPU.  The oracle tests keep the
+    exact table path (default)."""
     dtype = tautot.dtype
     C, L, G = tautot.shape
     ngb = jnp.asarray(np.asarray(P.NGB_LW), jnp.int32)
-    tau_tbl, exp_tbl, tfn_tbl = _make_rt_tables(dtype)
     rec_6 = 0.166667
     eps = P.EPS
 
@@ -993,18 +1037,35 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
     # ---- k-local quantities, fully vectorized [C, L, G] --------------
     odepth_raw = jnp.maximum(0.0, secdif_g[:, None, :] * tautot)
     small = odepth_raw <= 0.06
-    tblind = odepth_raw / (P.BPADE + odepth_raw)
-    itgas = jnp.clip(
-        _trunc(P.NTBL * tblind + 0.5), 0, P.NTBL
-    ).astype(jnp.int32)
-    trng_tab = jnp.take(exp_tbl, itgas)
-    atrgas = jnp.where(
-        small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
-        1.0 - trng_tab,
-    )
-    trng = jnp.where(small, 1.0 - atrgas, trng_tab)
-    gasfac = jnp.where(small, rec_6 * odepth_raw, jnp.take(tfn_tbl, itgas))
-    odepth = jnp.where(small, odepth_raw, jnp.take(tau_tbl, itgas))
+    if fast_exp:
+        trng_big = jnp.exp(-jnp.minimum(odepth_raw, 500.0))
+        tfn_big = 1.0 - 2.0 * (
+            1.0 / jnp.maximum(odepth_raw, 0.06)
+            - trng_big / jnp.maximum(1.0 - trng_big, 1e-30)
+        )
+        atrgas = jnp.where(
+            small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
+            1.0 - trng_big,
+        )
+        trng = jnp.where(small, 1.0 - atrgas, trng_big)
+        gasfac = jnp.where(small, rec_6 * odepth_raw, tfn_big)
+        odepth = odepth_raw
+    else:
+        tau_tbl, exp_tbl, tfn_tbl = _make_rt_tables(dtype)
+        tblind = odepth_raw / (P.BPADE + odepth_raw)
+        itgas = jnp.clip(
+            _trunc(P.NTBL * tblind + 0.5), 0, P.NTBL
+        ).astype(jnp.int32)
+        trng_tab = jnp.take(exp_tbl, itgas)
+        atrgas = jnp.where(
+            small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
+            1.0 - trng_tab,
+        )
+        trng = jnp.where(small, 1.0 - atrgas, trng_tab)
+        gasfac = jnp.where(
+            small, rec_6 * odepth_raw, jnp.take(tfn_tbl, itgas)
+        )
+        odepth = jnp.where(small, odepth_raw, jnp.take(tau_tbl, itgas))
 
     plfrac = fracs
     blay = pklay_g[:, :, 1:].swapaxes(1, 2)  # [C, L, G]
@@ -1020,17 +1081,28 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
     efclrfr = 1.0 - (1.0 - jnp.exp(-odcld)) * cldfmc
     odtot = odepth + odcld
     small_t = odtot < 0.06
-    tblind_t = odtot / (P.BPADE + odtot)
-    ittot = jnp.clip(
-        _trunc(P.NTBL * tblind_t + 0.5), 0, P.NTBL
-    ).astype(jnp.int32)
-    totfac = jnp.where(
-        small_t, rec_6 * odtot, jnp.take(tfn_tbl, ittot)
-    )
-    atrtot = jnp.where(
-        small_t, odtot - 0.5 * odtot * odtot,
-        1.0 - jnp.take(exp_tbl, ittot),
-    )
+    if fast_exp:
+        exp_t = jnp.exp(-jnp.minimum(odtot, 500.0))
+        tfn_t = 1.0 - 2.0 * (
+            1.0 / jnp.maximum(odtot, 0.06)
+            - exp_t / jnp.maximum(1.0 - exp_t, 1e-30)
+        )
+        totfac = jnp.where(small_t, rec_6 * odtot, tfn_t)
+        atrtot = jnp.where(
+            small_t, odtot - 0.5 * odtot * odtot, 1.0 - exp_t
+        )
+    else:
+        tblind_t = odtot / (P.BPADE + odtot)
+        ittot = jnp.clip(
+            _trunc(P.NTBL * tblind_t + 0.5), 0, P.NTBL
+        ).astype(jnp.int32)
+        totfac = jnp.where(
+            small_t, rec_6 * odtot, jnp.take(tfn_tbl, ittot)
+        )
+        atrtot = jnp.where(
+            small_t, odtot - 0.5 * odtot * odtot,
+            1.0 - jnp.take(exp_tbl, ittot),
+        )
     bbdtot = plfrac * (blay + dplnkd * totfac)
     bbutot = plfrac * (blay + dplnku * totfac)
     totsrcd = bbdtot * atrtot
@@ -1112,6 +1184,7 @@ def lwrad(
     plyr, plvl, tlyr, tlvl, qlyr, olyr, gasvmr, clouds, aerosols,
     sfemis, sfgtmp, delpin, rand2d, T,
     iovrlw: int = 1, ilwrgas: int = 1, ilwcliq: int = 1,
+    fast_exp: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched LW driver (reference radlw_main.py:1459-2268 semantics).
 
@@ -1194,7 +1267,7 @@ def lwrad(
     )
     totuflux, totdflux, htr, totuclfl, totdclfl, htrcl = rtrnmc_lw(
         semiss, delpin, cldfmc, taucld, tautot,
-        c["pklay"], c["pklev"], fracs, secdif,
+        c["pklay"], c["pklev"], fracs, secdif, fast_exp=fast_exp,
     )
     return {
         "hlwc": htr,  # total-sky heating rate K/s [C, L]

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -111,7 +112,19 @@ def setcoef_sw(pavel, tavel, h2ovmr, T):
 
 # ------------------------------------------------------------------ taumol
 def _take(tab, ids):
-    return jnp.take(tab, jnp.clip(ids, 0, tab.shape[0] - 1), axis=0)
+    """Bounds-clamped row fetch; small tables use a bit-exact one-hot
+    contraction instead of a TPU gather (see lw._take)."""
+    rows = tab.shape[0]
+    ids = jnp.clip(ids, 0, rows - 1)
+    if rows <= 64:
+        oh = (ids[..., None] == jnp.arange(rows, dtype=ids.dtype)).astype(
+            tab.dtype
+        )
+        return jnp.einsum(
+            "...r,rg->...g", oh, tab,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return jnp.take(tab, ids, axis=0)
 
 
 def _self_for_sw(bt, c, with_self=True):
@@ -578,7 +591,8 @@ def cldprop_sw(
 
 
 # ------------------------------------------------------------------ spcvrtm
-def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2):
+def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2,
+                fast_exp=False):
     """Delta-scaled two-stream layer reflectance/transmittance, fully
     vectorized (reference radsw_main.py:279-424).  All inputs
     [C, L, G] (cosz/sntz broadcastable).  Returns (zrefb, zrefd, ztrab,
@@ -611,16 +625,20 @@ def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2):
     zgam4 = 1.0 - zgam3
 
     def lut(x):
-        """exp(-x) via the reference's lookup/series hybrid."""
+        """exp(-x) via the reference's lookup/series hybrid (or the
+        direct exponential under fast_exp: same function the table
+        quantizes, minus the 62M-index gathers)."""
         x = jnp.minimum(x, 500.0)
         small = x <= _OD_LO
-        ftind = x / (P.BPADE + x)
-        itind = jnp.clip(
-            _trunc(ftind * _NTBMX + 0.5), 0, _NTBMX
-        ).astype(jnp.int32)
-        return jnp.where(
-            small, 1.0 - x + 0.5 * x * x, jnp.take(exp_tbl, itind)
-        )
+        if fast_exp:
+            big = jnp.exp(-x)
+        else:
+            ftind = x / (P.BPADE + x)
+            itind = jnp.clip(
+                _trunc(ftind * _NTBMX + 0.5), 0, _NTBMX
+            ).astype(jnp.int32)
+            big = jnp.take(exp_tbl, itind)
+        return jnp.where(small, 1.0 - x + 0.5 * x * x, big)
 
     # conservative-scattering branch
     za1c = zgam1 * cosz - zgam3
@@ -780,6 +798,7 @@ def _vrtqdr(zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt):
 def spcvrtm_sw(
     ssolar, cosz, albbm, albdf, sfluxzen, cldfmc, taug, taur,
     tauae, ssaae, asyae, taucw, ssacw, asycw, exp_tbl, iswmode=2,
+    fast_exp=False,
 ):
     """McICA two-stream solver over all g-points (reference
     radsw_main.py:86-753), batched [C, L, G].
@@ -804,14 +823,15 @@ def spcvrtm_sw(
     ztau0 = jnp.maximum(P.FTINY, taur + taug + taua_g)
     zssa0 = taur + taua_g * ssaa_g
     zasy0 = asya_g * ssaa_g * taua_g
-    clr = _twostream(ztau0, zssa0, zasy0, coszb, sntz, exp_tbl, iswmode)
+    clr = _twostream(ztau0, zssa0, zasy0, coszb, sntz, exp_tbl,
+                     iswmode, fast_exp)
     zrefb_c, zrefd_c, ztrab_c, ztrad_c, zexp3_c, zexp4_c = clr
 
     # total-sky: cloudy layers add cloud properties
     cloudy = cldfmc > P.FTINY
     tot = _twostream(
         ztau0 + taucw_g, zssa0 + ssacw_g, zasy0 + asycw_g,
-        coszb, sntz, exp_tbl, iswmode,
+        coszb, sntz, exp_tbl, iswmode, fast_exp,
     )
     zrefb_t = jnp.where(cloudy, tot[0], zrefb_c)
     zrefd_t = jnp.where(cloudy, tot[1], zrefd_c)
@@ -920,7 +940,7 @@ def swrad(
     plyr, plvl, tlyr, tlvl, qlyr, olyr, gasvmr, clouds, aerosols,
     sfcalb, delpin, cosz, solcon, rand2d, T,
     iovrsw: int = 1, iswrgas: int = 1, iswcliq: int = 1,
-    iswmode: int = 2,
+    iswmode: int = 2, fast_exp: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Batched SW driver (reference radsw_main.py:1981-2690 semantics).
 
@@ -968,6 +988,7 @@ def swrad(
         cldfmc, taug, taur,
         aerosols[..., 0], aerosols[..., 1], aerosols[..., 2],
         taucw, ssacw, asycw, _exp_tbl(dtype), iswmode=iswmode,
+        fast_exp=fast_exp,
     )
 
     rfdelp = P.HEATFAC / delpin

@@ -8,7 +8,7 @@ workflows/prognostic_c48_run/runtime/diagnostics/compute.py:183-290).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

@@ -15,8 +15,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fv3net_tpu.core import zarrio
-from fv3net_tpu.core.dataset import Dataset
-from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.grid.geometry import make_grid
 from fv3net_tpu.ops.pallas_kernels import weighted_block_average
 

@@ -10,14 +10,13 @@ of a Dataflow job.
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from fv3net_tpu.core.constants import GRAVITY, RDGAS, RVGAS, TOA_PRESSURE
+from fv3net_tpu.core.constants import TOA_PRESSURE
 from fv3net_tpu.dycore.state import DycoreState
 from fv3net_tpu.ops import coarsen as _c
 from fv3net_tpu.ops import regridz as _r

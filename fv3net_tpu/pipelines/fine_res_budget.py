@@ -12,7 +12,7 @@ physics tendencies, on the coarse pressure coordinate.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ import datetime
 import html
 import io
 import os
-from typing import Dict, List, Mapping, Optional, Sequence, Union
+from typing import Mapping, Optional, Sequence
 
 
 class ImagePlot:

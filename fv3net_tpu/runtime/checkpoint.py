@@ -8,7 +8,6 @@ metadata — a single atomic artifact per segment.
 """
 from __future__ import annotations
 
-import dataclasses
 import datetime
 import json
 import os

@@ -9,13 +9,12 @@ write back consistently.
 from __future__ import annotations
 
 import dataclasses
-import datetime
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 
-from fv3net_tpu.core.constants import GRAVITY, TOA_PRESSURE
+from fv3net_tpu.core.constants import TOA_PRESSURE
 from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.dycore.state import (
     DycoreState,

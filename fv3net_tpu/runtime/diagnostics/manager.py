@@ -15,7 +15,6 @@ from typing import Dict, List, Mapping, Optional, Sequence
 
 import numpy as np
 
-from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.core import zarrio
 from fv3net_tpu.runtime.diagnostics.times import (

@@ -8,7 +8,7 @@ bucket does it belong to).
 from __future__ import annotations
 
 import datetime
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 
 class All:

@@ -8,7 +8,7 @@ TendencyPrescriber with DatasetQuantileLimiter, :75-150).
 from __future__ import annotations
 
 import datetime
-from typing import List, Optional
+from typing import List
 
 from fv3net_tpu.runtime.config import UserConfig
 
@@ -45,10 +45,7 @@ def get_postphysics_stepper(config: UserConfig, timestep: float):
         )
     if config.nudging is not None and config.nudging.timescale_hours:
         from fv3net_tpu.loaders import ZarrMapper
-        from fv3net_tpu.runtime.interpolate import (
-            mapper_getter,
-            time_interpolate_func,
-        )
+        from fv3net_tpu.runtime.interpolate import mapper_getter
         from fv3net_tpu.runtime.steppers.nudging import PureNudger
 
         mapper = ZarrMapper(config.nudging.restarts_path)

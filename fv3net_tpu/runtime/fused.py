@@ -9,8 +9,7 @@ round-trips, everything fused.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

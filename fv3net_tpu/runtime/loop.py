@@ -12,9 +12,8 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import logging
-from typing import Callable, Dict, Iterator, List, Mapping, Optional, Tuple
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

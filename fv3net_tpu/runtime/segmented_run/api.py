@@ -18,7 +18,6 @@ from fv3net_tpu.runtime.checkpoint import load_state, save_state
 from fv3net_tpu.runtime.config import UserConfig, get_config
 from fv3net_tpu.runtime.diagnostics import DiagnosticsManager
 from fv3net_tpu.runtime.loop import TimeLoop
-from fv3net_tpu.runtime import names
 
 logger = logging.getLogger(__name__)
 

@@ -8,7 +8,7 @@ MSE-conserving non-negative-humidity limiter.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax.numpy as jnp
 

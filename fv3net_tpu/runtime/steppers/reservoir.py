@@ -13,7 +13,7 @@ preserved because they are scheme semantics, not parallelism artifacts.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ import contextlib
 import json
 import logging
 import time
-from typing import Dict, List
+from typing import Dict
 
 logger = logging.getLogger("profiles")
 

@@ -3,9 +3,7 @@
 generate_restart_data and the pytest fixtures in _dataset_fixtures.py)."""
 from __future__ import annotations
 
-from typing import Sequence
 
-import numpy as np
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.synth.core import DatasetSchema, Range, VariableSchema, generate

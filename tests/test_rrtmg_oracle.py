@@ -336,3 +336,55 @@ def test_lw_fluxes_physically_sane(oracle_and_ours):
     assert (ours["dnfxc_s"] >= 0).all()
     # cloudy columns trap OLR relative to clear sky
     assert (ours["upfxc_t"] <= ours["upfx0_t"] + 1e-6).all()
+
+
+def test_fast_exp_matches_tables_within_quantization(oracle_and_ours):
+    """fast_exp computes the same function the lookup tables quantize:
+    fluxes agree with the exact-table path to the table resolution."""
+    from fv3net_tpu.physics.radiation.rrtmg.lw import lwrad as _lwrad
+    from fv3net_tpu.physics.radiation.rrtmg.lw import prep_lw_tables
+
+    pr = _profiles()
+    lwdict = make_lw_tables(seed=0)
+    T32 = prep_lw_tables(lwdict, dtype=jnp.float32)
+    args = [jnp.asarray(pr[k], jnp.float32) for k in
+            ("plyr", "plvl", "tlyr", "tlvl", "qlyr", "olyr",
+             "gasvmr", "clouds", "aerosols", "sfemis", "sfgtmp",
+             "delp", "rand2d")]
+    exact = _lwrad(*args, T32)
+    fast = _lwrad(*args, T32, fast_exp=True)
+    for key in ("upfxc_t", "dnfxc_s", "upfxc_s", "dnfx0_s"):
+        np.testing.assert_allclose(
+            np.asarray(fast[key]), np.asarray(exact[key]),
+            rtol=5e-4, atol=0.2, err_msg=key,
+        )
+
+
+def test_fast_exp_sw_matches_tables(sw_oracle_and_ours):
+    from fv3net_tpu.physics.radiation.rrtmg.sw import (
+        prep_sw_tables,
+        swrad,
+    )
+    from fv3net_tpu.physics.radiation.rrtmg.tables import make_sw_tables
+
+    pr = _profiles()
+    C, L = pr["plyr"].shape
+    swdict = make_sw_tables(seed=1)
+    T32 = prep_sw_tables(swdict, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    rand2d = jnp.asarray(rng.random((C, P.NGPT_SW * L)), jnp.float32)
+    cosz = jnp.asarray([0.82, 0.47, 0.21, 0.6][:C], jnp.float32)
+    aer = np.zeros((C, L, P.NBANDS_SW, 3), np.float32)
+    sfcalb = jnp.full((C, 4), 0.15, jnp.float32)
+    args = [jnp.asarray(pr[k], jnp.float32) for k in
+            ("plyr", "plvl", "tlyr", "tlvl", "qlyr", "olyr",
+             "gasvmr", "clouds")]
+    args += [jnp.asarray(aer), sfcalb,
+             jnp.asarray(pr["delp"], jnp.float32), cosz]
+    exact = swrad(*args, 1360.8, rand2d, T32)
+    fast = swrad(*args, 1360.8, rand2d, T32, fast_exp=True)
+    for key in ("ftoauc", "fsfcdc", "ftoadc", "fsfcd0"):
+        np.testing.assert_allclose(
+            np.asarray(fast[key]), np.asarray(exact[key]),
+            rtol=1e-3, atol=0.5, err_msg=key,
+        )
