@@ -61,22 +61,71 @@ def plot_cube(
     title: Optional[str] = None,
     colorbar: bool = True,
     ax=None,
+    robust: bool = False,
     **kwargs,
 ) -> Tuple:
     """High-level map of a [6, ny, nx] field on a Grid
-    (reference _plot_cube.py:54).  Returns (fig, ax, mesh)."""
+    (reference _plot_cube.py:54).  Returns (fig, ax, mesh).  vmin/vmax/
+    cmap are inferred like the reference (diverging map for
+    sign-spanning fields; ``robust`` clips to percentiles)."""
     import matplotlib.pyplot as plt
+
+    from fv3net_tpu.viz.helpers import infer_cmap_params
 
     if ax is None:
         fig, ax = plt.subplots(figsize=(10, 5))
     else:
         fig = ax.figure
+    vmin, vmax, cmap = infer_cmap_params(
+        np.asarray(field), kwargs.pop("vmin", None),
+        kwargs.pop("vmax", None), kwargs.pop("cmap", None), robust,
+    )
     mesh = pcolormesh_cube(
         np.rad2deg(grid.lat_corners), np.rad2deg(grid.lon_corners), field,
-        ax=ax, **kwargs,
+        ax=ax, vmin=vmin, vmax=vmax, cmap=cmap, **kwargs,
     )
     if colorbar:
         fig.colorbar(mesh, ax=ax, shrink=0.8)
     if title:
         ax.set_title(title)
     return fig, ax, mesh
+
+
+def plot_cube_faceted(
+    grid,
+    fields: np.ndarray,
+    labels=None,
+    ncols: int = 2,
+    robust: bool = False,
+    **kwargs,
+):
+    """Faceted maps of a [n, 6, ny, nx] stack (the reference
+    plot_cube's col/row faceting over e.g. time or dataset).  Shares one
+    inferred color scale across panels.  Returns (fig, axes)."""
+    import matplotlib.pyplot as plt
+
+    from fv3net_tpu.viz.helpers import infer_cmap_params
+
+    n = fields.shape[0]
+    nrows = -(-n // ncols)
+    fig, axes = plt.subplots(
+        nrows, ncols, figsize=(6 * ncols, 3.2 * nrows), squeeze=False
+    )
+    vmin, vmax, cmap = infer_cmap_params(
+        np.asarray(fields), kwargs.pop("vmin", None),
+        kwargs.pop("vmax", None), kwargs.pop("cmap", None), robust,
+    )
+    mesh = None
+    for i in range(nrows * ncols):
+        ax = axes[i // ncols][i % ncols]
+        if i >= n:
+            ax.axis("off")
+            continue
+        mesh = pcolormesh_cube(
+            np.rad2deg(grid.lat_corners), np.rad2deg(grid.lon_corners),
+            fields[i], ax=ax, vmin=vmin, vmax=vmax, cmap=cmap, **kwargs,
+        )
+        if labels is not None:
+            ax.set_title(labels[i])
+    fig.colorbar(mesh, ax=axes, shrink=0.8)
+    return fig, axes

@@ -181,3 +181,67 @@ def test_new_registry_diagnostics(tmp_path):
     dc = out["PRATEsfc_diurnal_cycle"]
     assert np.asarray(dc.data).shape == (24,)
     assert np.isfinite(np.asarray(dc.data)).all()
+
+
+def test_viz_helpers(tmp_path):
+    """fv3viz-analog helpers (reference _plot_helpers/_styles/
+    _plot_diagnostics/_timestep_histograms)."""
+    import datetime
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.viz import (
+        infer_cmap_params,
+        get_var_label,
+        plot_cube_faceted,
+        plot_daily_and_hourly_hist,
+        plot_diurnal_cycle,
+        plot_time_series,
+        use_colorblind_friendly_style,
+    )
+
+    use_colorblind_friendly_style()
+    # diverging detection + symmetric limits
+    vmin, vmax, cmap = infer_cmap_params(np.array([-1.0, 3.0]))
+    assert (vmin, vmax, cmap) == (-3.0, 3.0, "RdBu_r")
+    vmin, vmax, cmap = infer_cmap_params(np.array([1.0, 3.0]))
+    assert (vmin, vmax, cmap) == (1.0, 3.0, "viridis")
+    # robust percentiles clip outliers
+    data = np.concatenate([np.zeros(98), [1000.0, 2000.0]])
+    vmin, vmax, _ = infer_cmap_params(data, robust=True)
+    assert vmax < 1000.0
+
+    label = get_var_label(
+        {"long_name": "a very long descriptive variable name indeed",
+         "units": "W/m^2"}, "x", max_line_length=20)
+    assert "\n" in label
+
+    grid = make_grid(6)
+    rng = np.random.RandomState(0)
+    fig, axes = plot_cube_faceted(
+        grid, rng.randn(3, 6, 6, 6), labels=["a", "b", "c"]
+    )
+    assert axes.shape == (2, 2)
+
+    ax = plot_diurnal_cycle(
+        np.arange(24), {"run": np.sin(np.arange(24) / 24 * 6.28)},
+        ylabel="P",
+    )
+    assert ax.get_xlabel() == "local solar hour"
+    ax = plot_time_series(
+        np.arange(10), {"run": np.arange(10.0), "verif": np.ones(10)}
+    )
+    assert len(ax.get_lines()) == 2
+    times = [
+        datetime.datetime(2016, 8, 1 + d, h)
+        for d in range(3) for h in (0, 6, 12)
+    ]
+    fig, _ = plot_daily_and_hourly_hist(times)
+    assert fig is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
