@@ -172,28 +172,51 @@ def _spec_ids(c, colA, colB, strrat, nspa, nspb):
     )
 
 
+def _weighted_rows(tab, terms):
+    """Σ_k w_k * tab[id_k] as one weighted-selection matmul (see
+    lw._weighted_rows — replaces slow TPU row-gathers)."""
+    rows = tab.shape[0]
+    iota = jnp.arange(rows, dtype=jnp.int32)
+    W = None
+    for ids, w in terms:
+        oh = (
+            jnp.clip(ids, 0, rows - 1)[..., None] == iota
+        ).astype(tab.dtype)
+        contrib = oh if w is None else oh * w[..., None]
+        W = contrib if W is None else W + contrib
+    return jnp.einsum(
+        "clr,rg->clg", W, tab, precision=jax.lax.Precision.HIGHEST
+    )
+
+
 def _tau_spec(tab, ind01, ind11, fs, c, off):
     """8-point 2-species stencil: offsets (+0,+1,+off,+off+1) at two
-    pressure rows."""
+    pressure rows — one weighted-selection matmul."""
     fs1 = 1.0 - fs
-    return (
-        (fs1 * c["fac00"])[..., None] * _take(tab, ind01)
-        + (fs * c["fac00"])[..., None] * _take(tab, ind01 + 1)
-        + (fs1 * c["fac10"])[..., None] * _take(tab, ind01 + off)
-        + (fs * c["fac10"])[..., None] * _take(tab, ind01 + off + 1)
-        + (fs1 * c["fac01"])[..., None] * _take(tab, ind11)
-        + (fs * c["fac01"])[..., None] * _take(tab, ind11 + 1)
-        + (fs1 * c["fac11"])[..., None] * _take(tab, ind11 + off)
-        + (fs * c["fac11"])[..., None] * _take(tab, ind11 + off + 1)
+    return _weighted_rows(
+        tab,
+        [
+            (ind01, fs1 * c["fac00"]),
+            (ind01 + 1, fs * c["fac00"]),
+            (ind01 + off, fs1 * c["fac10"]),
+            (ind01 + off + 1, fs * c["fac10"]),
+            (ind11, fs1 * c["fac01"]),
+            (ind11 + 1, fs * c["fac01"]),
+            (ind11 + off, fs1 * c["fac11"]),
+            (ind11 + off + 1, fs * c["fac11"]),
+        ],
     )
 
 
 def _tau_single_sw(tab, col, c, id0, id1):
-    return col[..., None] * (
-        c["fac00"][..., None] * _take(tab, id0 + 1)
-        + c["fac10"][..., None] * _take(tab, id0 + 2)
-        + c["fac01"][..., None] * _take(tab, id1 + 1)
-        + c["fac11"][..., None] * _take(tab, id1 + 2)
+    return _weighted_rows(
+        tab,
+        [
+            (id0 + 1, col * c["fac00"]),
+            (id0 + 2, col * c["fac10"]),
+            (id1 + 1, col * c["fac01"]),
+            (id1 + 2, col * c["fac11"]),
+        ],
     )
 
 
