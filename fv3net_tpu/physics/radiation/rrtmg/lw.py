@@ -953,8 +953,8 @@ def cldprop_lw(
         factor = relw - 1.5
         index = jnp.clip(_trunc(factor), 1.0, 57.0).astype(jnp.int32) - 1
         fint = factor - (index + 1).astype(dtype)
-        a0 = jnp.take(absliq1, index, axis=0)  # [C, L, nbands]
-        a1 = jnp.take(absliq1, index + 1, axis=0)
+        a0 = _take(absliq1, index)  # [C, L, nbands]
+        a1 = _take(absliq1, index + 1)
         tauliq = jnp.maximum(
             0.0, clwp[..., None] * (a0 + fint[..., None] * (a1 - a0))
         )
@@ -967,8 +967,8 @@ def cldprop_lw(
         factor = (dgeice - 2.0) / 3.0
         index = jnp.clip(_trunc(factor), 1.0, 45.0).astype(jnp.int32) - 1
         fint = factor - (index + 1).astype(dtype)
-        i0 = jnp.take(absice3, index, axis=0)
-        i1 = jnp.take(absice3, index + 1, axis=0)
+        i0 = _take(absice3, index)
+        i1 = _take(absice3, index + 1)
         tauice = jnp.maximum(
             0.0, ciwp[..., None] * (i0 + fint[..., None] * (i1 - i0))
         )

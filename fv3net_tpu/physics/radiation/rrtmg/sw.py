@@ -544,9 +544,9 @@ def cldprop_sw(
     extl = T["extliq2"] if iswcliq == 2 else T["extliq1"]
     ssal = T["ssaliq2"] if iswcliq == 2 else T["ssaliq1"]
     asyl = T["asyliq2"] if iswcliq == 2 else T["asyliq1"]
-    e0, e1 = jnp.take(extl, index, axis=0), jnp.take(extl, index + 1, axis=0)
-    s0, s1 = jnp.take(ssal, index, axis=0), jnp.take(ssal, index + 1, axis=0)
-    a0, a1 = jnp.take(asyl, index, axis=0), jnp.take(asyl, index + 1, axis=0)
+    e0, e1 = _take(extl, index), _take(extl, index + 1)
+    s0, s1 = _take(ssal, index), _take(ssal, index + 1)
+    a0, a1 = _take(asyl, index), _take(asyl, index + 1)
     extcoliq = jnp.maximum(0.0, e0 + fint * (e1 - e0))
     ssacoliq = jnp.clip(s0 + fint * (s1 - s0), 0.0, 1.0)
     asycoliq = jnp.clip(a0 + fint * (a1 - a0), 0.0, 1.0)
@@ -563,12 +563,12 @@ def cldprop_sw(
     factor = (dgeice - 2.0) / 3.0
     index = jnp.clip(_trunc(factor), 1.0, 45.0).astype(jnp.int32) - 1
     fint = (factor - (index + 1).astype(dtype))[..., None]
-    e0 = jnp.take(T["extice3"], index, axis=0)
-    e1 = jnp.take(T["extice3"], index + 1, axis=0)
-    s0 = jnp.take(T["ssaice3"], index, axis=0)
-    s1 = jnp.take(T["ssaice3"], index + 1, axis=0)
-    a0 = jnp.take(T["asyice3"], index, axis=0)
-    a1 = jnp.take(T["asyice3"], index + 1, axis=0)
+    e0 = _take(T["extice3"], index)
+    e1 = _take(T["extice3"], index + 1)
+    s0 = _take(T["ssaice3"], index)
+    s1 = _take(T["ssaice3"], index + 1)
+    a0 = _take(T["asyice3"], index)
+    a1 = _take(T["asyice3"], index + 1)
     extcoice = jnp.maximum(0.0, e0 + fint * (e1 - e0))
     ssacoice = jnp.clip(s0 + fint * (s1 - s0), 0.0, 1.0)
     asycoice = jnp.clip(a0 + fint * (a1 - a0), 0.0, 1.0)
