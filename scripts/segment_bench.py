@@ -1,0 +1,87 @@
+"""Production-path throughput: a diagnostics-enabled C48 segment through
+run_segment (the runfv3-append code path) with the fused chunked
+TimeLoop — the VERDICT r1 #4 measurement.
+
+Usage: python scripts/segment_bench.py [radiation] [chunk]
+(radiation: gray|rrtmg, default gray; chunk default 8)
+"""
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    radiation = sys.argv[1] if len(sys.argv) > 1 else "gray"
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime.segmented_run.api import run_segment
+
+    hours = 6.0
+    cfg = get_config(
+        {
+            "namelist": {
+                "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
+                "radiation": radiation,
+            },
+            "duration_seconds": hours * 3600.0,
+            "fused_chunk_steps": chunk,
+            "radiation_interval_steps": 4,
+            "diagnostics": [
+                {
+                    "name": "state_after_timestep.zarr",
+                    "variables": [
+                        "air_temperature", "specific_humidity",
+                        "surface_pressure", "eastward_wind",
+                    ],
+                    "times": {"kind": "every"},
+                }
+            ],
+        }
+    )
+    out = tempfile.mkdtemp(prefix="seg_bench_")
+    # warm: run one short segment first so compiles don't count
+    warm_cfg = get_config(
+        {
+            "namelist": {
+                "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
+                "radiation": radiation,
+            },
+            "duration_seconds": chunk * 900.0,
+            "fused_chunk_steps": chunk,
+            "radiation_interval_steps": 4,
+        }
+    )
+    run_segment(warm_cfg, out + "_warm")
+
+    t0 = time.perf_counter()
+    loop = run_segment(cfg, out)
+    elapsed = time.perf_counter() - t0
+    n_steps = int(cfg.duration_seconds // 900.0)
+    sypd = (n_steps * 900.0 / elapsed) * 86400.0 / (365.0 * 86400.0)
+    print(
+        json.dumps(
+            {
+                "metric": f"c48_segment_throughput_{radiation}",
+                "value": round(sypd, 2),
+                "unit": "SYPD",
+                "fused": loop.fusable(),
+                "steps": n_steps,
+                "wall_s": round(elapsed, 1),
+            }
+        )
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_warm", ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
