@@ -17,4 +17,5 @@ from fv3net_tpu.emulation.hooks import (  # noqa: F401
     StorageHook,
     TimeMask,
     compose_masks,
+    get_hooks,
 )

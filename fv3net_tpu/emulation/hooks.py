@@ -222,3 +222,51 @@ class StorageHook:
             za.resize_time(self._n + 1)
             za[(self._n,)] = np.asarray(state[name], np.float32)
         self._n += 1
+
+
+def get_hooks(config=None, config_path: str = "fv3config.yml"):
+    """(gscond, microphysics, store) hook triple — the call_py_fort
+    module surface (reference emulation/__init__.py:18 +
+    config.py:309-324: reads the run's fv3config.yml
+    ``zhao_carr_emulation`` key with gscond/model/storage sub-configs).
+
+    Each hook is ``state_dict -> state_dict`` (identity when not
+    configured); ``store`` additionally accepts (name, state).
+    """
+    import os
+
+    if config is None:
+        config = {}
+        if os.path.exists(config_path):
+            import yaml
+
+            with open(config_path) as f:
+                loaded = yaml.safe_load(f) or {}
+            config = loaded.get("zhao_carr_emulation", {}) or {}
+
+    def _identity(state: State) -> State:
+        return state
+
+    def _build(key):
+        sub = config.get(key) or {}
+        path = sub.get("path") or sub.get("url")
+        if not path:
+            return _identity
+        from fv3net_tpu import fit
+
+        return MicrophysicsEmulator(fit.load(path))
+
+    gscond_hook = _build("gscond")
+    model_hook = _build("model")
+
+    storage = config.get("storage") or {}
+    if storage.get("output_freq_sec") or storage.get("path"):
+        store = StorageHook(
+            storage.get("path", "state_output.zarr"),
+            output_freq_sec=float(storage.get("output_freq_sec", 900.0)),
+        )
+    else:
+        def store(state, time):  # noqa: ANN001
+            return None
+
+    return gscond_hook, model_hook, store

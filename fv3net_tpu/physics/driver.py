@@ -69,6 +69,7 @@ def physics_step(
     dt: float,
     cfg: PhysicsConfig = PhysicsConfig(),
     microphysics_emulator=None,
+    gscond_emulator=None,
     radiation_fn=None,
     sgh=None,  # [6, ny, nx] subgrid-orography std (m) enables GWD
     evap_factor=None,  # [6, ny, nx] bucket-land beta (physics/land.py)
@@ -171,9 +172,27 @@ def physics_step(
 
     # ---- microphysics ---------------------------------------------------
     if microphysics_emulator is None:
-        T, q, qc, precip = mp.microphysics_step(
-            T, q, qc, pmid, delp, dt, cfg.microphysics
-        )
+        if gscond_emulator is not None:
+            # the reference's finer hook point: emulate ONLY the
+            # grid-scale condensation stage (call_py_fort 'gscond' hook,
+            # emulation/config.py:309-324), run precpd natively
+            emu_state = {
+                "air_temperature": T,
+                "specific_humidity": q,
+                "cloud_water_mixing_ratio": qc,
+                "pressure": pmid,
+            }
+            out = gscond_emulator(emu_state)
+            T = out["air_temperature"]
+            q = out["specific_humidity"]
+            qc = out.get("cloud_water_mixing_ratio", qc)
+            T, q, qc, precip = mp.precpd(
+                T, q, qc, pmid, delp, dt, cfg.microphysics
+            )
+        else:
+            T, q, qc, precip = mp.microphysics_step(
+                T, q, qc, pmid, delp, dt, cfg.microphysics
+            )
     else:
         emu_state = {
             "air_temperature": T,

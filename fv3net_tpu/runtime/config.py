@@ -157,6 +157,10 @@ class OnlineEmulatorConfig:
 
     url: str = ""
     enabled: bool = True
+    # hook point: "microphysics" replaces the whole Zhao-Carr step,
+    # "gscond" only the grid-scale condensation stage (precpd stays
+    # native) — the reference's two call_py_fort hooks
+    target: str = "microphysics"
 
 
 @dataclasses.dataclass

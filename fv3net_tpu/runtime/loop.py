@@ -203,9 +203,14 @@ class TimeLoop:
             self._reservoir_incrementer,
             self._reservoir_predictor,
         ) = factories.get_reservoir_steppers(config, self._timestep)
-        self._microphysics_emulator = factories.get_microphysics_emulator(
-            config
-        )
+        (
+            self._microphysics_emulator,
+            emu_target,
+        ) = factories.get_microphysics_emulator(config)
+        self._gscond_emulator = None
+        if emu_target == "gscond":
+            self._gscond_emulator = self._microphysics_emulator
+            self._microphysics_emulator = None
         self.monitor = Monitor(
             [names.TEMP, names.SPHUM, names.CLOUD], self._timestep
         )
@@ -278,6 +283,7 @@ class TimeLoop:
             self._phys_cfg,
             radiation_fn=self._radiation_fn,
             microphysics_emulator=self._microphysics_emulator,
+            gscond_emulator=self._gscond_emulator,
             # subgrid-orography std enables mountain-wave drag when a
             # surface field provides it (zero/absent on aquaplanets)
             sgh=self.state.surface.get("sgh"),
@@ -443,6 +449,7 @@ class TimeLoop:
             and self._reservoir_incrementer is None
             and self._reservoir_predictor is None
             and self._microphysics_emulator is None
+            and self._gscond_emulator is None
             and not (nml.slab_ocean or nml.bucket_land or nml.sea_ice)
         )
 
