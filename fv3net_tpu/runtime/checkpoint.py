@@ -13,6 +13,7 @@ import json
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,18 +29,22 @@ def save_state(state: ModelState, time: datetime.datetime, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     d = state.dycore
     arrays: Dict[str, np.ndarray] = {
-        "delp": np.asarray(d.delp),
-        "pt": np.asarray(d.pt),
-        "wind": np.asarray(d.wind),
-        "phis": np.asarray(d.phis),
+        "delp": d.delp,
+        "pt": d.pt,
+        "wind": d.wind,
+        "phis": d.phis,
     }
     if d.w is not None:
-        arrays["w"] = np.asarray(d.w)
-        arrays["delz"] = np.asarray(d.delz)
+        arrays["w"] = d.w
+        arrays["delz"] = d.delz
     for k, v in d.tracers.items():
-        arrays[f"tracer_{k}"] = np.asarray(v)
+        arrays[f"tracer_{k}"] = v
     for k, v in state.surface.items():
-        arrays[f"surface_{k}"] = np.asarray(v)
+        arrays[f"surface_{k}"] = v
+    # one pull per array, hoisted out of any per-tile loop; NOTE
+    # jax.device_get / copy_to_host_async hit a pathologically slow
+    # transfer path through the axon tunnel — np.asarray is the fast one
+    arrays = {k: np.asarray(v) for k, v in arrays.items()}
     np.savez(os.path.join(path, _STATE_FILE), **arrays)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(
@@ -100,34 +105,50 @@ def save_fortran_restarts(
 
     os.makedirs(path, exist_ok=True)
     d = state.dycore
-    east = np.moveaxis(np.asarray(grid.east), -1, 0)  # [3, 6, n, n]
-    north = np.moveaxis(np.asarray(grid.north), -1, 0)
-    wind = np.asarray(d.wind)  # [3, 6, nz, n, n]
+    # ONE batched device->host transfer of everything we will write:
+    # per-variable-per-tile np.asarray pulls cost ~a round trip each
+    # through the TPU tunnel and re-transfer each field 6 times
+    pulled = {
+        "east": grid.east, "north": grid.north, "wind": d.wind,
+        "delp": d.delp, "phis": d.phis, "T": _temperature_of(d),
+        "tracers": dict(d.tracers), "surface": dict(state.surface),
+    }
+    if d.w is not None:
+        pulled["w"] = d.w
+        pulled["delz"] = d.delz
+    if "ice_thickness" in state.surface:
+        from fv3net_tpu.physics.sea_ice import ice_fraction
+
+        pulled["fice"] = ice_fraction(state.surface["ice_thickness"])
+    h = jax.tree_util.tree_map(np.asarray, pulled)
+    east = np.moveaxis(h["east"], -1, 0)  # [3, 6, n, n]
+    north = np.moveaxis(h["north"], -1, 0)
+    wind = h["wind"]  # [3, 6, nz, n, n]
     u = (wind * east[:, :, None]).sum(axis=0)
     v = (wind * north[:, :, None]).sum(axis=0)
-    T = _temperature_of(d)
+    T = h["T"]
 
     dims3 = ("Time", "zaxis_1", "yaxis_1", "xaxis_1")
     dims2 = ("Time", "yaxis_1", "xaxis_1")
 
     def q3(arr_t):
-        return Quantity(jnp.asarray(arr_t[None]), dims3)
+        return Quantity(np.asarray(arr_t)[None], dims3)
 
     def q2(arr_t):
-        return Quantity(jnp.asarray(arr_t[None]), dims2)
+        return Quantity(np.asarray(arr_t)[None], dims2)
 
     for t in range(6):
         core = Dataset(
             {
                 "T": q3(T[t]),
-                "delp": q3(np.asarray(d.delp)[t]),
+                "delp": q3(h["delp"][t]),
                 "ua": q3(u[t]),
                 "va": q3(v[t]),
-                "phis": q2(np.asarray(d.phis)[t]),
+                "phis": q2(h["phis"][t]),
                 **(
                     {
-                        "W": q3(np.asarray(d.w)[t]),
-                        "DZ": q3(-np.asarray(d.delz)[t]),  # FV3 sign
+                        "W": q3(h["w"][t]),
+                        "DZ": q3(-h["delz"][t]),  # FV3 sign
                     }
                     if d.w is not None
                     else {}
@@ -137,8 +158,8 @@ def save_fortran_restarts(
         write_netcdf(core, os.path.join(path, f"fv_core.res.tile{t + 1}.nc"))
         tracer = Dataset(
             {
-                _TRACER_NAMES.get(k, k): q3(np.asarray(vv)[t])
-                for k, vv in d.tracers.items()
+                _TRACER_NAMES.get(k, k): q3(vv[t])
+                for k, vv in h["tracers"].items()
             }
         )
         write_netcdf(
@@ -151,17 +172,15 @@ def save_fortran_restarts(
             srf, os.path.join(path, f"fv_srf_wnd.res.tile{t + 1}.nc")
         )
         sfc_vars = {}
-        for name, arr in state.surface.items():
+        for name, arr in h["surface"].items():
             # GFS sfc_data names (reference coarsen_restarts.py surface
             # handling): tsea/slmsk/hice; fice is derived from thickness
             out_name = {"surface_temperature": "tsea",
                         "land_sea_mask": "slmsk",
                         "ice_thickness": "hice"}.get(name, name)
-            sfc_vars[out_name] = q2(np.asarray(arr)[t])
-        if "ice_thickness" in state.surface:
-            from fv3net_tpu.physics.sea_ice import ice_fraction
-
-            fice = np.asarray(ice_fraction(state.surface["ice_thickness"]))
+            sfc_vars[out_name] = q2(arr[t])
+        if "fice" in h:
+            fice = h["fice"]
             sfc_vars["fice"] = q2(fice[t])
             if "slmsk" in sfc_vars:
                 # restore the GFS 3-value convention: icy ocean -> 2

@@ -13,6 +13,7 @@ import datetime
 import os
 from typing import Dict, List, Mapping, Optional, Sequence
 
+import jax
 import numpy as np
 
 from fv3net_tpu.core.quantity import Quantity
@@ -44,15 +45,18 @@ class DiagnosticFile:
         label = self._times.indicator(time)
         if label is None:
             return
+        # pull each selected variable once (np.asarray, NOT
+        # jax.device_get: device_get's copy_to_host_async path is
+        # pathologically slow through the axon TPU tunnel)
+        present = [n for n in self._variables if n in diagnostics]
+        pulled = {n: np.asarray(diagnostics[n].data) for n in present}
         if self._averaging:
             if self._current_label is not None and label != self._current_label:
                 self._flush()
             self._current_label = label
-            for name in self._variables:
-                if name not in diagnostics:
-                    continue
+            for name in present:
                 out = self._renames.get(name, name)
-                arr = np.asarray(diagnostics[name].data, dtype=np.float64)
+                arr = np.asarray(pulled[name], dtype=np.float64)
                 if out in self._sums:
                     self._sums[out] = self._sums[out] + arr
                 else:
@@ -63,13 +67,10 @@ class DiagnosticFile:
         else:
             self._current_label = label
             self._dims = getattr(self, "_dims", {})
-            for name in self._variables:
-                if name in diagnostics:
-                    out = self._renames.get(name, name)
-                    self._sums[out] = np.asarray(
-                        diagnostics[name].data, dtype=np.float64
-                    )
-                    self._dims[out] = diagnostics[name].dims
+            for name in present:
+                out = self._renames.get(name, name)
+                self._sums[out] = np.asarray(pulled[name], dtype=np.float64)
+                self._dims[out] = diagnostics[name].dims
             self._counts = 1
             self._flush()
 

@@ -91,23 +91,31 @@ def run_segment(
     with trace_ctx:
         it = iter(loop)
         step = 0
-        while True:
-            # the annotation wraps next(it) so the dispatched model step
-            # (not just the host-side bookkeeping) lands in the span
+        # one-step lookahead: dispatch the NEXT model step/chunk before
+        # pulling the previous one's diagnostics, so the device->host
+        # transfer + zarr write overlap the device compute (jax dispatch
+        # is asynchronous; through the TPU tunnel the pull costs about as
+        # much wall time as the compute itself)
+        pending = None
+        done = False
+        while not done:
             with (
                 timing.step_annotation(step)
                 if profile
                 else contextlib.nullcontext()
             ):
                 try:
-                    time, diags = next(it)
-                    diag_mgr.observe(time, diags)
-                    scalars = metrics.globally_average_2d_diagnostics(
-                        diags, area
-                    )
-                    metrics.log_scalar(time, scalars)
-                except StopIteration:
-                    break
+                    nxt = next(it, None)
+                    if nxt is None:
+                        done = True
+                    if pending is not None:
+                        time, diags = pending
+                        diag_mgr.observe(time, diags)
+                        scalars = metrics.globally_average_2d_diagnostics(
+                            diags, area
+                        )
+                        metrics.log_scalar(time, scalars)
+                    pending = nxt
                 except Exception as e:  # noqa: BLE001
                     # segment-level coarse recovery (reference
                     # append.py:66-74: a nonzero model exit is a warning
