@@ -26,11 +26,13 @@ from fv3net_tpu.dycore.state import (
 )
 from fv3net_tpu.ops import thermo
 from fv3net_tpu.physics import convection as conv
+from fv3net_tpu.physics import convection_mf as cmf
 from fv3net_tpu.physics import gravity_wave_drag as gwd_mod
 from fv3net_tpu.physics import microphysics as mp
 from fv3net_tpu.physics import pbl as pbl_mod
 from fv3net_tpu.physics import radiation_gray as rad
 from fv3net_tpu.physics import surface as sfc
+from fv3net_tpu.physics import surface_layer as sl_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,9 +45,21 @@ class PhysicsConfig:
     radiation: rad.GrayRadiationParams = rad.GrayRadiationParams()
     surface: sfc.SurfaceParams = sfc.SurfaceParams()
     pbl: pbl_mod.PBLParams = pbl_mod.PBLParams()
+    # GFS-fidelity boundary layer: "monin_obukhov" surface similarity +
+    # "kprofile" nonlocal Hong-Pan PBL (the GFS sfc_diff + moninedmf
+    # stages); "bulk"/"ramp" select the simpler round-1 schemes
+    surface_scheme: str = "monin_obukhov"
+    pbl_scheme: str = "kprofile"
+    surface_layer: sl_mod.SurfaceLayerParams = sl_mod.SurfaceLayerParams()
+    kprofile: pbl_mod.KProfileParams = pbl_mod.KProfileParams()
     microphysics: mp.MicrophysicsParams = mp.MicrophysicsParams()
     convection: conv.ConvectionParams = conv.ConvectionParams()
     use_convection: bool = True
+    # "betts_miller" (default adjustment scheme) or "mass_flux" (the
+    # SAS-family entraining-plume scheme in physics/convection_mf.py,
+    # the GFS deep-convection stage's structure)
+    convection_scheme: str = "betts_miller"
+    mass_flux: cmf.MassFluxParams = cmf.MassFluxParams()
     # orographic gravity-wave drag (active where the caller provides a
     # nonzero subgrid-orography field, see physics_step's ``sgh``)
     gwd: gwd_mod.GWDParams = gwd_mod.GWDParams()
@@ -129,10 +143,17 @@ def physics_step(
     # ---- surface fluxes -------------------------------------------------
     wind_sfc = wind[..., -1]
     speed = jnp.sqrt((wind_sfc ** 2).sum(axis=0))
-    fluxes = sfc.bulk_surface_fluxes(
-        T[..., -1], q[..., -1], pe[..., -1], delp[..., -1], speed, t_surface,
-        cfg.surface, evap_factor=evap_factor,
-    )
+    if cfg.surface_scheme == "monin_obukhov":
+        fluxes = sl_mod.monin_obukhov_fluxes(
+            T[..., -1], q[..., -1], pe[..., -1], delp[..., -1], speed,
+            t_surface, cfg.surface_layer, land_frac=land_frac,
+            evap_factor=evap_factor,
+        )
+    else:
+        fluxes = sfc.bulk_surface_fluxes(
+            T[..., -1], q[..., -1], pe[..., -1], delp[..., -1], speed,
+            t_surface, cfg.surface, evap_factor=evap_factor,
+        )
     mass_sfc = delp[..., -1] / GRAVITY
     T = T.at[..., -1].add(dt * fluxes["SHTFLsfc"] / (CP_AIR * mass_sfc))
     q = q.at[..., -1].add(dt * fluxes["evaporation"] / mass_sfc)
@@ -143,15 +164,33 @@ def physics_step(
     dz = jnp.abs(thermo.hydrostatic_dz(T, q, delp, toa_pressure=cfg.ptop))
     dz_if = 0.5 * (dz[..., :-1] + dz[..., 1:])
     dm = thermo.layer_mass(delp)
-    sigma_if = (pe[..., 1:-1]) / pe[..., -1:]
-    K_if = pbl_mod.diffusivity_profile(sigma_if, cfg.pbl)
     theta_d = T * (REFERENCE_SURFACE_PRESSURE / pmid) ** KAPPA
-    theta_d = pbl_mod.implicit_diffusion(theta_d, K_if, dz_if, dm, dt)
+    hpbl = None
+    if cfg.pbl_scheme == "kprofile" and "ustar" in fluxes:
+        thv = thermo.virtual_temperature(theta_d, q)
+        spd_prof = jnp.sqrt((wind ** 2).sum(axis=0))
+        K_m, K_h, gamma, hpbl = pbl_mod.kprofile_diffusivity(
+            thv, spd_prof, dz, fluxes["ustar"], fluxes["obukhov_inv"],
+            fluxes["hpbl_flux"], cfg.kprofile,
+        )
+        # explicit countergradient (nonlocal) heat flux within the PBL:
+        # F_i = rho_i K_h_i gamma_i upward at interior interfaces
+        rho_if = 0.5 * (dm[..., :-1] + dm[..., 1:]) / jnp.maximum(
+            dz_if, 1e-3
+        )
+        F = rho_if * K_h * gamma  # [K kg/m^2/s], positive upward
+        zero = jnp.zeros_like(F[..., :1])
+        F_pad = jnp.concatenate([zero, F, zero], axis=-1)
+        theta_d = theta_d + dt * (F_pad[..., 1:] - F_pad[..., :-1]) / dm
+    else:
+        sigma_if = (pe[..., 1:-1]) / pe[..., -1:]
+        K_m = K_h = pbl_mod.diffusivity_profile(sigma_if, cfg.pbl)
+    theta_d = pbl_mod.implicit_diffusion(theta_d, K_h, dz_if, dm, dt)
     T = theta_d * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
-    q = pbl_mod.implicit_diffusion(q, K_if, dz_if, dm, dt)
+    q = pbl_mod.implicit_diffusion(q, K_h, dz_if, dm, dt)
     wind = jnp.stack(
         [
-            pbl_mod.implicit_diffusion(wind[c], K_if, dz_if, dm, dt)
+            pbl_mod.implicit_diffusion(wind[c], K_m, dz_if, dm, dt)
             for c in range(3)
         ]
     )
@@ -166,9 +205,14 @@ def physics_step(
     # ---- moist convection (Betts-Miller adjustment) ---------------------
     conv_precip = jnp.zeros_like(t_surface)
     if cfg.use_convection:
-        T, q, conv_precip = conv.betts_miller(
-            T, q, pmid, delp, dt, cfg.convection
-        )
+        if cfg.convection_scheme == "mass_flux":
+            T, q, qc_det, conv_precip = cmf.mass_flux_convection(
+                T, q, pmid, delp, dt, cfg.mass_flux
+            )
+        else:
+            T, q, conv_precip = conv.betts_miller(
+                T, q, pmid, delp, dt, cfg.convection
+            )
 
     # ---- microphysics ---------------------------------------------------
     if microphysics_emulator is None:
@@ -247,6 +291,8 @@ def physics_step(
     diags = dict(rad_diags)
     if cfg.use_gwd and sgh is not None:
         diags["taugwd"] = tau_gwd  # launched mountain-wave stress, N/m^2
+    if hpbl is not None:
+        diags["HPBLsfc"] = hpbl  # diagnosed PBL depth, m (GFS name)
     diags["PRATEsfc"] = precip + conv_precip
     diags["CPRATsfc"] = conv_precip  # convective precip (GFS diag name)
     diags["LHTFLsfc"] = fluxes["LHTFLsfc"]

@@ -81,3 +81,149 @@ def implicit_diffusion(X, K_if, dz_if, dm, dt: float):
 
     _, Xs = lax.scan(bwd, zeros, (cp, dp), reverse=True)
     return jnp.moveaxis(Xs, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# GFS-style K-profile PBL (Hong-Pan nonlocal scheme)
+# ---------------------------------------------------------------------------
+
+def _onehot_pick(x, idx):
+    """x[..., nz] gathered at idx[...] via a one-hot contraction (general
+    gathers are the dominant TPU cost — CLAUDE.md perf learnings)."""
+    nz = x.shape[-1]
+    oh = (idx[..., None] == jnp.arange(nz)).astype(x.dtype)
+    return (x * oh).sum(axis=-1)
+
+
+@dataclasses.dataclass(frozen=True)
+class KProfileParams:
+    """Hong-Pan (1996) nonlocal K-profile closure, the GFS PBL family
+    (reference: the Fortran model's moninedmf/satmedmfvdif stage behind
+    ``wrapper.apply_physics``).  Elementwise batched algebra + one-hot
+    reductions — no per-column loops."""
+
+    ric: float = 0.25  # critical bulk Richardson number for PBL top
+    b_cg: float = 7.8  # countergradient coefficient
+    theta_excess_max: float = 3.0  # K cap on the thermal excess
+    prandtl_unstable: float = 0.8
+    l_asymptotic: float = 150.0  # m, free-troposphere mixing length
+    k_max: float = 300.0  # m^2/s diffusivity cap
+    k_background: float = 0.1  # m^2/s floor (free-troposphere minimum)
+    h_max_fraction: float = 0.4  # PBL top no higher than this sigma depth
+
+
+def kprofile_diffusivity(
+    thv, speed, dz, ustar, lmo_inv, wthv,
+    params: KProfileParams = KProfileParams(),
+):
+    """Nonlocal K profile + PBL height + countergradient term.
+
+    Args (all z-LAST, level 0 = model top):
+        thv: (..., nz) virtual potential temperature [K]
+        speed: (..., nz) horizontal wind speed [m/s]
+        dz: (..., nz) layer thicknesses [m], positive
+        ustar, lmo_inv, wthv: (...) surface-layer outputs
+            (friction velocity, 1/Obukhov length, kinematic w'thv' flux)
+
+    Returns (K_m_if, K_h_if, gamma_h, hpbl):
+        K_m_if/K_h_if: (..., nz-1) diffusivities at interior interfaces
+        gamma_h: (..., nz-1) countergradient correction [K/m] at
+            interfaces (apply as an explicit flux K_h * gamma within the
+            PBL for theta)
+        hpbl: (...) PBL depth [m]
+    """
+    k = 0.4  # von Karman
+    nz = thv.shape[-1]
+    # surface-first views
+    thv_s = thv[..., ::-1]
+    spd_s = speed[..., ::-1]
+    dz_s = dz[..., ::-1]
+    zmid = jnp.cumsum(dz_s, axis=-1) - 0.5 * dz_s  # midpoint heights
+    zif = jnp.cumsum(dz_s, axis=-1)[..., :-1]  # interior interface heights
+
+    # thermal excess for the parcel under unstable conditions
+    unstable = wthv > 0.0
+    ws0 = jnp.maximum(ustar, 0.05)
+    theta_ex = jnp.where(
+        unstable,
+        jnp.minimum(
+            params.b_cg * wthv / ws0, params.theta_excess_max
+        ),
+        0.0,
+    )
+    thv_parcel = thv_s[..., 0] + theta_ex
+
+    # bulk Richardson profile and first exceedance -> PBL top
+    u2 = jnp.maximum(spd_s * spd_s, 1.0)
+    rib = (
+        9.80665 * zmid * (thv_s - thv_parcel[..., None])
+        / (thv_parcel[..., None] * u2)
+    )
+    exceed = rib >= params.ric
+    # force an exceedance at the cap level so argmax is well-defined
+    zcap = params.h_max_fraction * jnp.sum(dz_s, axis=-1)
+    exceed = exceed | (zmid >= zcap[..., None])
+    kstar = jnp.argmax(exceed, axis=-1)  # first True (surface-first)
+    kstar = jnp.maximum(kstar, 1)
+    z_hi = _onehot_pick(zmid, kstar)
+    z_lo = _onehot_pick(zmid, kstar - 1)
+    r_hi = _onehot_pick(rib, kstar)
+    r_lo = _onehot_pick(rib, kstar - 1)
+    frac = jnp.clip(
+        (params.ric - r_lo) / jnp.where(
+            jnp.abs(r_hi - r_lo) > 1e-6, r_hi - r_lo, 1e-6
+        ),
+        0.0, 1.0,
+    )
+    hpbl = jnp.maximum(z_lo + frac * (z_hi - z_lo), dz_s[..., 0])
+
+    # velocity scale at 0.1 h: phi_m from the surface-layer zeta there
+    zeta_h = jnp.clip(0.1 * hpbl * lmo_inv, -10.0, 2.0)
+    phi_m = jnp.where(
+        zeta_h < 0.0,
+        (1.0 - 16.0 * zeta_h) ** -0.25,
+        1.0 + 5.0 * zeta_h,
+    )
+    ws = jnp.maximum(ustar / phi_m, 1e-3)
+
+    # nonlocal profile K = k ws z (1 - z/h)^2 below h (interfaces)
+    zr = jnp.clip(zif / hpbl[..., None], 0.0, 1.0)
+    K_pbl = k * ws[..., None] * zif * (1.0 - zr) ** 2
+
+    # free-troposphere local K: mixing-length + Richardson damping
+    dthv_if = thv_s[..., 1:] - thv_s[..., :-1]
+    dz_if = 0.5 * (dz_s[..., 1:] + dz_s[..., :-1])
+    shear = jnp.abs(spd_s[..., 1:] - spd_s[..., :-1]) / dz_if
+    thv_if = 0.5 * (thv_s[..., 1:] + thv_s[..., :-1])
+    ri_loc = (
+        9.80665 * dthv_if / dz_if / (thv_if * jnp.maximum(shear, 1e-6) ** 2)
+    )
+    l_mix = 1.0 / (1.0 / (k * jnp.maximum(zif, 1.0))
+                   + 1.0 / params.l_asymptotic)
+    f_stab = jnp.where(
+        ri_loc >= 0.0,
+        jnp.maximum(1.0 - 5.0 * jnp.minimum(ri_loc, 0.2), 0.0) ** 2,
+        jnp.sqrt(1.0 - 16.0 * jnp.maximum(ri_loc, -10.0)),
+    )
+    K_loc = l_mix * l_mix * shear * f_stab
+
+    inside = zif < hpbl[..., None]
+    K_m = jnp.where(inside, jnp.maximum(K_pbl, K_loc), K_loc)
+    K_m = jnp.clip(K_m, params.k_background, params.k_max)
+    pr = jnp.where(
+        unstable[..., None], params.prandtl_unstable, 1.0
+    )
+    K_h = K_m / pr
+
+    # countergradient term (heat): gamma = b wthv / (ws h), unstable only
+    gamma = jnp.where(
+        unstable[..., None] & inside,
+        params.b_cg * wthv[..., None]
+        / (ws[..., None] * jnp.maximum(hpbl[..., None], 1.0)),
+        0.0,
+    )
+
+    # back to top-first interface ordering: surface-first interface j
+    # (between bottom layers j, j+1) = top-first interface nz-2-j
+    flip = lambda x: x[..., ::-1]
+    return flip(K_m), flip(K_h), flip(gamma), hpbl

@@ -229,11 +229,30 @@ class NamelistConfig:
     # model).  The GFS runs band radiation; gray is the cheap default
     # for idealized runs
     radiation: str = "gray"
+    # surface-flux scheme: "monin_obukhov" (GFS sfc_diff-style stability
+    # similarity) or "bulk" (constant-exchange aerodynamics)
+    surface_scheme: str = "monin_obukhov"
+    # PBL scheme: "kprofile" (Hong-Pan nonlocal-K, the GFS moninedmf
+    # stage's structure) or "ramp" (prescribed sigma-profile K)
+    pbl_scheme: str = "kprofile"
+    # convection scheme: "betts_miller" (relaxed adjustment) or
+    # "mass_flux" (SAS-family entraining plume, physics/convection_mf.py)
+    convection: str = "betts_miller"
 
     def __post_init__(self):
         if self.radiation not in ("gray", "rrtmg", "synthband"):
             raise ValueError(
                 f"unknown radiation scheme {self.radiation!r}"
+            )
+        if self.surface_scheme not in ("monin_obukhov", "bulk"):
+            raise ValueError(
+                f"unknown surface scheme {self.surface_scheme!r}"
+            )
+        if self.pbl_scheme not in ("kprofile", "ramp"):
+            raise ValueError(f"unknown pbl scheme {self.pbl_scheme!r}")
+        if self.convection not in ("betts_miller", "mass_flux"):
+            raise ValueError(
+                f"unknown convection scheme {self.convection!r}"
             )
         if self.sea_ice and not self.slab_ocean:
             raise ValueError(

@@ -171,7 +171,12 @@ class TimeLoop:
                 self.state.dycore = add_nonhydrostatic_fields(
                     self.state.dycore, ptop=self._dyn_cfg.ptop
                 )
-        self._phys_cfg = PhysicsConfig(radiation_scheme=nml.radiation)
+        self._phys_cfg = PhysicsConfig(
+            radiation_scheme=nml.radiation,
+            surface_scheme=nml.surface_scheme,
+            pbl_scheme=nml.pbl_scheme,
+            convection_scheme=nml.convection,
+        )
         self._radiation_fn = None
         if nml.radiation != "gray":
             from fv3net_tpu.runtime.fused import _build_radiation_fn
