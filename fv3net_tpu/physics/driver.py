@@ -230,11 +230,11 @@ def physics_step(
             T = out["air_temperature"]
             q = out["specific_humidity"]
             qc = out.get("cloud_water_mixing_ratio", qc)
-            T, q, qc, precip = mp.precpd(
+            T, q, qc, precip, snow = mp.precpd(
                 T, q, qc, pmid, delp, dt, cfg.microphysics
             )
         else:
-            T, q, qc, precip = mp.microphysics_step(
+            T, q, qc, precip, snow = mp.microphysics_step(
                 T, q, qc, pmid, delp, dt, cfg.microphysics
             )
     else:
@@ -252,6 +252,7 @@ def physics_step(
         dm = thermo.layer_mass(delp)
         dq_col = ((q + qc) - (q_new + qc_new)) * dm
         precip = jnp.maximum(dq_col.sum(axis=-1) / dt, 0.0)
+        snow = jnp.zeros_like(precip)
         T, q, qc = T_new, q_new, qc_new
 
     # ---- linearized ozone photochemistry --------------------------------
@@ -295,6 +296,7 @@ def physics_step(
         diags["HPBLsfc"] = hpbl  # diagnosed PBL depth, m (GFS name)
     diags["PRATEsfc"] = precip + conv_precip
     diags["CPRATsfc"] = conv_precip  # convective precip (GFS diag name)
+    diags["SNOWsfc"] = snow  # frozen precip rate, kg/m^2/s
     diags["LHTFLsfc"] = fluxes["LHTFLsfc"]
     diags["SHTFLsfc"] = fluxes["SHTFLsfc"]
     diags["evaporation"] = fluxes["evaporation"]  # kg/m^2/s (bucket budget)

@@ -191,11 +191,18 @@ class RRTMGDriver:
             axis=-1,
         )
 
-        # clouds: condensate -> in-cloud paths/radii (same compact
-        # progcld scheme as the synthband driver)
+        # clouds: condensate -> in-cloud paths/radii.  Fraction is the
+        # max of the compact condensate form and the Sundqvist RH-based
+        # diagnosis shared with the gscond closure (physics/microphysics
+        # .py::sundqvist_cloud_fraction — the GFS progcld role)
         t_frac_ice = jnp.clip((268.0 - T) / 15.0, 0.0, 1.0)
         wpath = qc * dp_pa * (1000.0 / GRAVITY)
-        cldfrac = jnp.where(qc > 1e-7, 1.0 - jnp.exp(-qc / 3.0e-5), 0.0)
+        from fv3net_tpu.physics.microphysics import sundqvist_cloud_fraction
+
+        cldfrac = jnp.maximum(
+            jnp.where(qc > 1e-7, 1.0 - jnp.exp(-qc / 3.0e-5), 0.0),
+            sundqvist_cloud_fraction(T, q, qc, plyr * 100.0),
+        )
         if cfg.icld == 0:
             cldfrac = jnp.zeros_like(cldfrac)
         incloud = wpath / jnp.maximum(cldfrac, 0.05)

@@ -63,7 +63,7 @@ def test_microphysics_step_conserves_enthalpy_and_water(column):
     q = np.asarray(mp.saturation_specific_humidity(T, pmid))
     qc = np.full_like(q, 5e-4)  # above autoconversion threshold
     dt = 900.0
-    T2, q2, qc2, precip = map(
+    T2, q2, qc2, precip, snow = map(
         np.asarray, mp.microphysics_step(T, q, qc, pmid, delp, dt)
     )
     assert (precip > 0).any()
