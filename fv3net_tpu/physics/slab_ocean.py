@@ -33,8 +33,11 @@ class SlabOceanParams:
 
 def net_surface_flux(diags) -> jnp.ndarray:
     """F_net [W/m^2], positive warming the surface, from the physics
-    step's flux diagnostics (GFS flux names)."""
-    return (
+    step's flux diagnostics (GFS flux names).  ``GHFLXsfc`` (ground
+    heat flux + snowmelt heat into the Noah soil column,
+    physics/soil.py) is subtracted when present so the skin and soil
+    budgets close jointly."""
+    f = (
         diags["DSWRFsfc"]
         - diags["USWRFsfc"]
         + diags["DLWRFsfc"]
@@ -42,6 +45,9 @@ def net_surface_flux(diags) -> jnp.ndarray:
         - diags["SHTFLsfc"]
         - diags["LHTFLsfc"]
     )
+    if "GHFLXsfc" in diags:
+        f = f - diags["GHFLXsfc"]
+    return f
 
 
 def slab_ocean_update(

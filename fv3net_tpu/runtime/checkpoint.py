@@ -174,10 +174,28 @@ def save_fortran_restarts(
         sfc_vars = {}
         for name, arr in h["surface"].items():
             # GFS sfc_data names (reference coarsen_restarts.py surface
-            # handling): tsea/slmsk/hice; fice is derived from thickness
+            # handling): tsea/slmsk/hice; fice is derived from thickness.
+            # Noah fields use the GFS soil-layer names/units: stc/smc
+            # carry a leading soil-level axis, sheleg is SWE in mm
+            if name == "soil_temperature":
+                sfc_vars["stc"] = Quantity(
+                    arr[:, t][None],
+                    ("Time", "zaxis_soil", "yaxis_1", "xaxis_1"),
+                )
+                continue
+            if name == "soil_moisture_layers":
+                sfc_vars["smc"] = Quantity(
+                    arr[:, t][None],
+                    ("Time", "zaxis_soil", "yaxis_1", "xaxis_1"),
+                )
+                continue
+            if name == "snow_water_equivalent":
+                sfc_vars["sheleg"] = q2(arr[t] * 1000.0)  # m -> mm
+                continue
             out_name = {"surface_temperature": "tsea",
                         "land_sea_mask": "slmsk",
-                        "ice_thickness": "hice"}.get(name, name)
+                        "ice_thickness": "hice",
+                        "deep_soil_temperature": "tg3"}.get(name, name)
             sfc_vars[out_name] = q2(arr[t])
         if "fice" in h:
             fice = h["fice"]
@@ -344,8 +362,22 @@ def load_fortran_restarts(
         sfc = cats["sfc_data"]
         renames = {"tsea": "surface_temperature",
                    "slmsk": "land_sea_mask",
-                   "hice": "ice_thickness"}
+                   "hice": "ice_thickness",
+                   "tg3": "deep_soil_temperature"}
         for name in sfc.keys():
+            if name in ("stc", "smc"):
+                # GFS soil-layer fields [tile, Time, lev, y, x] -> the
+                # internal layer-leading layout [lev, tile, y, x]
+                arr = np.asarray(sfc[name].values)[:, 0]
+                key = ("soil_temperature" if name == "stc"
+                       else "soil_moisture_layers")
+                surface[key] = jnp.asarray(np.moveaxis(arr, 1, 0))
+                continue
+            if name == "sheleg":  # SWE mm -> m
+                surface["snow_water_equivalent"] = jnp.asarray(
+                    np.asarray(sfc[name].values)[:, 0] / 1000.0
+                )
+                continue
             surface[renames.get(name, name)] = jnp.asarray(
                 np.asarray(sfc[name].values)[:, 0]
             )

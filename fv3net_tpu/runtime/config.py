@@ -214,6 +214,12 @@ class NamelistConfig:
     # land surface-temperature side)
     bucket_land: bool = False
     bucket_capacity_m: float = 0.15
+    # land surface model: "" (bucket_land flag decides), "bucket"
+    # (Manabe bucket hydrology, physics/land.py) or "noah" (4-layer
+    # Noah-style soil heat + Clapp-Hornberger soil water + prognostic
+    # snowpack, physics/soil.py — the GFS Noah LSM role).  "noah"
+    # requires slab_ocean (the land skin rides its thin-slab branch)
+    land_model: str = ""
     # zero-layer thermodynamic sea ice on the slab ocean
     # (physics/sea_ice.py): freezing deficits grow ice, melting consumes
     # it before the mixed layer warms; ice fraction feeds the radiation
@@ -253,6 +259,17 @@ class NamelistConfig:
         if self.convection not in ("betts_miller", "mass_flux"):
             raise ValueError(
                 f"unknown convection scheme {self.convection!r}"
+            )
+        if self.land_model == "" and self.bucket_land:
+            self.land_model = "bucket"
+        if self.land_model not in ("", "bucket", "noah"):
+            raise ValueError(f"unknown land model {self.land_model!r}")
+        if self.land_model == "bucket":
+            self.bucket_land = True  # keep the legacy flag consistent
+        if self.land_model == "noah" and not self.slab_ocean:
+            raise ValueError(
+                "land_model 'noah' requires slab_ocean (the land skin "
+                "temperature rides its thin-slab land branch)"
             )
         if self.sea_ice and not self.slab_ocean:
             raise ValueError(

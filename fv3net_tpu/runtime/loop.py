@@ -151,6 +151,27 @@ class TimeLoop:
                 self.state.surface[names.TSFC],
                 p.initial_fraction * p.field_capacity_m,
             )
+        if nml.land_model == "noah":
+            from fv3net_tpu.physics.soil import SoilParams
+
+            tsfc0 = self.state.surface[names.TSFC]
+            nl = len(SoilParams().dz)
+            sfc = self.state.surface
+            if "soil_temperature" not in sfc:
+                sfc["soil_temperature"] = jnp.broadcast_to(
+                    tsfc0, (nl, *tsfc0.shape)
+                ) + jnp.zeros((nl, *tsfc0.shape), tsfc0.dtype)
+            if "soil_moisture_layers" not in sfc:
+                sfc["soil_moisture_layers"] = jnp.full(
+                    (nl, *tsfc0.shape), 0.25, tsfc0.dtype
+                )
+            if "snow_water_equivalent" not in sfc:
+                sfc["snow_water_equivalent"] = jnp.zeros_like(tsfc0)
+            if "deep_soil_temperature" not in sfc:
+                # tg3: damped version of the initial skin state
+                sfc["deep_soil_temperature"] = jnp.clip(
+                    tsfc0, 271.0, 300.0
+                )
         self._timestep = nml.dt_atmos
         self._dyn_cfg = DycoreConfig(
             dt=nml.dt_atmos,
@@ -257,7 +278,15 @@ class TimeLoop:
         cosz = self._cos_zenith().astype(self.state.dycore.pt.dtype)
         nml = self._config.namelist
         evap_factor = None
-        if nml.bucket_land:
+        if nml.land_model == "noah":
+            from fv3net_tpu.physics.soil import evaporation_efficiency as noah_beta
+
+            mask = self.state.surface.get(names.MASK)
+            beta = noah_beta(self.state.surface["soil_moisture_layers"])
+            evap_factor = (
+                beta if mask is None else jnp.where(mask > 0.5, beta, 1.0)
+            )
+        elif nml.bucket_land:
             from fv3net_tpu.physics.land import (
                 BucketLandParams,
                 evaporation_efficiency,
@@ -279,6 +308,21 @@ class TimeLoop:
             from fv3net_tpu.physics.sea_ice import ice_fraction
 
             ice_frac = ice_fraction(self.state.surface["ice_thickness"])
+        if nml.land_model == "noah":
+            # snow-covered land is radiatively white like sea ice:
+            # blend the snow cover into the high-albedo fraction
+            from fv3net_tpu.physics.soil import snow_cover_fraction
+
+            mask = self.state.surface.get(names.MASK)
+            snow_cov = snow_cover_fraction(
+                self.state.surface["snow_water_equivalent"]
+            )
+            if mask is not None:
+                snow_cov = jnp.where(mask > 0.5, snow_cov, 0.0)
+            ice_frac = (
+                snow_cov if ice_frac is None
+                else jnp.maximum(ice_frac, snow_cov)
+            )
         new_dycore, raw = physics_step(
             self.state.dycore,
             self.state.surface[names.TSFC],
@@ -297,7 +341,49 @@ class TimeLoop:
             ice_frac=ice_frac,
         )
         self.state.dycore = new_dycore
-        if nml.bucket_land:
+        if nml.land_model == "noah":
+            from fv3net_tpu.physics.soil import noah_land_step
+
+            sfc = self.state.surface
+            mask = sfc.get(names.MASK)
+            snow_rate = raw.get(
+                "SNOWsfc", jnp.zeros_like(raw["PRATEsfc"])
+            )
+            rain_rate = jnp.maximum(raw["PRATEsfc"] - snow_rate, 0.0)
+            stc1, smc1, swe1, sdiags = noah_land_step(
+                sfc["soil_temperature"],
+                sfc["soil_moisture_layers"],
+                sfc["snow_water_equivalent"],
+                sfc["deep_soil_temperature"],
+                sfc[names.TSFC],
+                rain_rate,
+                snow_rate,
+                raw["evaporation"],
+                self._timestep,
+            )
+            if mask is not None:  # noah only on land points
+                land = mask > 0.5
+                stc1 = jnp.where(land[None], stc1, sfc["soil_temperature"])
+                smc1 = jnp.where(
+                    land[None], smc1, sfc["soil_moisture_layers"]
+                )
+                swe1 = jnp.where(land, swe1, 0.0)
+                for k in ("ground_heat_flux", "snow_melt_heat",
+                          "RUNOFFsfc", "DRAINsfc"):
+                    sdiags[k] = jnp.where(land, sdiags[k], 0.0)
+            sfc["soil_temperature"] = stc1
+            sfc["soil_moisture_layers"] = smc1
+            sfc["snow_water_equivalent"] = swe1
+            # ground + snowmelt heat leave the skin budget (subtracted
+            # by slab_ocean.net_surface_flux via GHFLXsfc)
+            raw["GHFLXsfc"] = (
+                sdiags["ground_heat_flux"] + sdiags["snow_melt_heat"]
+            )
+            raw["RUNOFFsfc"] = sdiags["RUNOFFsfc"]
+            raw["DRAINsfc"] = sdiags["DRAINsfc"]
+            raw["SNODsfc"] = swe1
+            raw["snow_cover"] = sdiags["snow_cover"]
+        elif nml.bucket_land:
             from fv3net_tpu.physics.land import bucket_hydrology_update
 
             w_new, runoff = bucket_hydrology_update(
@@ -455,7 +541,8 @@ class TimeLoop:
             and self._reservoir_predictor is None
             and self._microphysics_emulator is None
             and self._gscond_emulator is None
-            and not (nml.slab_ocean or nml.bucket_land or nml.sea_ice)
+            and not (nml.slab_ocean or nml.bucket_land or nml.sea_ice
+                     or nml.land_model)
         )
 
     def _fused_fn(self, n_steps: int):
