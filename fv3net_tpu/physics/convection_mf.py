@@ -45,6 +45,29 @@ class MassFluxParams:
     max_mass_fraction: float = 0.25  # CFL cap: M dt <= this * min dm
     source_depth: int = 4  # levels above the surface scanned for the
     # maximum-MSE parcel origin
+    # shallow-scheme cap: buoyancy zeroed where p/ps < sigma_top_min
+    # (0 = uncapped deep convection)
+    sigma_top_min: float = 0.0
+    # minimum cloud depth in layers (deep convection requires a real
+    # tower; shallow cumulus may be a single buoyant layer)
+    min_depth_layers: int = 2
+
+
+#: GFS shalcnv-style shallow cumulus: the same entraining-plume core
+#: confined below ~0.65 p/ps with high entrainment, weak mass flux, and
+#: NO precipitation — all condensate detrains into cloud water
+#: (reference: the Fortran model's shallow-convection stage behind
+#: ``wrapper.apply_physics``, Han & Pan 2011 mass-flux shallow scheme).
+SHALLOW_PARAMS = MassFluxParams(
+    entrainment=3.0e-4,
+    tau=1800.0,
+    cape_crit=5.0,
+    precip_efficiency=0.0,
+    max_mass_fraction=0.1,
+    source_depth=2,
+    sigma_top_min=0.65,
+    min_depth_layers=0,
+)
 
 
 def _pick(x, idx):
@@ -105,11 +128,16 @@ def mass_flux_convection(
     )
     h_u = jnp.moveaxis(hu_z, 0, -1)
 
-    # buoyant levels above the source; CAPE in MSE form
+    # buoyant levels above the source; CAPE in MSE form.  A shallow
+    # scheme caps the cloud layer: levels with sigma < sigma_top_min
+    # (i.e. above the shallow-top pressure fraction) cannot be buoyant
     kidx = jnp.arange(nz)
     above = kidx >= ksrc[..., None]
     buoy = (h_u - hsat) / (CP_AIR * T_s)  # dimensionless-ish buoyancy
     buoyant = above & (buoy > 0.0)
+    if params.sigma_top_min > 0.0:
+        sigma_s = rev(pmid) / rev(pmid)[..., :1]  # surface-first p/ps
+        buoyant = buoyant & (sigma_s >= params.sigma_top_min)
     cape = (GRAVITY * jnp.where(buoyant, buoy, 0.0) * dz_s).sum(axis=-1)
 
     # cloud top = highest buoyant level; cloud base = first buoyant level
@@ -122,7 +150,7 @@ def mass_flux_convection(
     active = (
         (cape > params.cape_crit)
         & buoyant.any(axis=-1)
-        & (ktop > kbase + 1)
+        & (ktop >= kbase + params.min_depth_layers)
     )
 
     # CAPE-relaxation closure for the cloud-base mass flux, CFL-capped
@@ -147,19 +175,15 @@ def mass_flux_convection(
     )  # dry-adiabatic warming of subsiding air
     dq_s = sub(q_s)
 
-    # cloud-top detrainment: the updraft carries saturated vapor +
-    # condensate; condensate = moisture the plume condensed en route
+    # cloud-top detrainment of the plume's saturated vapor into the
+    # environment (condensate handling comes from the column closure
+    # below)
     at_top = kidx == ktop[..., None]
     q_u_top = _pick(qs_s, ktop)
-    q_src = _pick(q_s, ksrc)
-    cond = jnp.maximum(q_src - q_u_top, 0.0)  # condensed along ascent
     dm_top = _pick(dm_s, ktop)
-    detrain_q = Mb * (
-        q_u_top + (1.0 - params.precip_efficiency) * cond
-    )
     dq_s = dq_s + jnp.where(
         at_top,
-        (detrain_q - Mb * _pick(q_s, ktop))[..., None]
+        (Mb * (q_u_top - _pick(q_s, ktop)))[..., None]
         / dm_top[..., None],
         0.0,
     )
@@ -169,19 +193,27 @@ def mass_flux_convection(
     q_new = jnp.maximum(q + dq, 1e-10)
     dq = q_new - q
 
-    # water closure: precipitation = net column drying (>=0 by
-    # construction of the closure; clamp and rescale if roundoff flips it)
+    # exact water closure: the column's net vapor loss all condensed;
+    # a precip_efficiency fraction rains out, the rest detrains as
+    # cloud water at the cloud top (SAS anvil / non-precipitating
+    # shallow cumulus source of qc)
     dq_col = -(dq * dm).sum(axis=-1)
-    precip = jnp.maximum(dq_col, 0.0) / dt
-    # energy closure: renormalize heating so cp*int(dT) == L*P exactly,
+    residual = jnp.maximum(dq_col, 0.0)  # kg/m^2 vapor condensed
+    precip = params.precip_efficiency * residual / dt
+    at_top_rev = rev(at_top.astype(T.dtype))
+    qc_det = (
+        at_top_rev
+        * ((1.0 - params.precip_efficiency) * residual)[..., None]
+        / dm_top[..., None]
+    )
+    # energy closure: every kg condensed released latent heat —
+    # renormalize so cp*int(dT) = L*(P dt + C_det) = L*residual,
     # distributing the correction over the convective layers
     w = jnp.where(rev(incloud), dm, 0.0)
     wsum = jnp.maximum(w.sum(axis=-1), 1.0)
-    excess = (
-        LV * precip * dt - CP_AIR * (dT * dm).sum(axis=-1)
-    )
+    excess = LV * residual - CP_AIR * (dT * dm).sum(axis=-1)
     dT = dT + jnp.where(
         rev(incloud), excess[..., None] / (CP_AIR * wsum[..., None]), 0.0
     )
     T_new = T + dT
-    return T_new, q_new, jnp.zeros_like(precip), precip
+    return T_new, q_new, qc_det, precip

@@ -60,6 +60,10 @@ class PhysicsConfig:
     # the GFS deep-convection stage's structure)
     convection_scheme: str = "betts_miller"
     mass_flux: cmf.MassFluxParams = cmf.MassFluxParams()
+    # GFS shalcnv-style shallow cumulus (runs after deep convection,
+    # confined below ~0.65 p/ps, detrains all condensate into qc)
+    use_shallow_convection: bool = True
+    shallow: cmf.MassFluxParams = cmf.SHALLOW_PARAMS
     # orographic gravity-wave drag (active where the caller provides a
     # nonzero subgrid-orography field, see physics_step's ``sgh``)
     gwd: gwd_mod.GWDParams = gwd_mod.GWDParams()
@@ -209,10 +213,16 @@ def physics_step(
             T, q, qc_det, conv_precip = cmf.mass_flux_convection(
                 T, q, pmid, delp, dt, cfg.mass_flux
             )
+            qc = qc + qc_det  # detrained anvil condensate
         else:
             T, q, conv_precip = conv.betts_miller(
                 T, q, pmid, delp, dt, cfg.convection
             )
+        if cfg.use_shallow_convection:
+            T, q, qc_det_sh, _p_sh = cmf.mass_flux_convection(
+                T, q, pmid, delp, dt, cfg.shallow
+            )
+            qc = qc + qc_det_sh  # non-precipitating: all condensate -> qc
 
     # ---- microphysics ---------------------------------------------------
     if microphysics_emulator is None:

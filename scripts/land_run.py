@@ -6,7 +6,8 @@ One JSON line per simulated day: soil-moisture statistics, SST range,
 sea-ice coverage, precipitable-water drift, finiteness — the surface-
 model counterpart of scripts/long_run.py.
 
-Usage: python scripts/land_run.py [days] [npx] [npz]
+Usage: python scripts/land_run.py [days] [npx] [npz] [land_model]
+  land_model: "bucket" (default) or "noah" (4-layer soil + snowpack)
 """
 import json
 import os
@@ -16,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(days: int = 10, npx: int = 24, npz: int = 16):
+def main(days: int = 10, npx: int = 24, npz: int = 16,
+         land_model: str = "bucket"):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -29,7 +31,9 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
     cfg = UserConfig(
         namelist=NamelistConfig(
             npx=npx, npz=npz, dt_atmos=900.0, n_split=2,
-            slab_ocean=True, bucket_land=True, sea_ice=True,
+            slab_ocean=True, sea_ice=True,
+            bucket_land=land_model == "bucket",
+            land_model=land_model,
         ),
         duration_seconds=days * 86400.0,
     )
@@ -47,7 +51,15 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
         step += 1
         if step % steps_per_day:
             continue
-        w = np.asarray(loop.state.surface["soil_moisture"])[land]
+        if land_model == "noah":
+            smc = np.asarray(loop.state.surface["soil_moisture_layers"])
+            w = smc[:, land].mean(axis=0)  # column-mean theta on land
+            swe = np.asarray(
+                loop.state.surface["snow_water_equivalent"])[land]
+            stc = np.asarray(loop.state.surface["soil_temperature"])
+        else:
+            w = np.asarray(loop.state.surface["soil_moisture"])[land]
+            swe = stc = None
         ice = np.asarray(loop.state.surface["ice_thickness"])
         tsfc = np.asarray(loop.state.surface[names.TSFC])
         q = np.asarray(loop.state.dycore.tracers["sphum"])
@@ -71,6 +83,15 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
                         and np.isfinite(q).all() and np.isfinite(ice).all()
                     ),
                     "wall_s": round(time.perf_counter() - t0, 1),
+                    **(
+                        {
+                            "swe_max": round(float(swe.max()), 4),
+                            "stc_minmax": [round(float(stc.min()), 2),
+                                           round(float(stc.max()), 2)],
+                            "stc_finite": bool(np.isfinite(stc).all()),
+                        }
+                        if swe is not None else {}
+                    ),
                 }
             ),
             flush=True,
@@ -78,5 +99,5 @@ def main(days: int = 10, npx: int = 24, npz: int = 16):
 
 
 if __name__ == "__main__":
-    args = [int(a) for a in sys.argv[1:]]
+    args = [a if a in ("bucket", "noah") else int(a) for a in sys.argv[1:]]
     main(*args)

@@ -72,24 +72,54 @@ def test_unstable_column_triggers_and_rains():
 
 
 def test_water_closure():
+    """Vapor leaving the column = precip + detrained cloud water."""
     T, q, pmid, delp = _column(unstable=True)
-    _, q2, _, precip = mass_flux_convection(T, q, pmid, delp, DT)
+    _, q2, qc_det, precip = mass_flux_convection(T, q, pmid, delp, DT)
     dm = thermo.layer_mass(delp)
     drying = -((q2 - q) * dm).sum(axis=-1)
+    sink = np.asarray(precip) * DT + np.asarray(
+        (qc_det * dm).sum(axis=-1)
+    )
     np.testing.assert_allclose(
-        np.asarray(precip) * DT, np.asarray(drying), rtol=1e-6, atol=1e-10
+        sink, np.asarray(drying), rtol=1e-6, atol=1e-10
     )
 
 
 def test_moist_static_energy_closure():
     T, q, pmid, delp = _column(unstable=True)
-    T2, q2, _, precip = mass_flux_convection(T, q, pmid, delp, DT)
+    T2, q2, qc_det, precip = mass_flux_convection(T, q, pmid, delp, DT)
     dm = thermo.layer_mass(delp)
-    # cp*int(dT dm) must equal L * P dt exactly (heating renormalized)
+    # cp*int(dT dm) equals L * (P dt + detrained condensate): every kg
+    # of condensed vapor released latent heat (heating renormalized)
     heat = CP_AIR * ((T2 - T) * dm).sum(axis=-1)
-    latent = LV * precip * DT
+    latent = LV * (
+        precip * DT + (qc_det * dm).sum(axis=-1)
+    )
     np.testing.assert_allclose(
         np.asarray(heat), np.asarray(latent), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_shallow_scheme_detrains_without_precip():
+    """SHALLOW_PARAMS: non-precipitating cumulus confined below the
+    sigma cap, all condensate detrained into cloud water."""
+    from fv3net_tpu.physics.convection_mf import SHALLOW_PARAMS
+
+    T, q, pmid, delp = _column(unstable=True)
+    T2, q2, qc_det, precip = mass_flux_convection(
+        T, q, pmid, delp, DT, SHALLOW_PARAMS
+    )
+    qc_det = np.asarray(qc_det)
+    assert float(np.asarray(precip).max()) < 1e-12  # no rain
+    assert qc_det.max() > 0.0  # cloud water produced
+    # detrainment confined below the sigma_top_min cap
+    sigma = np.asarray(pmid) / np.asarray(pmid)[..., -1:]
+    assert (sigma[qc_det > 0] >= SHALLOW_PARAMS.sigma_top_min - 1e-6).all()
+    # exact conversion: column drying equals detrained condensate
+    dm = np.asarray(thermo.layer_mass(delp))
+    drying = -(((np.asarray(q2) - np.asarray(q)) * dm).sum(-1))
+    np.testing.assert_allclose(
+        drying, (qc_det * dm).sum(-1), rtol=1e-6, atol=1e-12
     )
 
 
