@@ -183,6 +183,14 @@ class DycoreConfig:
     # acoustic solve each substep (dycore/nonhydro.py; the fv3gfs-fortran
     # ``hydrostatic`` namelist switch / nh_utils.F90 SIM solver)
     hydrostatic: bool = True
+    # upper-level Rayleigh sponge (fv3gfs-fortran Rayleigh_Super;
+    # namelist ``tau``/``rf_cutoff``): winds (and w nonhydrostatically)
+    # are damped implicitly above rf_cutoff with a sin^2 ramp in log-p
+    # toward the model top — e-folding time tau_rayleigh days at the
+    # top — and the removed kinetic energy is returned as heat (the
+    # Fortran ``conserve=.true.`` branch).  0 disables
+    tau_rayleigh: float = 0.0  # days
+    rf_cutoff: float = 750.0  # Pa
 
 
 def _ext(field, h: int = 1):
@@ -744,6 +752,39 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     )
 
 
+def _rayleigh_damp(state: DycoreState, cfg: DycoreConfig, dt: float):
+    """Upper-level Rayleigh sponge (fv3gfs-fortran Rayleigh_Super,
+    applied through ``wrapper.step_dynamics()``): implicit wind damping
+    above ``rf_cutoff`` with rate (dt/tau) sin^2(pi/2 * ln(rf_cutoff/p)
+    / ln(rf_cutoff/ptop)), i.e. zero at the cutoff rising smoothly to
+    1/tau at the model top.  The removed kinetic energy is deposited as
+    heat (the Fortran ``conserve`` branch) via the Exner function;
+    theta_v absorbs it directly (the O(0.61 q) virtual correction is
+    negligible at sponge altitudes, where q ~ ppm).
+    """
+    pe_below = cfg.ptop + jnp.cumsum(state.delp, axis=1)
+    pmid = pe_below - 0.5 * state.delp  # [6, nz, ny, nx]
+    arg = jnp.clip(
+        jnp.log(cfg.rf_cutoff / jnp.maximum(pmid, 1e-3))
+        / np.log(cfg.rf_cutoff / cfg.ptop),
+        0.0,
+        1.0,
+    )
+    rf = (dt / (cfg.tau_rayleigh * 86400.0)) * jnp.sin(
+        0.5 * jnp.pi * arg
+    ) ** 2
+    fac = 1.0 / (1.0 + rf)
+    wind = state.wind * fac[None]
+    dke = 0.5 * (1.0 - fac ** 2) * (state.wind ** 2).sum(axis=0)
+    w = state.w
+    if w is not None:
+        dke = dke + 0.5 * (1.0 - fac ** 2) * w ** 2
+        w = w * fac
+    exner = (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
+    pt = state.pt + dke / (CP_AIR * exner)
+    return dataclasses.replace(state, wind=wind, pt=pt, w=w)
+
+
 def validate_acoustic_cfl(g: GridArrays, cfg: DycoreConfig) -> None:
     """Nonhydrostatic runs carry horizontal sound waves explicitly, so the
     substep must satisfy c_s * dt_sub <= ~0.75 dx_min (the vertical
@@ -778,6 +819,8 @@ def dynamics_step(
         return _substep(s, g, cfg, dt_sub)
 
     state = jax.lax.fori_loop(0, cfg.n_split, body, state)
+    if cfg.tau_rayleigh > 0.0:
+        state = _rayleigh_damp(state, cfg, cfg.dt)
     if cfg.remap:
         state = _remap_to_hybrid(state, ak, bk, cfg)
     return state

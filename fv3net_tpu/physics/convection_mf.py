@@ -51,6 +51,16 @@ class MassFluxParams:
     # minimum cloud depth in layers (deep convection requires a real
     # tower; shallow cumulus may be a single buoyant layer)
     min_depth_layers: int = 2
+    # convective momentum transport: the updraft carries horizontal
+    # momentum (entraining toward the environment like MSE), compensating
+    # subsidence advects environment momentum downward, and the plume's
+    # momentum anomaly detrains at cloud top reduced by the
+    # pressure-gradient correction pgcon (GFS SAS cnvgwd/pgcon = 0.55,
+    # Han & Pan 2011 eq. 8: convection-induced pressure gradients return
+    # ~55% of the apparent momentum source).  Column net momentum is
+    # closed exactly (redistribution only)
+    momentum_transport: bool = True
+    pgcon: float = 0.55
 
 
 #: GFS shalcnv-style shallow cumulus: the same entraining-plume core
@@ -80,12 +90,17 @@ def _pick(x, idx):
 def mass_flux_convection(
     T, q, pmid, delp, dt: float,
     params: MassFluxParams = MassFluxParams(),
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    wind=None,
+) -> Tuple[jnp.ndarray, ...]:
     """Apply bulk mass-flux convection.
 
     Args: T, q, pmid, delp all (..., nz) z-last, level 0 = model top.
+    ``wind``: optional (ncomp, ..., nz) horizontal-momentum components;
+    when given (and params.momentum_transport), convective momentum
+    transport is computed and a fifth output ``dwind`` (same shape,
+    momentum increment over dt) is returned.
 
-    Returns (T_new, q_new, qc_detrained, precip_rate[kg/m^2/s]).
+    Returns (T_new, q_new, qc_detrained, precip_rate[kg/m^2/s][, dwind]).
     """
     nz = T.shape[-1]
     dm = thermo.layer_mass(delp)
@@ -216,4 +231,31 @@ def mass_flux_convection(
         rev(incloud), excess[..., None] / (CP_AIR * wsum[..., None]), 0.0
     )
     T_new = T + dT
-    return T_new, q_new, qc_det, precip
+    if wind is None:
+        return T_new, q_new, qc_det, precip
+    if not params.momentum_transport:
+        return T_new, q_new, qc_det, precip, jnp.zeros_like(wind)
+
+    # ---- convective momentum transport ---------------------------------
+    # plume momentum via the same entraining ascent as MSE (the leading
+    # component axis rides the scan's batch dimensions)
+    u_s = wind[..., ::-1]  # surface-first
+    u_src = _pick(u_s, ksrc)
+    _, up_z = lax.scan(
+        ascend, u_src, (zl(u_s), zl(is_src), zl(eps_dz))
+    )
+    u_p = jnp.moveaxis(up_z, 0, -1)
+    # environment: compensating subsidence + cloud-top detrainment of the
+    # plume's momentum anomaly, reduced by the pressure-gradient factor
+    du_s = sub(u_s)
+    anomaly = (1.0 - params.pgcon) * (_pick(u_p, ktop) - _pick(u_s, ktop))
+    du_s = du_s + jnp.where(
+        at_top, (Mb * anomaly)[..., None] / dm_top[..., None], 0.0
+    )
+    # exact column-momentum closure: convection redistributes momentum,
+    # it cannot create any — remove the residual uniformly (per unit
+    # mass) over the convective layers
+    total = (du_s * dm_s).sum(axis=-1)
+    du_s = du_s - jnp.where(incloud, (total / wsum)[..., None], 0.0)
+    dwind = du_s[..., ::-1] * dt
+    return T_new, q_new, qc_det, precip, dwind

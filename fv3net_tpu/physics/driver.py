@@ -210,19 +210,21 @@ def physics_step(
     conv_precip = jnp.zeros_like(t_surface)
     if cfg.use_convection:
         if cfg.convection_scheme == "mass_flux":
-            T, q, qc_det, conv_precip = cmf.mass_flux_convection(
-                T, q, pmid, delp, dt, cfg.mass_flux
+            T, q, qc_det, conv_precip, dwind = cmf.mass_flux_convection(
+                T, q, pmid, delp, dt, cfg.mass_flux, wind=wind
             )
             qc = qc + qc_det  # detrained anvil condensate
+            wind = wind + dwind  # convective momentum transport
         else:
             T, q, conv_precip = conv.betts_miller(
                 T, q, pmid, delp, dt, cfg.convection
             )
         if cfg.use_shallow_convection:
-            T, q, qc_det_sh, _p_sh = cmf.mass_flux_convection(
-                T, q, pmid, delp, dt, cfg.shallow
+            T, q, qc_det_sh, _p_sh, dwind_sh = cmf.mass_flux_convection(
+                T, q, pmid, delp, dt, cfg.shallow, wind=wind
             )
             qc = qc + qc_det_sh  # non-precipitating: all condensate -> qc
+            wind = wind + dwind_sh
 
     # ---- microphysics ---------------------------------------------------
     if microphysics_emulator is None:

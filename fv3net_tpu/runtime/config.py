@@ -200,6 +200,11 @@ class NamelistConfig:
     # energy-conserving vertical remap (FV3's te_map)
     remap_te: bool = True
     hydrostatic: bool = True
+    # upper-level Rayleigh sponge (the fv3gfs-fortran fv_core_nml
+    # ``tau``/``rf_cutoff`` pair): e-folding time in DAYS at the model
+    # top (0 disables) and the pressure (Pa) below which no damping acts
+    tau: float = 0.0
+    rf_cutoff: float = 750.0
     # prognostic mixed-layer surface temperature (physics/slab_ocean.py)
     # instead of fixed aquaplanet SST
     slab_ocean: bool = False

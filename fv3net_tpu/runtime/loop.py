@@ -182,6 +182,8 @@ class TimeLoop:
             divergence_damp_coef=nml.d2_div,
             remap_te=nml.remap_te,
             hydrostatic=nml.hydrostatic,
+            tau_rayleigh=nml.tau,
+            rf_cutoff=nml.rf_cutoff,
         )
         if not nml.hydrostatic:
             from fv3net_tpu.dycore import add_nonhydrostatic_fields

@@ -170,3 +170,43 @@ def test_driver_integration_mass_flux_scheme():
     assert np.isfinite(np.asarray(new_state.pt)).all()
     assert np.isfinite(np.asarray(diags["PRATEsfc"])).all()
     assert float(diags["PRATEsfc"].min()) >= 0.0
+
+def test_momentum_transport():
+    """Convective momentum transport: redistribution only (column
+    momentum closed to roundoff), active inside the cloud layer, and
+    the thermodynamic outputs are unchanged by its presence."""
+    T, q, pmid, delp = _column(unstable=True)
+    # sheared wind: strong westerlies aloft, calm surface
+    u = jnp.broadcast_to(
+        30.0 * (1.0 - jnp.asarray(pmid)[0, 0, 0] / float(pmid[..., -1].max())),
+        pmid.shape,
+    )
+    wind = jnp.stack([u, 0.5 * u, jnp.zeros_like(u)])
+    T2, q2, qc, pr, dwind = mass_flux_convection(
+        T, q, pmid, delp, DT, MassFluxParams(), wind=wind
+    )
+    dw = np.asarray(dwind)
+    assert np.abs(dw).max() > 0.0  # transport happened
+    # column momentum conserved to f32 roundoff of the transported
+    # amount (the closure is exact in real arithmetic)
+    dm = np.asarray(thermo.layer_mass(delp))
+    col = (dw * dm).sum(axis=-1)
+    scale = (np.abs(dw) * dm).sum(axis=-1)
+    assert (np.abs(col) <= 1e-4 * scale + 1e-8).all()
+    # thermodynamics are independent of the momentum pass
+    T2b, q2b, _, prb = mass_flux_convection(T, q, pmid, delp, DT)
+    np.testing.assert_allclose(np.asarray(T2), np.asarray(T2b), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q2b), rtol=0, atol=0)
+    # momentum_transport=False is a clean no-op
+    *_, dw0 = mass_flux_convection(
+        T, q, pmid, delp, DT,
+        MassFluxParams(momentum_transport=False), wind=wind,
+    )
+    assert float(jnp.abs(dw0).max()) == 0.0
+    # pgcon=1 cancels the detrained plume anomaly; what remains is
+    # subsidence of the (linear-shear) profile, a uniform tendency the
+    # conservation closure removes — transport degenerates to ~zero
+    *_, dw1 = mass_flux_convection(
+        T, q, pmid, delp, DT, MassFluxParams(pgcon=1.0), wind=wind
+    )
+    assert float(jnp.abs(dw1).max()) < 1e-2 * np.abs(dw).max()
