@@ -21,8 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fv3net_tpu.core.constants import GRAVITY
+from fv3net_tpu.core.constants import GRAVITY, RDGAS
 from fv3net_tpu.ops import thermo, zenith
+from fv3net_tpu.physics.radiation import aerosols as aer_mod
 from fv3net_tpu.physics.radiation import gases, optics
 from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
 from fv3net_tpu.physics.radiation.rrtmg import params as P
@@ -44,6 +45,11 @@ _SW_BAND_WVN = np.array([
     14425.0, 19325.0, 25825.0, 33500.0, 44000.0, 1710.0,
 ])  # band-center wavenumbers cm-1 (published RRTMG-SW band bounds)
 _SW_LAM_UM = 1.0e4 / _SW_BAND_WVN
+_LW_BAND_WVN = np.array([
+    180.0, 425.0, 565.0, 665.0, 760.0, 900.0, 1030.0, 1130.0,
+    1285.0, 1435.0, 1640.0, 1940.0, 2165.0, 2315.0, 2490.0, 2925.0,
+])  # band-center wavenumbers cm-1 (published RRTMG-LW band bounds)
+_LW_LAM_UM = 1.0e4 / _LW_BAND_WVN
 
 
 @dataclasses.dataclass
@@ -60,6 +66,11 @@ class RRTMGConfig:
     # quantized lookup tables (identical function, ~1e-4 quantization
     # difference, no 62M-index gathers) — the TPU production default
     fast_exp: bool = True
+    # MXU precision of the k-table selection/interpolation contractions:
+    # "highest" (full f32, bit-exact row selection vs the reference),
+    # "high" (3-pass bf16) or "default" (1-pass bf16).  Process-wide
+    # (read at jit trace time; see lw.set_matmul_precision)
+    matmul_precision: str = "highest"
 
 
 class RRTMGDriver:
@@ -73,12 +84,16 @@ class RRTMGDriver:
         dtype=jnp.float32,
     ):
         self.config = config
+        rlw.set_matmul_precision(config.matmul_precision)
         self.Tlw = rlw.prep_lw_tables(
             lw_tables or rtables.make_lw_tables(), dtype
         )
         self.Tsw = rsw.prep_sw_tables(
             sw_tables or rtables.make_sw_tables(), dtype
         )
+        # OPAC-style climatological aerosol optics (iaer=1 default;
+        # reference radiation_aerosols.py machinery, synthetic tables)
+        self.Taer = aer_mod.make_aerosol_tables(_SW_LAM_UM, _LW_LAM_UM)
         self.dtype = dtype
 
     def _aerosols(self, play_mb, dp_mb, land, nbands, lw_mode):
@@ -244,11 +259,30 @@ class RRTMGDriver:
         ).astype(dt)
 
         sfemis = optics.surface_emissivity(land)
-        aer_lw = self._aerosols(plyr, delp, land, P.NBANDS_LW, True)
-        aer_sw = self._aerosols(plyr, delp, land, P.NBANDS_SW, False)
-        if not cfg.iaer:
-            aer_lw = jnp.zeros_like(aer_lw)
-            aer_sw = jnp.zeros_like(aer_sw)
+        aerodp = None
+        if cfg.iaer == 1:
+            # climatological OPAC-species scheme with RH-dependent
+            # hygroscopic optics (aerosols.py::setaer)
+            from fv3net_tpu.physics.microphysics import (
+                saturation_specific_humidity,
+            )
+
+            qsat = saturation_specific_humidity(T, plyr * 100.0)
+            rh = jnp.clip(q / jnp.maximum(qsat, 1e-10), 0.0, 1.0)
+            tv = T * (1.0 + 0.608 * q)
+            delz_km = (
+                RDGAS * tv / GRAVITY * (dp_pa / (plyr * 100.0)) / 1000.0
+            )
+            aer_sw, aer_lw, aerodp = aer_mod.setaer(
+                plyr, delz_km, rh, land, lat, self.Taer, P.NBANDS_SW
+            )
+        elif cfg.iaer:
+            # compact Angstrom/boundary-layer stand-in (iaer=2)
+            aer_lw = self._aerosols(plyr, delp, land, P.NBANDS_LW, True)
+            aer_sw = self._aerosols(plyr, delp, land, P.NBANDS_SW, False)
+        else:
+            aer_lw = jnp.zeros((ncol, nz, P.NBANDS_LW, 3), dt)
+            aer_sw = jnp.zeros((ncol, nz, P.NBANDS_SW, 3), dt)
 
         lw_out = rlw.lwrad(
             plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_lw,
@@ -335,4 +369,12 @@ class RRTMGDriver:
                 hlwc + hswc, True
             ),
         }
+        if aerodp is not None:
+            # per-species 550 nm column AOD (reference setaer's aerodp:
+            # total, dust, BC, water-soluble, sulfate, sea salt)
+            names = ("dust", "black_carbon", "water_soluble", "sulfate",
+                     "sea_salt")
+            for i, nm in enumerate(names):
+                out[f"aerosol_optical_depth_{nm}"] = resh(aerodp[:, i])
+            out["aerosol_optical_depth_total"] = resh(aerodp[:, -1])
         return out

@@ -38,6 +38,22 @@ from fv3net_tpu.physics.radiation.rrtmg import params as P
 _STPFAC = 296.0 / 1013.0
 _F = None  # dtype resolved per call
 
+# MXU precision of the k-table selection/interpolation contractions.
+# HIGHEST (6-pass bf16 = full f32) keeps single-row selections bit-exact
+# vs the reference; HIGH (3-pass) halves the MXU work at ~1e-6 relative
+# table error — set process-wide via set_matmul_precision (read at trace
+# time, so rebuild jitted programs after changing it).
+_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(name: str) -> None:
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[name]
+
 
 # ------------------------------------------------------------------ tables
 def prep_lw_tables(lwdict: Dict, dtype=jnp.float64) -> Dict:
@@ -208,7 +224,7 @@ def _take(tabT, ids):
         )
         return jnp.einsum(
             "...r,rg->...g", oh, tabT,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MATMUL_PRECISION,
         )
     return jnp.take(tabT, ids, axis=0)
 
@@ -250,7 +266,7 @@ def _minor2(tab, jm, fm, c):
     jmc = jnp.clip(jm, 0, tab.shape[0] - 2)
     imc = jnp.clip(indm, 0, tab.shape[1] - 2)
     nj, ni = tab.shape[0], tab.shape[1]
-    hi = jax.lax.Precision.HIGHEST
+    hi = _MATMUL_PRECISION
 
     def ohj(d):
         return (
@@ -359,7 +375,7 @@ def _weighted_rows(tabT, terms):
         contrib = oh if w is None else oh * w[..., None]
         W = contrib if W is None else W + contrib
     return jnp.einsum(
-        "clr,rg->clg", W, tabT, precision=jax.lax.Precision.HIGHEST
+        "clr,rg->clg", W, tabT, precision=_MATMUL_PRECISION
     )
 
 

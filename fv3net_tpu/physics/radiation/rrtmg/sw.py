@@ -22,6 +22,7 @@ import numpy as np
 from jax import lax
 
 from fv3net_tpu.physics.radiation.rrtmg import params as P
+from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
 
 _STPFAC = 296.0 / 1013.0
 _NTBMX = 10000
@@ -122,7 +123,7 @@ def _take(tab, ids):
         )
         return jnp.einsum(
             "...r,rg->...g", oh, tab,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=rlw._MATMUL_PRECISION,
         )
     return jnp.take(tab, ids, axis=0)
 
@@ -185,7 +186,7 @@ def _weighted_rows(tab, terms):
         contrib = oh if w is None else oh * w[..., None]
         W = contrib if W is None else W + contrib
     return jnp.einsum(
-        "clr,rg->clg", W, tab, precision=jax.lax.Precision.HIGHEST
+        "clr,rg->clg", W, tab, precision=rlw._MATMUL_PRECISION
     )
 
 
