@@ -100,3 +100,20 @@ def cos_zenith_angle(days, lon_deg, lat_deg):
     return jnp.sin(lat) * jnp.sin(dec) + jnp.cos(lat) * jnp.cos(dec) * jnp.cos(
         h_angle
     )
+
+
+def solar_distance_factor(days):
+    """(a/r)^2 Earth-Sun distance factor for the solar "constant"
+    (reference: radiation_astronomy.py ``sol_update``'s orbit-based
+    solcon scaling).  Spencer (1971) Fourier series in the day angle —
+    accurate to ~1e-4, well under the solar-cycle variability the
+    reference's isol data files encode."""
+    # day angle from perihelion-adjacent epoch (Jan 1), radians
+    g = 2.0 * jnp.pi * jnp.mod(days - 0.5, 365.25) / 365.25
+    return (
+        1.000110
+        + 0.034221 * jnp.cos(g)
+        + 0.001280 * jnp.sin(g)
+        + 0.000719 * jnp.cos(2.0 * g)
+        + 0.000077 * jnp.sin(2.0 * g)
+    )

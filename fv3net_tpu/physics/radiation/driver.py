@@ -76,8 +76,9 @@ class RadiationDriver:
         orbital eccentricity modulation)"""
         if self.config.isol == 0:
             return jnp.asarray(P.S0, jnp.float32)
-        doy = jnp.mod(days, 365.25)
-        return P.S0 * (1.0 + 0.034 * jnp.cos(2.0 * jnp.pi * (doy - 2.0) / 365.25))
+        from fv3net_tpu.ops.zenith import solar_distance_factor
+
+        return P.S0 * solar_distance_factor(days)
 
     def __call__(
         self,

@@ -312,10 +312,9 @@ class RRTMGDriver:
 
         s0 = cfg.solcon
         if cfg.isol:
-            doy = jnp.mod(days, 365.25)
-            s0 = cfg.solcon * (
-                1.0 + 0.034 * jnp.cos(2.0 * jnp.pi * (doy - 2.0) / 365.25)
-            )
+            # orbit-modulated solar constant (the reference
+            # radiation_astronomy.py sol_update role): Spencer (a/r)^2
+            s0 = cfg.solcon * zenith.solar_distance_factor(days)
         sw_out = rsw.swrad(
             plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_sw,
             sfcalb, delp, cosz, s0, rand_sw, self.Tsw, iovrsw=cfg.iovr,

@@ -107,3 +107,20 @@ def test_days_from_2000():
         np.array([datetime.datetime(2000, 1, 2, 0, 0)], dtype=object)
     )
     np.testing.assert_allclose(arr, [0.5])
+
+
+def test_solar_distance_factor():
+    """Spencer (a/r)^2: perihelion (early Jan) ~ +3.4%, aphelion (early
+    Jul) ~ -3.3%, annual mean ~ 1 (reference radiation_astronomy.py
+    sol_update's orbit scaling role)."""
+    import numpy as np
+
+    from fv3net_tpu.ops.zenith import solar_distance_factor
+
+    jan = float(solar_distance_factor(3.0))
+    jul = float(solar_distance_factor(185.0))
+    assert 1.02 < jan < 1.04
+    assert 0.96 < jul < 0.98
+    days = np.arange(0, 365.25, 0.25)
+    mean = float(np.mean(np.asarray(solar_distance_factor(days))))
+    assert abs(mean - 1.0) < 2e-3
