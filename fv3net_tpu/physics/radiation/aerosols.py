@@ -284,11 +284,7 @@ def setaer(
     denn1 = clim.denn_mixing
     denn2 = clim.denn_transport
 
-    def dom(mask, ext, sca, ssan, asyn, denn):
-        tau = jnp.where(mask[..., None], ext * denn * dz, 0.0)
-        return tau, ext, sca, ssan, asyn
-
-    tau1, *_ = dom(in_mix, ext1, sca1, ssa1n, asy1n, denn1)
+    tau1 = jnp.where(in_mix[..., None], ext1 * denn1 * dz, 0.0)
     tau2 = jnp.where(
         in_transport[..., None], ext2 * m_minm * denn2 * dz, 0.0
     )

@@ -69,8 +69,14 @@ class RRTMGConfig:
     # MXU precision of the k-table selection/interpolation contractions:
     # "highest" (full f32, bit-exact row selection vs the reference),
     # "high" (3-pass bf16) or "default" (1-pass bf16).  Process-wide
-    # (read at jit trace time; see lw.set_matmul_precision)
-    matmul_precision: str = "highest"
+    # (read at jit trace time; see lw.set_matmul_precision).  "high" is
+    # the TPU production default: measured on v5e against "highest",
+    # LW fluxes agree to 2e-4 W/m2, SW surface flux to 1 W/m2 (0.1%,
+    # far below McICA subcolumn noise), heating to 2.6e-6 K/s, for ~10%
+    # of the whole radiation call back (262->238 ms on C48/nz32).  CPU
+    # runs (and the oracle tests) are unaffected — precision tiers only
+    # change TPU MXU pass counts
+    matmul_precision: str = "high"
 
 
 class RRTMGDriver:
