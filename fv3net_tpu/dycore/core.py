@@ -762,6 +762,12 @@ def _rayleigh_damp(state: DycoreState, cfg: DycoreConfig, dt: float):
     theta_v absorbs it directly (the O(0.61 q) virtual correction is
     negligible at sponge altitudes, where q ~ ppm).
     """
+    if cfg.rf_cutoff <= cfg.ptop:
+        raise ValueError(
+            f"Rayleigh sponge needs rf_cutoff > ptop (the sin^2 ramp "
+            f"spans ptop..rf_cutoff); got rf_cutoff={cfg.rf_cutoff} Pa "
+            f"<= ptop={cfg.ptop} Pa — raise rf_cutoff or disable tau"
+        )
     pe_below = cfg.ptop + jnp.cumsum(state.delp, axis=1)
     pmid = pe_below - 0.5 * state.delp  # [6, nz, ny, nx]
     arg = jnp.clip(

@@ -220,10 +220,14 @@ def physics_step(
                 T, q, pmid, delp, dt, cfg.convection
             )
         if cfg.use_shallow_convection:
-            T, q, qc_det_sh, _p_sh, dwind_sh = cmf.mass_flux_convection(
+            T, q, qc_det_sh, p_sh, dwind_sh = cmf.mass_flux_convection(
                 T, q, pmid, delp, dt, cfg.shallow, wind=wind
             )
-            qc = qc + qc_det_sh  # non-precipitating: all condensate -> qc
+            qc = qc + qc_det_sh  # detrained condensate -> qc
+            # SHALLOW_PARAMS has precip_efficiency=0 so p_sh is zero,
+            # but a user-configured precipitating shallow scheme must
+            # still close the column water budget
+            conv_precip = conv_precip + p_sh
             wind = wind + dwind_sh
 
     # ---- microphysics ---------------------------------------------------

@@ -266,11 +266,26 @@ def setaer(
 
     # --- domain 3: free troposphere, the reference's FIXED WMO mix
     # (radclimaer idom==3: 0.17e-3 inso + 0.4 soot + 0.59983 waso, n=730
-    # but folded into a per-km extinction here via denn_ft)
-    m3 = jnp.zeros_like(m1)
-    m3 = m3.at[..., 0].set(0.17e-3).at[..., 1].set(0.4)
-    m3 = m3.at[..., 3].set(0.59983)
-    ext3, sca3, ssa3n, asy3n = aggregate(m3)
+    # but folded into a per-km extinction here via denn_ft).  The inso
+    # and soot terms are compile-time row constants; only waso needs
+    # the per-layer RH interpolation (exactly as in the reference)
+    _C3 = (0.17e-3, 0.4, 0.59983)  # inso, soot, waso
+    fixed3 = _C3[0] * extrhi[0] + _C3[1] * extrhi[1]  # [nb]
+    ext3 = fixed3 + _C3[2] * ext_d[..., 0, :]
+    sca3 = (
+        _C3[0] * scarhi[0] + _C3[1] * scarhi[1]
+        + _C3[2] * sca_d[..., 0, :]
+    )
+    ssa3n = (
+        _C3[0] * ssarhi[0] * extrhi[0]
+        + _C3[1] * ssarhi[1] * extrhi[1]
+        + _C3[2] * (ssa_d * ext_d)[..., 0, :]
+    )
+    asy3n = (
+        _C3[0] * asyrhi[0] * scarhi[0]
+        + _C3[1] * asyrhi[1] * scarhi[1]
+        + _C3[2] * (asy_d * sca_d)[..., 0, :]
+    )
     denn_ft = 0.0078  # calibrated: free-troposphere AOD ~ 0.01-0.02
 
     # --- domain 2: mineral transport (pure minm component)
@@ -331,16 +346,31 @@ def setaer(
     # the reference's nv_aod): attribute each domain's tau to species
     b550 = int(np.argmin(np.abs(np.asarray(tables["_sw_lam_um"]) - 0.55))) \
         if "_sw_lam_um" in tables else 0
+    # per-component 550 nm extinction [C, L, 6] (RH-indep rows are
+    # constants, hygroscopic rows RH-interpolated)
+    exts550 = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                extrhi[:, b550], rh.shape + (N_RHI,)
+            ),
+            ext_d[..., b550],
+        ],
+        axis=-1,
+    )
+    # per-component mixing coefficient across the tropospheric domains
+    # (mixing layer + the fixed WMO free-troposphere mix); domains are
+    # disjoint so the sum attributes every tropospheric tau to a
+    # component, as the reference's idxspc bookkeeping does
+    m3c = jnp.asarray(
+        [_C3[0], _C3[1], 0.0, _C3[2], 0.0, 0.0], dtype
+    )
+    coeff = (
+        m1 * denn1 * in_mix[..., None]
+        + m3c * denn_ft * in_freetrop[..., None]
+    )
+    comp_tau550 = coeff * exts550 * dz  # [C, L, 6]
+    col = comp_tau550.sum(axis=1)  # [C, 6]
     spc = []
-    comp_tau1 = (
-        m1[..., None] * jnp.concatenate(
-            [jnp.broadcast_to(extrhi[None, None], m1.shape[:2] + extrhi.shape),
-             ext_d], axis=-2
-        )
-        * denn1 * dz[..., None, :]
-    )  # [C, L, 6, nb]
-    comp_tau1 = jnp.where(in_mix[..., None, None], comp_tau1, 0.0)
-    col = comp_tau1[..., b550].sum(axis=1)  # [C, 6]
     for s in range(len(SPECIES)):
         tot = jnp.zeros_like(col[..., 0])
         for ci, cname in enumerate(COMPONENTS):

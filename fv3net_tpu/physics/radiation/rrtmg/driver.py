@@ -90,7 +90,6 @@ class RRTMGDriver:
         dtype=jnp.float32,
     ):
         self.config = config
-        rlw.set_matmul_precision(config.matmul_precision)
         self.Tlw = rlw.prep_lw_tables(
             lw_tables or rtables.make_lw_tables(), dtype
         )
@@ -133,6 +132,11 @@ class RRTMGDriver:
         framework's convention; flipped internally to the solvers'
         surface-first order).  Same keys as the synthband driver."""
         cfg = self.config
+        # set the contraction precision at TRACE time so each driver's
+        # jitted program gets ITS config even when several drivers with
+        # different tiers coexist in one process (the knob is a module
+        # global read while the solver ops are being built)
+        rlw.set_matmul_precision(cfg.matmul_precision)
         dt = self.dtype
         T_in = state["air_temperature"]
         lead, nz = T_in.shape[:-1], T_in.shape[-1]
@@ -275,9 +279,13 @@ class RRTMGDriver:
 
             qsat = saturation_specific_humidity(T, plyr * 100.0)
             rh = jnp.clip(q / jnp.maximum(qsat, 1e-10), 0.0, 1.0)
-            tv = T * (1.0 + 0.608 * q)
+            tv = thermo.virtual_temperature(T, q)
+            # hypsometric thickness in the exact dlogp form (plvl is
+            # surface-first so plvl[:, :-1] is the lower interface)
             delz_km = (
-                RDGAS * tv / GRAVITY * (dp_pa / (plyr * 100.0)) / 1000.0
+                RDGAS * tv / GRAVITY
+                * jnp.log(plvl[:, :-1] / jnp.maximum(plvl[:, 1:], 1e-6))
+                / 1000.0
             )
             aer_sw, aer_lw, aerodp = aer_mod.setaer(
                 plyr, delz_km, rh, land, lat, self.Taer, P.NBANDS_SW

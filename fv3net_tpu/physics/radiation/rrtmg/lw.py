@@ -47,12 +47,17 @@ _MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 def set_matmul_precision(name: str) -> None:
-    global _MATMUL_PRECISION
-    _MATMUL_PRECISION = {
+    tiers = {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
-    }[name]
+    }
+    if name not in tiers:
+        raise ValueError(
+            f"matmul_precision must be one of {sorted(tiers)}, got {name!r}"
+        )
+    global _MATMUL_PRECISION
+    _MATMUL_PRECISION = tiers[name]
 
 
 # ------------------------------------------------------------------ tables

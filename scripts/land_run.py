@@ -56,7 +56,8 @@ def main(days: int = 10, npx: int = 24, npz: int = 16,
             w = smc[:, land].mean(axis=0)  # column-mean theta on land
             swe = np.asarray(
                 loop.state.surface["snow_water_equivalent"])[land]
-            stc = np.asarray(loop.state.surface["soil_temperature"])
+            # soil temperature is only prognostic on land points
+            stc = np.asarray(loop.state.surface["soil_temperature"])[:, land]
         else:
             w = np.asarray(loop.state.surface["soil_moisture"])[land]
             swe = stc = None
@@ -99,5 +100,10 @@ def main(days: int = 10, npx: int = 24, npz: int = 16,
 
 
 if __name__ == "__main__":
-    args = [a if a in ("bucket", "noah") else int(a) for a in sys.argv[1:]]
-    main(*args)
+    nums, land_model = [], "bucket"
+    for a in sys.argv[1:]:
+        if a in ("bucket", "noah"):
+            land_model = a
+        else:
+            nums.append(int(a))
+    main(*nums, land_model=land_model)

@@ -169,4 +169,6 @@ def test_rrtmg_driver_aerosol_integration():
         for nm in ("dust", "black_carbon", "water_soluble", "sulfate",
                    "sea_salt")
     )
-    assert (np.abs(tot - parts) <= 0.25 * tot + 1e-6).all()
+    # every domain's tau is attributed to a species, so the parts sum
+    # reproduces the total exactly (f32 roundoff)
+    assert (np.abs(tot - parts) <= 1e-4 * tot + 1e-7).all()
