@@ -104,6 +104,22 @@ def physics_step(
     its updates applied (see fv3net_tpu.emulation.MicrophysicsEmulator);
     precipitation diagnostics then come from the implied column drying.
     """
+    # coerce auxiliary inputs to the state dtype: under jax_enable_x64
+    # callers easily hand f64 lat/SST (np geometry) alongside an f32
+    # state, and the mix breaks scan carries downstream (PBL solve)
+    dtype = state.pt.dtype
+    t_surface = jnp.asarray(t_surface, dtype)
+    cos_zenith = jnp.asarray(cos_zenith, dtype)
+    lat = jnp.asarray(lat, dtype)
+    if sgh is not None:
+        sgh = jnp.asarray(sgh, dtype)
+    if evap_factor is not None:
+        evap_factor = jnp.asarray(evap_factor, dtype)
+    if land_frac is not None:
+        land_frac = jnp.asarray(land_frac, dtype)
+    if ice_frac is not None:
+        ice_frac = jnp.asarray(ice_frac, dtype)
+
     delp = _zlast(state.delp)
     pt = _zlast(state.pt)
     q = _zlast(state.tracers["sphum"])

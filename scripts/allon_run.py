@@ -24,7 +24,6 @@ def main(days: int = 5, npx: int = 48, npz: int = 32):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
@@ -59,11 +58,13 @@ def main(days: int = 5, npx: int = 48, npz: int = 32):
     )
     chunks_per_day = int(86400 / dyn_cfg.dt / chunk)
 
-    @jax.jit
     def one_day(s):
-        return lax.fori_loop(
-            0, chunks_per_day, lambda _, st: step(st, 0, sst, cosz), s
-        )
+        # host loop over the compiled 8-step chunk: 12 dispatches/day
+        # (inlining 24 RRTMG calls into one day-long XLA program makes
+        # the compile explode; the chunk is already the fused unit)
+        for _ in range(chunks_per_day):
+            s = step(s, 0, sst, cosz)
+        return s
 
     area = jnp.asarray(grid.area)
     mass0 = float((np.asarray(state.delp).sum(axis=1) * area).sum())

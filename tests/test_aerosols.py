@@ -158,7 +158,12 @@ def test_rrtmg_driver_aerosol_integration():
     out0 = RRTMGDriver(RRTMGConfig(iaer=0), dtype=jnp.float32)(
         t, state, cosz
     )
+    out2 = RRTMGDriver(RRTMGConfig(iaer=2), dtype=jnp.float32)(
+        t, state, cosz
+    )  # compact Angstrom stand-in still works
     key = "total_sky_downward_shortwave_flux_at_surface_python"
+    assert np.isfinite(np.asarray(out2[key])).all()
+    assert (np.asarray(out0[key]) - np.asarray(out2[key]) > 0).all()
     d = np.asarray(out0[key]) - np.asarray(out1[key])
     assert (d > 0.5).all()  # aerosols dim the surface by W/m2-scale
     assert (d < 100.0).all()  # but not absurdly
