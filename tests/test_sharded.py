@@ -153,7 +153,9 @@ def test_rrtmg_radiation_matches_under_sharding():
 @requires_devices
 def test_flagship_shaped_fused_step_matches_under_2d_sharding():
     """Full flagship-FEATURED graph (nonhydrostatic, n_split=2, PPM
-    advection, divergence damping, real RRTMG radiation) on a reduced
+    advection, divergence damping, Rayleigh sponge, SAS mass-flux deep +
+    shallow convection with momentum transport, real RRTMG radiation
+    with OPAC aerosols) on a reduced
     grid, sharded over an explicit 2-D (2, 2) intra-tile layout; asserts
     pt/delp/WIND/w against the single-device step (VERDICT r1 #2)."""
     from fv3net_tpu.dycore import add_nonhydrostatic_fields
@@ -169,8 +171,11 @@ def test_flagship_shaped_fused_step_matches_under_2d_sharding():
     dyn_cfg = DycoreConfig(
         dt=450.0, n_split=2, kord=9, advection_order=4, diff_coef=0.004,
         divergence_damp_coef=0.06, hydrostatic=False,
+        tau_rayleigh=3.0, rf_cutoff=1500.0,
     )
-    phys_cfg = PhysicsConfig(radiation_scheme="rrtmg")
+    phys_cfg = PhysicsConfig(
+        radiation_scheme="rrtmg", convection_scheme="mass_flux"
+    )
     sst = aquaplanet_sst(g.lat).astype(jnp.float32)
     cosz = jnp.clip(jnp.cos(g.lat) * jnp.cos(g.lon), 0.0, 1.0).astype(
         jnp.float32
