@@ -16,6 +16,20 @@ A ground-up JAX/XLA/Pallas re-design of the fv3net suite
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("FV3NET_JAX_PLATFORMS"):
+    # explicit platform override for subprocess workflows (pipeline
+    # CLIs, workflow-template steps, tests): some environments pin a
+    # platform via sitecustomize in a way that ignores JAX_PLATFORMS,
+    # so a dedicated variable is the reliable way to force e.g. CPU in
+    # children.  Applied at package import, before any backend use.
+    import jax as _jax
+
+    _jax.config.update(
+        "jax_platforms", _os.environ["FV3NET_JAX_PLATFORMS"]
+    )
+
 from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.core.dataset import Dataset
 

@@ -770,9 +770,12 @@ def _rayleigh_damp(state: DycoreState, cfg: DycoreConfig, dt: float):
         )
     pe_below = cfg.ptop + jnp.cumsum(state.delp, axis=1)
     pmid = pe_below - 0.5 * state.delp  # [6, nz, ny, nx]
+    # NOTE: float() keeps the np scalar weak-typed — a bare np.float64
+    # here upcasts the whole sponge (and everything downstream) to f64
+    # under jax_enable_x64
     arg = jnp.clip(
         jnp.log(cfg.rf_cutoff / jnp.maximum(pmid, 1e-3))
-        / np.log(cfg.rf_cutoff / cfg.ptop),
+        / float(np.log(cfg.rf_cutoff / cfg.ptop)),
         0.0,
         1.0,
     )

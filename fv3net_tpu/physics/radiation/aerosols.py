@@ -189,16 +189,15 @@ def _rh_weights(rh) -> jnp.ndarray:
     levs = jnp.asarray(RHLEV, rh.dtype)
     rhc = jnp.clip(rh, 0.0, float(RHLEV[-1]))
     # fractional class position
-    idx = jnp.searchsorted(levs, rhc, side="right") - 1
+    idx = jnp.searchsorted(levs, rhc, side="right").astype(jnp.int32) - 1
     idx = jnp.clip(idx, 0, NRH - 2)
     lo = levs[idx]
     hi = levs[idx + 1]
     frac = (rhc - lo) / (hi - lo)
-    iota = jnp.arange(NRH)
-    w = (idx[..., None] == iota) * (1.0 - frac)[..., None] + (
-        (idx + 1)[..., None] == iota
-    ) * frac[..., None]
-    return w.astype(rh.dtype)
+    iota = jnp.arange(NRH, dtype=jnp.int32)
+    oh0 = (idx[..., None] == iota).astype(rh.dtype)
+    oh1 = ((idx + 1)[..., None] == iota).astype(rh.dtype)
+    return oh0 * (1.0 - frac)[..., None] + oh1 * frac[..., None]
 
 
 def setaer(

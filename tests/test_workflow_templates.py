@@ -127,7 +127,7 @@ def test_cubed_to_latlon_template_end_to_end(tmp_path):
     results = run_workflow(
         t,
         {"input-zarr": src, "output-zarr": dst, "nlat": "24", "nlon": "48"},
-        env={"JAX_PLATFORMS": "cpu"},
+        env={"FV3NET_JAX_PLATFORMS": "cpu"},
     )
     assert results["regrid"].succeeded
     out = open_zarr(dst)
