@@ -160,25 +160,35 @@ class AerosolClimatology:
     denn_transport: float = 0.08  # mineral transport layer
 
 
-def component_mixing(land_frac, lat) -> jnp.ndarray:
+def component_mixing(land_frac, lat, month: float = 6.5) -> jnp.ndarray:
     """Mixing-layer component fractions m_c [..., 6] (cmixg role).
 
     Ocean: sea salt + water-soluble + soot traces.  Land: water-soluble
     + insoluble + soot; the subtropical dust belt (|lat| in 10-35 deg
     over land) adds mineral loading.
+
+    ``month`` (1..12, fractional ok) drives the seasonal cycle the
+    reference gets from its monthly climatology maps (aer_update,
+    radiation_aerosols.py:1216): dust mobilization peaks in the local
+    summer hemisphere; sea salt follows the winter storm tracks.
     """
     lat_deg = jnp.rad2deg(lat)
     dust_belt = jnp.exp(-(((jnp.abs(lat_deg) - 22.0) / 12.0) ** 2))
+    # seasonal phase: +1 at NH mid-summer (July), -1 in January
+    season = jnp.cos(2.0 * jnp.pi * (month - 7.0) / 12.0)
+    hemi = jnp.tanh(lat_deg / 15.0)  # +1 NH, -1 SH
+    summer = 1.0 + 0.5 * season * hemi  # local-summer factor, 0.5..1.5
+    winter = 1.0 - 0.35 * season * hemi  # local-winter factor
     # industrial/biomass band: NH midlatitudes + tropics
     pollution = 0.5 + 0.5 * jnp.exp(-(((lat_deg - 30.0) / 25.0) ** 2))
     ocean = 1.0 - land_frac
     m = {
-        "inso": land_frac * (0.06 + 0.10 * dust_belt),
+        "inso": land_frac * (0.06 + 0.10 * dust_belt * summer),
         "soot": 0.02 * pollution,
-        "minm": land_frac * 0.55 * dust_belt,
+        "minm": land_frac * 0.55 * dust_belt * summer,
         "waso": 0.35 * pollution + 0.15 * land_frac,
-        "ssam": ocean * 0.45,
-        "sscm": ocean * 0.12,
+        "ssam": ocean * 0.45 * winter,
+        "sscm": ocean * 0.12 * winter,
     }
     return jnp.stack([m[c] for c in COMPONENTS], axis=-1)
 
@@ -205,6 +215,7 @@ def setaer(
     tables: Dict[str, jnp.ndarray],
     nbands_sw: int,
     clim: AerosolClimatology = AerosolClimatology(),
+    month: float = 6.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Aerosol optical properties for every layer and band.
 
@@ -228,7 +239,7 @@ def setaer(
     in_freetrop = (~in_mix) & (~in_transport) & (~in_strat)
     in_strat = in_strat & (~in_upper)
 
-    m_mix = component_mixing(land_frac, lat).astype(dtype)  # [C, 6]
+    m_mix = component_mixing(land_frac, lat, month).astype(dtype)  # [C, 6]
     wrh = _rh_weights(rh)  # [C, L, NRH]
 
     extrhi = jnp.asarray(tables["extrhi"], dtype)  # [3, nb]

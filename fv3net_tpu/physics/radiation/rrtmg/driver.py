@@ -287,8 +287,10 @@ class RRTMGDriver:
                 * jnp.log(plvl[:, :-1] / jnp.maximum(plvl[:, 1:], 1e-6))
                 / 1000.0
             )
+            month = time.month + (time.day - 1) / 30.5
             aer_sw, aer_lw, aerodp = aer_mod.setaer(
-                plyr, delz_km, rh, land, lat, self.Taer, P.NBANDS_SW
+                plyr, delz_km, rh, land, lat, self.Taer, P.NBANDS_SW,
+                month=month,
             )
         elif cfg.iaer:
             # compact Angstrom/boundary-layer stand-in (iaer=2)

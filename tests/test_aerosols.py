@@ -177,3 +177,24 @@ def test_rrtmg_driver_aerosol_integration():
     # every domain's tau is attributed to a species, so the parts sum
     # reproduces the total exactly (f32 roundoff)
     assert (np.abs(tot - parts) <= 1e-4 * tot + 1e-7).all()
+
+
+def test_seasonal_cycle(tables):
+    """Dust peaks in the local summer hemisphere; sea salt in the local
+    winter storm tracks (the reference aer_update monthly-map role)."""
+    tab, sw_lam, lw_lam = tables
+    plyr, delz, rh, _, _ = _profile(ncol=8)
+    land = jnp.ones((8,))
+    nh_belt = jnp.deg2rad(jnp.full((8,), 20.0))
+    _, _, dp_jul = am.setaer(plyr, delz, rh, land, nh_belt, tab,
+                             sw_lam.size, month=7.0)
+    _, _, dp_jan = am.setaer(plyr, delz, rh, land, nh_belt, tab,
+                             sw_lam.size, month=1.0)
+    assert (np.asarray(dp_jul)[:, 0] > 1.5 * np.asarray(dp_jan)[:, 0]).all()
+    ocean = jnp.zeros((8,))
+    nh_ocean = jnp.deg2rad(jnp.full((8,), 45.0))
+    _, _, ss_jul = am.setaer(plyr, delz, rh, ocean, nh_ocean, tab,
+                             sw_lam.size, month=7.0)
+    _, _, ss_jan = am.setaer(plyr, delz, rh, ocean, nh_ocean, tab,
+                             sw_lam.size, month=1.0)
+    assert (np.asarray(ss_jan)[:, 4] > np.asarray(ss_jul)[:, 4]).all()
