@@ -12,12 +12,15 @@ TPU-first design departures from the reference port (no code shared):
  - fully batched over [ncol, nlay]: no per-column Python loop, no
    dynamic ``laytrop`` slicing — the troposphere split is a mask, so the
    whole computation jits with static shapes;
- - the per-g-point Fortran loops become one gather per k-table
-   (``jnp.take`` of [rows, ng] tables) so XLA fuses the optical-depth
-   assembly into large elementwise kernels;
+ - k-table fetches are FACTORED weighted-selection matmuls: four shared
+   band-independent pressure/temperature base-row weight matrices are
+   contracted once against merged per-atmosphere band tables, and the
+   small data-dependent species stencils are applied to the
+   [C, L, nspa, g] result (see the machinery note above taumol_lw) —
+   no per-fetch [C, L, rows] one-hot and no TPU gathers;
  - the radiative-transfer recurrence is two ``lax.scan``s over layers
-   with all k-local quantities precomputed vectorized (the heavy math
-   fuses; the scan only carries the 2 running radiances).
+   with ALL per-layer math inside the scan bodies, so no [C, L, ngpt]
+   intermediate beyond tautot/cldfmc/fracs is ever materialized.
 
 Tables are a plain dict (see tables.py) — identical layout to the
 reference's ``lwdict``, which enables the quantitative oracle test
@@ -234,21 +237,31 @@ def _take(tabT, ids):
     return jnp.take(tabT, ids, axis=0)
 
 
-def _self_for(bt, c):
+def _self_for_all(c, selfref_all, forref_all):
+    """Water-vapor self/foreign continuum for ALL bands at once: the
+    interpolation indices/factors are band-independent, so the per-band
+    selfref/forref tables concatenate along g and two weighted-selection
+    matmuls replace ~64 per-band fetches.  Lerp weights folded into the
+    row weights (reassociation roundoff only)."""
     inds = c["indself"] - 1
     indf = c["indfor"] - 1
-    selfT, forT = bt["selfref"], bt["forref"]
-    s0 = _take(selfT, inds)
-    s1 = _take(selfT, inds + 1)
-    tauself = c["selffac"][..., None] * (
-        s0 + c["selffrac"][..., None] * (s1 - s0)
+    sfac, sfrac = c["selffac"], c["selffrac"]
+    ffac, ffrac = c["forfac"], c["forfrac"]
+    tauself = _weighted_rows(
+        selfref_all,
+        [(inds, sfac * (1.0 - sfrac)), (inds + 1, sfac * sfrac)],
     )
-    f0 = _take(forT, indf)
-    f1 = _take(forT, indf + 1)
-    taufor = c["forfac"][..., None] * (
-        f0 + c["forfrac"][..., None] * (f1 - f0)
+    taufor = _weighted_rows(
+        forref_all,
+        [(indf, ffac * (1.0 - ffrac)), (indf + 1, ffac * ffrac)],
     )
     return tauself, taufor
+
+
+def _lerp_rows(tab, index, fint):
+    """(1-f)*tab[i] + f*tab[i+1] as ONE weighted-selection matmul
+    (expands the reference's lerp; matches to reassociation roundoff)."""
+    return _weighted_rows(tab, [(index, 1.0 - fint), (index + 1, fint)])
 
 
 def _minor1(tab, c):
@@ -263,36 +276,143 @@ def _minor2(tab, jm, fm, c):
     """2-D (species x temperature) minor interpolation; tab is
     [9, 19, ng], jm/fm [C, L].
 
-    Implemented as factored one-hot contractions (temperature axis,
-    then species axis) — bit-exact single-row selections that avoid the
-    four 2-axis advanced-indexing gathers.
-    """
-    indm = c["indminor"] - 1
-    jmc = jnp.clip(jm, 0, tab.shape[0] - 2)
-    imc = jnp.clip(indm, 0, tab.shape[1] - 2)
+    The 4-corner bilinear interpolation as ONE weighted selection over
+    the flattened [9*19] row axis — the corner weights
+    (1-fm)/(fm) x (1-minorfrac)/(minorfrac) expand the reference's
+    nested lerps, so the result matches to reassociation roundoff while
+    avoiding any [C, L, 9, ng] intermediate."""
     nj, ni = tab.shape[0], tab.shape[1]
-    hi = _MATMUL_PRECISION
+    indm = c["indminor"] - 1
+    jmc = jnp.clip(jm, 0, nj - 2)
+    imc = jnp.clip(indm, 0, ni - 2)
+    base = jmc * ni + imc
+    fm1 = 1.0 - fm
+    mf = c["minorfrac"]
+    mf1 = 1.0 - mf
+    return _weighted_rows(
+        tab.reshape(nj * ni, tab.shape[-1]),
+        [
+            (base, fm1 * mf1),
+            (base + ni, fm * mf1),
+            (base + 1, fm1 * mf),
+            (base + ni + 1, fm * mf),
+        ],
+    )
 
-    def ohj(d):
+
+# ---- factored k-table contraction machinery -------------------------
+#
+# Every absa/absb fetch in taumol selects rows of the form
+#   base * nspa + (js - 1) + species_offset
+# where base = (jp_off)*5 + (jt-1) indexes the reference-pressure x
+# reference-temperature grid and the pressure/temperature interpolation
+# weights (fac00/fac10 for the jp path, fac01/fac11 for jp+1) are BAND
+# INDEPENDENT.  Instead of one [C, L, rows] weighted one-hot per fetch
+# (~1 GB of HBM traffic each at C48), we build four SHARED base-row
+# weight matrices once, contract them with every band's table reshaped
+# to [nbase, nspa, ng] in a single merged einsum per atmosphere, and
+# apply the small data-dependent species stencil to the [C, L, nspa, g]
+# result.  Selected rows and weights are identical to the flat form;
+# only the summation association differs (f64 oracle rtol 1e-9 holds).
+NBASE_LO = 70  # 13 ref pressures x 5 temps, + the jp+1 path's rows 65-68
+               # and their +1 temperature offset (row 69)
+NBASE_HI = 236  # 47 x 5 for absb + the jp-12 path's +1 offset
+
+
+def _reshape_base(tab, nspa, nbase):
+    """Flat [rows, ng] k-table -> [nbase, nspa, ng] (zero-padded past the
+    stencil slack; padded rows are only addressed by opposite-atmosphere
+    lanes that the tropo mask discards)."""
+    rows = tab.shape[0]
+    need = nbase * nspa
+    if rows < need:
+        tab = jnp.pad(tab, ((0, need - rows), (0, 0)))
+    return tab[:need].reshape(nbase, nspa, tab.shape[-1])
+
+
+def _fac_weights(base, fac_a, fac_b, nbase, dtype):
+    """fac_a * onehot(base) + fac_b * onehot(base + 1), [C, L, nbase]."""
+    iota = jnp.arange(nbase, dtype=jnp.int32)
+    b0 = jnp.clip(base, 0, nbase - 1)[..., None]
+    b1 = jnp.clip(base + 1, 0, nbase - 1)[..., None]
+    return (b0 == iota).astype(dtype) * fac_a[..., None] + (
+        (b1 == iota).astype(dtype) * fac_b[..., None]
+    )
+
+
+def _merged_A(W, tabs, nspa, nbase):
+    """[C,L,nbase] x [nbase, nspa, sum_ng] -> [C,L,nspa,sum_ng]: the
+    pressure/temperature-interpolated table rows for a group of bands."""
+    tab = jnp.concatenate(
+        [_reshape_base(t, nspa, nbase) for t in tabs], axis=-1
+    )
+    return jnp.einsum(
+        "clb,bsg->clsg", W, tab, precision=_MATMUL_PRECISION
+    )
+
+
+def _merged_single(Wsum, tabs, nbase):
+    """Single-key-species variant: [C,L,nbase] x [nbase, sum_ng]."""
+    tab = jnp.concatenate(
+        [_reshape_base(t, 1, nbase)[:, 0] for t in tabs], axis=-1
+    )
+    return jnp.einsum(
+        "clb,bg->clg", Wsum, tab, precision=_MATMUL_PRECISION
+    )
+
+
+def _stencil3(specparm, fs, js, dtype):
+    """3-point species stencil as a [C, L, 9] weighted one-hot.  Weights
+    replicate the reference port's vectorized expression exactly,
+    including its where(...==0) selection quirks (radlw_bands.py:439-491);
+    the species offsets are (0,1,2) for the low/normal branches and
+    (1,0,-1) for specparm>0.875, matching the flat row ids."""
+    lo = specparm < 0.125
+    hi = specparm > 0.875
+    zero = jnp.zeros_like(fs)
+    p = jnp.where(lo, fs - 1.0, zero) + jnp.where(hi, -fs, zero)
+    p = jnp.where(p == 0, zero, p)
+    p4 = jnp.where(lo, p ** 4, zero) + jnp.where(hi, p ** 4, zero)
+    p4 = jnp.where(p4 == 0, zero, p4)
+    fk0 = jnp.where(lo, p4, zero) + jnp.where(hi, p ** 4, zero)
+    fk0 = jnp.where(fk0 == 0, 1.0 - fs, fk0)
+    fk1 = jnp.where(lo, 1.0 - p - 2.0 * p4, zero) + jnp.where(
+        hi, 1.0 - p - 2.0 * p4, zero
+    )
+    fk1 = jnp.where(fk1 == 0, fs, fk1)
+    fk2 = jnp.where(lo, p + p4, zero) + jnp.where(hi, p + p4, zero)
+    fk2 = jnp.where(fk2 == 0, zero, fk2)
+    izero = jnp.zeros_like(js)
+    ione = jnp.ones_like(js)
+    d0 = jnp.where(hi, ione, izero)
+    d1 = jnp.where(hi, izero, ione)
+    d2 = jnp.where(hi, -ione, 2 * ione)
+    j = js - 1
+    iota = jnp.arange(9, dtype=jnp.int32)
+
+    def oh(dj, w):
         return (
-            (jmc + d)[..., None] == jnp.arange(nj, dtype=jmc.dtype)
-        ).astype(tab.dtype)
+            jnp.clip(j + dj, 0, 8)[..., None] == iota
+        ).astype(dtype) * w[..., None]
 
-    def ohi(d):
-        return (
-            (imc + d)[..., None] == jnp.arange(ni, dtype=imc.dtype)
-        ).astype(tab.dtype)
+    return oh(d0, fk0) + oh(d1, fk1) + oh(d2, fk2)
 
-    A0 = jnp.einsum("cli,jig->cljg", ohi(0), tab, precision=hi)
-    A1 = jnp.einsum("cli,jig->cljg", ohi(1), tab, precision=hi)
-    oj0, oj1 = ohj(0), ohj(1)
 
-    def g(A, oj):
-        return jnp.einsum("clj,cljg->clg", oj, A, precision=hi)
+def _stencil2(fs, js, nspb, dtype):
+    """2-point species stencil [C, L, nspb] (upper-atmosphere tables)."""
+    j = js - 1
+    iota = jnp.arange(nspb, dtype=jnp.int32)
+    return (
+        (jnp.clip(j, 0, nspb - 1)[..., None] == iota).astype(dtype)
+        * (1.0 - fs)[..., None]
+        + (jnp.clip(j + 1, 0, nspb - 1)[..., None] == iota).astype(dtype)
+        * fs[..., None]
+    )
 
-    m1 = g(A0, oj0) + fm[..., None] * (g(A0, oj1) - g(A0, oj0))
-    m2 = g(A1, oj0) + fm[..., None] * (g(A1, oj1) - g(A1, oj0))
-    return m1 + c["minorfrac"][..., None] * (m2 - m1)
+
+def _contract(S, A):
+    """[C,L,s] species stencil applied to [C,L,s,g] -> [C,L,g]."""
+    return (S[..., None] * A).sum(axis=2)
 
 
 def _spec(colA, colB, rate):
@@ -322,43 +442,6 @@ def _jpl(colA, colB, refrat, mult=8.0):
     return j, f
 
 
-def _three_point(specparm, fs, ind0):
-    """The reference port's vectorized 3-point species stencil,
-    replicated exactly including its where(...==0) selection quirks
-    (radlw_bands.py:439-491) so the oracle comparison is bitwise-close."""
-    lo = specparm < 0.125
-    hi = specparm > 0.875
-    zero = jnp.zeros_like(fs)
-    izero = jnp.zeros_like(ind0)
-
-    p = jnp.where(lo, fs - 1.0, zero) + jnp.where(hi, -fs, zero)
-    p = jnp.where(p == 0, zero, p)
-    p4 = jnp.where(lo, p ** 4, zero) + jnp.where(hi, p ** 4, zero)
-    p4 = jnp.where(p4 == 0, zero, p4)
-    fk0 = jnp.where(lo, p4, zero) + jnp.where(hi, p ** 4, zero)
-    fk0 = jnp.where(fk0 == 0, 1.0 - fs, fk0)
-    fk1 = jnp.where(lo, 1.0 - p - 2.0 * p4, zero) + jnp.where(
-        hi, 1.0 - p - 2.0 * p4, zero
-    )
-    fk1 = jnp.where(fk1 == 0, fs, fk1)
-    fk2 = jnp.where(lo, p + p4, zero) + jnp.where(hi, p + p4, zero)
-    fk2 = jnp.where(fk2 == 0, zero, fk2)
-
-    def pick(off_lo, off_hi, fallback):
-        v = jnp.where(lo, ind0 + off_lo, izero) + jnp.where(
-            hi, ind0 + off_hi, izero
-        )
-        return jnp.where(v == 0, fallback, v)
-
-    id000 = pick(0, 1, ind0)
-    id010 = pick(9, 10, ind0 + 9)
-    id100 = pick(1, 0, ind0 + 1)
-    id110 = pick(10, 9, ind0 + 10)
-    id200 = pick(2, -1, ind0)
-    id210 = pick(11, 8, ind0)
-    return fk0, fk1, fk2, (id000, id010, id100, id110, id200, id210)
-
-
 def _weighted_rows(tabT, terms):
     """Σ_k w_k * tab[id_k] as ONE weighted-selection matmul.
 
@@ -384,66 +467,10 @@ def _weighted_rows(tabT, terms):
     )
 
 
-def _tau_major3(absaT, speccomb, fks, ids, fac00, fac10):
-    fk0, fk1, fk2 = fks
-    id000, id010, id100, id110, id200, id210 = ids
-    return _weighted_rows(
-        absaT,
-        [
-            (id000, speccomb * (fk0 * fac00)),
-            (id010, speccomb * (fk0 * fac10)),
-            (id100, speccomb * (fk1 * fac00)),
-            (id110, speccomb * (fk1 * fac10)),
-            (id200, speccomb * (fk2 * fac00)),
-            (id210, speccomb * (fk2 * fac10)),
-        ],
-    )
-
-
-def _tau_major2(absT, speccomb, fs, ind, fac00, fac10):
-    """Upper-atmosphere 2-point species stencil (offsets +5/+6)."""
-    fk0 = 1.0 - fs
-    fk1 = fs
-    return _weighted_rows(
-        absT,
-        [
-            (ind, speccomb * (fk0 * fac00)),
-            (ind + 5, speccomb * (fk0 * fac10)),
-            (ind + 1, speccomb * (fk1 * fac00)),
-            (ind + 6, speccomb * (fk1 * fac10)),
-        ],
-    )
-
-
-def _tau_single(tabT, col, c, ind0, ind1):
-    """Single-key-species 4-point pressure/temperature interpolation."""
-    return _weighted_rows(
-        tabT,
-        [
-            (ind0, col * c["fac00"]),
-            (ind0 + 1, col * c["fac10"]),
-            (ind1, col * c["fac01"]),
-            (ind1 + 1, col * c["fac11"]),
-        ],
-    )
-
-
 def _frac2(fracT, jpl, fpl):
     f0 = _take(fracT, jpl)
     f1 = _take(fracT, jpl + 1)
     return f0 + fpl[..., None] * (f1 - f0)
-
-
-def _inds_lower(c, nspa):
-    ind0 = ((c["jp"] - 1) * 5 + (c["jt"] - 1)) * nspa
-    ind1 = (c["jp"] * 5 + (c["jt1"] - 1)) * nspa
-    return ind0, ind1
-
-
-def _inds_upper(c, nspb):
-    ind0 = ((c["jp"] - 13) * 5 + (c["jt"] - 1)) * nspb
-    ind1 = ((c["jp"] - 12) * 5 + (c["jt1"] - 1)) * nspb
-    return jnp.maximum(ind0, 0), jnp.maximum(ind1, 0)
 
 
 def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
@@ -466,10 +493,81 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
             v, c["fac00"].shape + (v.shape[0],)
         )
 
+    # shared pressure/temperature base-row weight matrices + merged
+    # per-atmosphere table contractions (see the machinery note above)
+    dtype = c["fac00"].dtype
+    base0 = (jp - 1) * 5 + (c["jt"] - 1)
+    base1 = jp * 5 + (c["jt1"] - 1)
+    Wlo0 = _fac_weights(base0, c["fac00"], c["fac10"], NBASE_LO, dtype)
+    Wlo1 = _fac_weights(base1, c["fac01"], c["fac11"], NBASE_LO, dtype)
+    baseU0 = (jp - 13) * 5 + (c["jt"] - 1)
+    baseU1 = (jp - 12) * 5 + (c["jt1"] - 1)
+    Whi0 = _fac_weights(baseU0, c["fac00"], c["fac10"], NBASE_HI, dtype)
+    Whi1 = _fac_weights(baseU1, c["fac01"], c["fac11"], NBASE_HI, dtype)
+
+    SPEC_LO = (2, 3, 4, 6, 8, 11, 12, 14, 15)  # nspa=9 lower bands
+    SINGLE_LO = (0, 1, 5, 7, 9, 10, 13)
+    SPEC_HI = (2, 3, 4)  # nspb=5 upper bands
+    SINGLE_HI = (0, 1, 6, 7, 8, 9, 10, 13)
+    # band 16's nspb is 0, so the reference's flat upper index collapses
+    # to rows 0/1 regardless of jp/jt — handled inline at band 16
+
+    def _offsets(idx_list):
+        out, off = {}, 0
+        for i in idx_list:
+            out[i] = slice(off, off + P.NG_LW[i])
+            off += P.NG_LW[i]
+        return out
+
+    sl9 = _offsets(SPEC_LO)
+    sl1 = _offsets(SINGLE_LO)
+    sl5 = _offsets(SPEC_HI)
+    sh1 = _offsets(SINGLE_HI)
+
+    A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
+    A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
+    A1_lo = _merged_single(
+        Wlo0 + Wlo1, [B[i]["absa"] for i in SINGLE_LO], NBASE_LO
+    )
+    A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
+    A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
+    A1_hi = _merged_single(
+        Whi0 + Whi1, [B[i]["absb"] for i in SINGLE_HI], NBASE_HI
+    )
+
+    tauself_all, taufor_all = _self_for_all(
+        c,
+        jnp.concatenate([B[i]["selfref"] for i in range(16)], axis=-1),
+        jnp.concatenate([B[i]["forref"] for i in range(16)], axis=-1),
+    )
+
+    def self_for(b):
+        sl = slice(P.NS_LW[b], P.NS_LW[b] + P.NG_LW[b])
+        return tauself_all[..., sl], taufor_all[..., sl]
+
+    def tau_single_lo(i, col):
+        return col[..., None] * A1_lo[..., sl1[i]]
+
+    def tau_single_hi(i, col):
+        return col[..., None] * A1_hi[..., sh1[i]]
+
+    def tau_spec_lo(i, sc, sp, fs, js, sc1, sp1, fs1, js1):
+        return sc[..., None] * _contract(
+            _stencil3(sp, fs, js, dtype), A9_0[..., sl9[i]]
+        ) + sc1[..., None] * _contract(
+            _stencil3(sp1, fs1, js1, dtype), A9_1[..., sl9[i]]
+        )
+
+    def tau_spec_hi(i, scU, fsU, jsU, scU1, fsU1, jsU1):
+        return scU[..., None] * _contract(
+            _stencil2(fsU, jsU, 5, dtype), A5_0[..., sl5[i]]
+        ) + scU1[..., None] * _contract(
+            _stencil2(fsU1, jsU1, 5, dtype), A5_1[..., sl5[i]]
+        )
+
     # ---- band 1: h2o, minor n2 (both atmospheres) --------------------
     bt = B[0]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[0])
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(0)
     scalen2 = (colbrd * c["scaleminorn2"])[..., None]
     taun2_lo = scalen2 * _minor1(bt["ka_mn2"], c)
     pavel = c["pavel"]
@@ -477,13 +575,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         pavel < 250.0, 1.0 - 0.15 * (250.0 - pavel) / 154.4, 1.0
     )[..., None]
     lower = corradj_lo * (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
+        tau_single_lo(0, colamt[..., 0])
         + tauself + taufor + taun2_lo
     )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[0])
     corradj_hi = (1.0 - 0.15 * (pavel / 95.6))[..., None]
     upper = corradj_hi * (
-        _tau_single(bt["absb"], colamt[..., 0], c, u0, u1)
+        tau_single_hi(0, colamt[..., 0])
         + taufor + taun2_lo
     )
     taus.append(combine(lower, upper))
@@ -493,15 +590,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 2: h2o --------------------------------------------------
     bt = B[1]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[1])
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(1)
     corradj = (1.0 - 0.05 * (pavel - 100.0) / 900.0)[..., None]
     lower = corradj * (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
-        + tauself + taufor
+        tau_single_lo(1, colamt[..., 0]) + tauself + taufor
     )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[1])
-    upper = _tau_single(bt["absb"], colamt[..., 0], c, u0, u1) + taufor
+    upper = tau_single_hi(1, colamt[..., 0]) + taufor
     taus.append(combine(lower, upper))
     fracs_all.append(
         combine(bcast1(bt["fracrefa"]), bcast1(bt["fracrefb"]))
@@ -515,9 +609,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_m_b = chi[0, 12] / chi[1, 12]
     h2o, co2, n2o = colamt[..., 0], colamt[..., 1], colamt[..., 3]
     sc, sp, js, fs = _spec(h2o, co2, c["rfrate"][..., 0, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[2] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, co2, c["rfrate"][..., 0, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[2] + js1 - 1
     jmn2o, fmn2o = _jpl(h2o, co2, refrat_m_a)
     jpl_, fpl = _jpl(h2o, co2, refrat_pl_a)
     ratn2o = n2o / (coldry * jnp.take(chi[3], jp))
@@ -527,31 +619,21 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[3], jp)),
         n2o,
     )
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(2)
     absn2o = _minor2(bt["ka_mn2o"], jmn2o, fmn2o, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(2, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor + adjcoln2o[..., None] * absn2o
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
     # upper
     scU, spU, jsU, fsU = _spec_upper(h2o, co2, c["rfrate"][..., 0, 0])
-    u0 = ((jp - 13) * 5 + (c["jt"] - 1)) * P.NSPB_LW[2] + jsU - 1
     scU1, spU1, jsU1, fsU1 = _spec_upper(h2o, co2, c["rfrate"][..., 0, 1])
-    u1 = ((jp - 12) * 5 + (c["jt1"] - 1)) * P.NSPB_LW[2] + jsU1 - 1
-    u0 = jnp.maximum(u0, 0)
-    u1 = jnp.maximum(u1, 0)
     jmn2oU, fmn2oU = _jpl(h2o, co2, refrat_m_b, mult=4.0)
     jplU, fplU = _jpl(h2o, co2, refrat_pl_b, mult=4.0)
     absn2oU = _minor2(bt["kb_mn2o"], jmn2oU, fmn2oU, c)
     upper = (
-        _tau_major2(bt["absb"], scU, fsU, u0, c["fac00"], c["fac10"])
-        + _tau_major2(bt["absb"], scU1, fsU1, u1, c["fac01"], c["fac11"])
+        tau_spec_hi(2, scU, fsU, jsU, scU1, fsU1, jsU1)
         + taufor + adjcoln2o[..., None] * absn2oU
     )
     fr_hi = _frac2(bt["fracrefb"], jplU, fplU)
@@ -564,31 +646,18 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_pl_b = chi[2, 12] / chi[1, 12]
     o3 = colamt[..., 2]
     sc, sp, js, fs = _spec(h2o, co2, c["rfrate"][..., 0, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[3] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, co2, c["rfrate"][..., 0, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[3] + js1 - 1
     jpl_, fpl = _jpl(h2o, co2, refrat_pl_a)
-    tauself, taufor = _self_for(bt, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
+    tauself, taufor = self_for(3)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(3, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
     scU, spU, jsU, fsU = _spec_upper(o3, co2, c["rfrate"][..., 5, 0])
-    u0 = ((jp - 13) * 5 + (c["jt"] - 1)) * P.NSPB_LW[3] + jsU - 1
     scU1, spU1, jsU1, fsU1 = _spec_upper(o3, co2, c["rfrate"][..., 5, 1])
-    u1 = ((jp - 12) * 5 + (c["jt1"] - 1)) * P.NSPB_LW[3] + jsU1 - 1
-    u0 = jnp.maximum(u0, 0)
-    u1 = jnp.maximum(u1, 0)
     jplU, fplU = _jpl(o3, co2, refrat_pl_b, mult=4.0)
-    upper = _tau_major2(
-        bt["absb"], scU, fsU, u0, c["fac00"], c["fac10"]
-    ) + _tau_major2(bt["absb"], scU1, fsU1, u1, c["fac01"], c["fac11"])
+    upper = tau_spec_hi(3, scU, fsU, jsU, scU1, fsU1, jsU1)
     # stratospheric co2 cooling-rate adjustment (g-point weights)
     adj = np.ones(P.NG_LW[3])
     adj[7:14] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.88, 0.943]
@@ -603,35 +672,23 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_pl_b = chi[2, 42] / chi[1, 42]
     refrat_m_a = chi[0, 6] / chi[1, 6]
     sc, sp, js, fs = _spec(h2o, co2, c["rfrate"][..., 0, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[4] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, co2, c["rfrate"][..., 0, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[4] + js1 - 1
     jmo3, fmo3 = _jpl(h2o, co2, refrat_m_a)
     jpl_, fpl = _jpl(h2o, co2, refrat_pl_a)
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(4)
     abso3 = _minor2(bt["ka_mo3"], jmo3, fmo3, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(4, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor
         + abso3 * o3[..., None]
         + wx[..., 0:1] * bt["ccl4"]
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
     scU, spU, jsU, fsU = _spec_upper(o3, co2, c["rfrate"][..., 5, 0])
-    u0 = ((jp - 13) * 5 + (c["jt"] - 1)) * P.NSPB_LW[4] + jsU - 1
     scU1, spU1, jsU1, fsU1 = _spec_upper(o3, co2, c["rfrate"][..., 5, 1])
-    u1 = ((jp - 12) * 5 + (c["jt1"] - 1)) * P.NSPB_LW[4] + jsU1 - 1
-    u0 = jnp.maximum(u0, 0)
-    u1 = jnp.maximum(u1, 0)
     jplU, fplU = _jpl(o3, co2, refrat_pl_b, mult=4.0)
     upper = (
-        _tau_major2(bt["absb"], scU, fsU, u0, c["fac00"], c["fac10"])
-        + _tau_major2(bt["absb"], scU1, fsU1, u1, c["fac01"], c["fac11"])
+        tau_spec_hi(4, scU, fsU, jsU, scU1, fsU1, jsU1)
         + wx[..., 0:1] * bt["ccl4"]
     )
     fr_hi = _frac2(bt["fracrefb"], jplU, fplU)
@@ -640,8 +697,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 6: h2o lower (minor co2, cfc11/12); cfc-only upper -----
     bt = B[5]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[5])
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(5)
     ratco2 = co2 / (coldry * jnp.take(chi[1], jp + 1))
     adjcolco2 = jnp.where(
         ratco2 > 3.0,
@@ -654,7 +710,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         wx[..., 1:2] * bt["cfc11adj"] + wx[..., 2:3] * bt["cfc12"]
     )
     lower = (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
+        tau_single_lo(5, colamt[..., 0])
         + tauself + taufor + adjcolco2[..., None] * absco2 + cfcs
     )
     upper = cfcs
@@ -666,9 +722,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_pl_a = chi[0, 2] / chi[2, 2]
     refrat_m_a = chi[0, 2] / chi[2, 2]
     sc, sp, js, fs = _spec(h2o, o3, c["rfrate"][..., 1, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[6] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, o3, c["rfrate"][..., 1, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[6] + js1 - 1
     jmco2, fmco2 = _jpl(h2o, o3, refrat_m_a)
     jpl_, fpl = _jpl(h2o, o3, refrat_pl_a)
     ratco2_lo = co2 / (coldry * jnp.take(chi[1], jp))
@@ -678,15 +732,10 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[1], jp)),
         co2,
     )
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(6)
     absco2_lo = _minor2(bt["ka_mco2"], jmco2, fmco2, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(6, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor + adjco2_lo[..., None] * absco2_lo
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
@@ -696,10 +745,9 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[1], jp)),
         co2,
     )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[6])
     absco2_hi = _minor1(bt["kb_mco2"], c)
     upper = (
-        _tau_single(bt["absb"], o3, c, u0, u1)
+        tau_single_hi(6, o3)
         + adjco2_hi[..., None] * absco2_hi
     )
     adj = np.ones(P.NG_LW[6])
@@ -710,8 +758,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 8: h2o lower (minors co2,o3,n2o,cfc) / o3 upper --------
     bt = B[7]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[7])
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(7)
     ratco2 = co2 / (coldry * jnp.take(chi[1], jp))
     adjcolco2 = jnp.where(
         ratco2 > 3.0,
@@ -721,16 +768,15 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     )
     cfc = wx[..., 2:3] * bt["cfc12"] + wx[..., 3:4] * bt["cfc22adj"]
     lower = (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
+        tau_single_lo(7, colamt[..., 0])
         + tauself + taufor
         + adjcolco2[..., None] * _minor1(bt["ka_mco2"], c)
         + o3[..., None] * _minor1(bt["ka_mo3"], c)
         + n2o[..., None] * _minor1(bt["ka_mn2o"], c)
         + cfc
     )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[7])
     upper = (
-        _tau_single(bt["absb"], o3, c, u0, u1)
+        tau_single_hi(7, o3)
         + adjcolco2[..., None] * _minor1(bt["kb_mco2"], c)
         + n2o[..., None] * _minor1(bt["kb_mn2o"], c)
         + cfc
@@ -746,9 +792,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_pl_a = chi[0, 8] / chi[5, 8]
     refrat_m_a = chi[0, 2] / chi[5, 2]
     sc, sp, js, fs = _spec(h2o, ch4, c["rfrate"][..., 3, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[8] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, ch4, c["rfrate"][..., 3, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[8] + js1 - 1
     jmn2o, fmn2o = _jpl(h2o, ch4, refrat_m_a)
     jpl_, fpl = _jpl(h2o, ch4, refrat_pl_a)
     ratn2o = n2o / (coldry * jnp.take(chi[3], jp))
@@ -758,21 +802,15 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[3], jp)),
         n2o,
     )
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(8)
     absn2o = _minor2(bt["ka_mn2o"], jmn2o, fmn2o, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(8, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor + adjcoln2o[..., None] * absn2o
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
-    u0, u1 = _inds_upper(c, P.NSPB_LW[8])
     upper = (
-        _tau_single(bt["absb"], ch4, c, u0, u1)
+        tau_single_hi(8, ch4)
         + adjcoln2o[..., None] * _minor1(bt["kb_mn2o"], c)
     )
     taus.append(combine(lower, upper))
@@ -780,14 +818,9 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 10: h2o both ------------------------------------------
     bt = B[9]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[9])
-    tauself, taufor = _self_for(bt, c)
-    lower = (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
-        + tauself + taufor
-    )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[9])
-    upper = _tau_single(bt["absb"], colamt[..., 0], c, u0, u1) + taufor
+    tauself, taufor = self_for(9)
+    lower = tau_single_lo(9, colamt[..., 0]) + tauself + taufor
+    upper = tau_single_hi(9, colamt[..., 0]) + taufor
     taus.append(combine(lower, upper))
     fracs_all.append(
         combine(bcast1(bt["fracrefa"]), bcast1(bt["fracrefb"]))
@@ -795,16 +828,14 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 11: h2o both (minor o2) --------------------------------
     bt = B[10]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[10])
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(10)
     scaleo2 = (colamt[..., 5] * c["scaleminor"])[..., None]
     lower = (
-        _tau_single(bt["absa"], colamt[..., 0], c, ind0, ind1)
+        tau_single_lo(10, colamt[..., 0])
         + tauself + taufor + scaleo2 * _minor1(bt["ka_mo2"], c)
     )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[10])
     upper = (
-        _tau_single(bt["absb"], colamt[..., 0], c, u0, u1)
+        tau_single_hi(10, colamt[..., 0])
         + taufor + scaleo2 * _minor1(bt["kb_mo2"], c)
     )
     taus.append(combine(lower, upper))
@@ -816,9 +847,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     bt = B[11]
     refrat_pl_a = chi[0, 9] / chi[1, 9]
     sc, sp, js, fs = _spec(h2o, co2, c["rfrate"][..., 0, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[11] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, co2, c["rfrate"][..., 0, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[11] + js1 - 1
     # planck: clamp specparm to oneminus BEFORE mult (reference quirk,
     # radlw_bands.py:2584-2588)
     spk = h2o / (h2o + refrat_pl_a * co2)
@@ -826,14 +855,9 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     smk = 8.0 * spk
     jpl_ = smk.astype(jnp.int32)
     fpl = smk % 1.0
-    tauself, taufor = _self_for(bt, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
+    tauself, taufor = self_for(11)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(11, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
@@ -846,9 +870,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_m_a = chi[0, 0] / chi[3, 0]
     refrat_m_a3 = chi[0, 2] / chi[3, 2]
     sc, sp, js, fs = _spec(h2o, n2o, c["rfrate"][..., 2, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[12] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, n2o, c["rfrate"][..., 2, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[12] + js1 - 1
     jmco2, fmco2 = _jpl(h2o, n2o, refrat_m_a)
     jmco, fmco = _jpl(h2o, n2o, refrat_m_a3)
     jpl_, fpl = _jpl(h2o, n2o, refrat_pl_a)
@@ -858,16 +880,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         (2.0 + (ratco2 - 2.0) ** 0.68) * (coldry * 3.55e-4),
         co2,
     )
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(12)
     absco2 = _minor2(bt["ka_mco2"], jmco2, fmco2, c)
     absco = _minor2(bt["ka_mco"], jmco, fmco, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(12, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor
         + adjcolco2[..., None] * absco2
         + colamt[..., 6:7] * absco
@@ -879,13 +896,9 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     # ---- band 14: co2 both -------------------------------------------
     bt = B[13]
-    ind0, ind1 = _inds_lower(c, P.NSPA_LW[13])
-    tauself, taufor = _self_for(bt, c)
-    lower = (
-        _tau_single(bt["absa"], co2, c, ind0, ind1) + tauself + taufor
-    )
-    u0, u1 = _inds_upper(c, P.NSPB_LW[13])
-    upper = _tau_single(bt["absb"], co2, c, u0, u1)
+    tauself, taufor = self_for(13)
+    lower = tau_single_lo(13, co2) + tauself + taufor
+    upper = tau_single_hi(13, co2)
     taus.append(combine(lower, upper))
     fracs_all.append(
         combine(bcast1(bt["fracrefa"]), bcast1(bt["fracrefb"]))
@@ -896,21 +909,14 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     refrat_pl_a = chi[3, 0] / chi[1, 0]
     refrat_m_a = chi[3, 0] / chi[1, 0]
     sc, sp, js, fs = _spec(n2o, co2, c["rfrate"][..., 4, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[14] + js - 1
     sc1, sp1, js1, fs1 = _spec(n2o, co2, c["rfrate"][..., 4, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[14] + js1 - 1
     jmn2, fmn2 = _jpl(n2o, co2, refrat_m_a)
     jpl_, fpl = _jpl(n2o, co2, refrat_pl_a)
     scalen2 = (colbrd * c["scaleminor"])[..., None]
-    tauself, taufor = _self_for(bt, c)
+    tauself, taufor = self_for(14)
     taun2 = scalen2 * _minor2(bt["ka_mn2"], jmn2, fmn2, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(14, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor + taun2
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
@@ -921,23 +927,20 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     bt = B[15]
     refrat_pl_a = chi[0, 5] / chi[5, 5]
     sc, sp, js, fs = _spec(h2o, ch4, c["rfrate"][..., 3, 0])
-    ind0 = ((jp - 1) * 5 + (c["jt"] - 1)) * P.NSPA_LW[15] + js - 1
     sc1, sp1, js1, fs1 = _spec(h2o, ch4, c["rfrate"][..., 3, 1])
-    ind1 = (jp * 5 + (c["jt1"] - 1)) * P.NSPA_LW[15] + js1 - 1
     jpl_, fpl = _jpl(h2o, ch4, refrat_pl_a)
-    tauself, taufor = _self_for(bt, c)
-    f3 = _three_point(sp, fs, ind0)
-    f31 = _three_point(sp1, fs1, ind1)
+    tauself, taufor = self_for(15)
     lower = (
-        _tau_major3(bt["absa"], sc, f3[:3], f3[3], c["fac00"], c["fac10"])
-        + _tau_major3(
-            bt["absa"], sc1, f31[:3], f31[3], c["fac01"], c["fac11"]
-        )
+        tau_spec_lo(15, sc, sp, fs, js, sc1, sp1, fs1, js1)
         + tauself + taufor
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
-    u0, u1 = _inds_upper(c, P.NSPB_LW[15])
-    upper = _tau_single(bt["absb"], ch4, c, u0, u1)
+    # nspb=0 quirk: flat upper rows collapse to 0 (fac00/fac01) and 1
+    # (fac10/fac11) for every layer
+    upper = ch4[..., None] * (
+        (c["fac00"] + c["fac01"])[..., None] * bt["absb"][0]
+        + (c["fac10"] + c["fac11"])[..., None] * bt["absb"][1]
+    )
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
 
@@ -974,10 +977,8 @@ def cldprop_lw(
         factor = relw - 1.5
         index = jnp.clip(_trunc(factor), 1.0, 57.0).astype(jnp.int32) - 1
         fint = factor - (index + 1).astype(dtype)
-        a0 = _take(absliq1, index)  # [C, L, nbands]
-        a1 = _take(absliq1, index + 1)
         tauliq = jnp.maximum(
-            0.0, clwp[..., None] * (a0 + fint[..., None] * (a1 - a0))
+            0.0, clwp[..., None] * _lerp_rows(absliq1, index, fint)
         )
         tauliq = jnp.where((clwp > 0.0)[..., None], tauliq, 0.0)
     else:
@@ -988,10 +989,8 @@ def cldprop_lw(
         factor = (dgeice - 2.0) / 3.0
         index = jnp.clip(_trunc(factor), 1.0, 45.0).astype(jnp.int32) - 1
         fint = factor - (index + 1).astype(dtype)
-        i0 = _take(absice3, index)
-        i1 = _take(absice3, index + 1)
         tauice = jnp.maximum(
-            0.0, ciwp[..., None] * (i0 + fint[..., None] * (i1 - i0))
+            0.0, ciwp[..., None] * _lerp_rows(absice3, index, fint)
         )
         tauice = jnp.where((ciwp > 0.0)[..., None], tauice, 0.0)
     else:
@@ -1066,155 +1065,174 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
     approximation of exactly these expressions, so the deviation is the
     table quantization (~1e-4) — but the direct form avoids six 62M-index
     gathers per call, which dominate on TPU.  The oracle tests keep the
-    exact table path (default)."""
+    exact table path (default).
+
+    TPU design: ALL per-layer elementwise math lives INSIDE the two
+    layer scans, so no [C, L, G] intermediate beyond the three inputs is
+    ever materialized (the old fully-vectorized form wrote ~20 of them —
+    5 GB of HBM traffic at C48).  The downward and upward passes
+    recompute the shared layer quantities from the same input slices;
+    the extra VPU flops are free next to the saved bandwidth."""
     dtype = tautot.dtype
     C, L, G = tautot.shape
-    ngb = jnp.asarray(np.asarray(P.NGB_LW), jnp.int32)
+    ngb = np.asarray(P.NGB_LW)
     rec_6 = 0.166667
     eps = P.EPS
 
-    secdif_g = jnp.take(secdif, ngb, axis=1)  # [C, G]
-    semiss_g = jnp.take(semiss, ngb, axis=1)
-    taucld_g = jnp.take(taucld, ngb, axis=2)  # [C, L, G]
-    pklay_g = jnp.take(pklay, ngb, axis=1)  # [C, G, L+1]
-    pklev_g = jnp.take(pklev, ngb, axis=1)
+    # static band->g expansion as a bit-exact one-hot contraction
+    # (constant-index gathers lower poorly on TPU)
+    expand = jnp.asarray(
+        np.eye(P.NBANDS_LW)[:, ngb], dtype
+    )  # [nbands, G]
 
-    # ---- k-local quantities, fully vectorized [C, L, G] --------------
-    odepth_raw = jnp.maximum(0.0, secdif_g[:, None, :] * tautot)
-    small = odepth_raw <= 0.06
-    if fast_exp:
-        trng_big = jnp.exp(-jnp.minimum(odepth_raw, 500.0))
-        tfn_big = 1.0 - 2.0 * (
-            1.0 / jnp.maximum(odepth_raw, 0.06)
-            - trng_big / jnp.maximum(1.0 - trng_big, 1e-30)
+    def bexp(x):  # [..., nbands] -> [..., G]
+        return jnp.einsum(
+            "...b,bg->...g", x, expand, precision=_MATMUL_PRECISION
         )
-        atrgas = jnp.where(
-            small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
-            1.0 - trng_big,
-        )
-        trng = jnp.where(small, 1.0 - atrgas, trng_big)
-        gasfac = jnp.where(small, rec_6 * odepth_raw, tfn_big)
-        odepth = odepth_raw
-    else:
+
+    secdif_g = bexp(secdif)  # [C, G]
+    semiss_g = bexp(semiss)
+    if not fast_exp:
         tau_tbl, exp_tbl, tfn_tbl = _make_rt_tables(dtype)
-        tblind = odepth_raw / (P.BPADE + odepth_raw)
-        itgas = jnp.clip(
-            _trunc(P.NTBL * tblind + 0.5), 0, P.NTBL
-        ).astype(jnp.int32)
-        trng_tab = jnp.take(exp_tbl, itgas)
-        atrgas = jnp.where(
-            small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
-            1.0 - trng_tab,
-        )
-        trng = jnp.where(small, 1.0 - atrgas, trng_tab)
-        gasfac = jnp.where(
-            small, rec_6 * odepth_raw, jnp.take(tfn_tbl, itgas)
-        )
-        odepth = jnp.where(small, odepth_raw, jnp.take(tau_tbl, itgas))
 
-    plfrac = fracs
-    blay = pklay_g[:, :, 1:].swapaxes(1, 2)  # [C, L, G]
-    dplnku = pklev_g[:, :, 1:].swapaxes(1, 2) - blay
-    dplnkd = pklev_g[:, :, :-1].swapaxes(1, 2) - blay
-    bbdgas = plfrac * (blay + dplnkd * gasfac)
-    bbugas = plfrac * (blay + dplnku * gasfac)
-    gassrcd = bbdgas * atrgas
-    gassrcu = bbugas * atrgas
+    def layer_quants(xs):
+        """Per-layer [C, G] transmittances and Planck sources (the
+        reference's k-loop body, batched over columns and g-points)."""
+        tau_k, cldf_k, frac_k, taucld_k, blay_k, plevlo_k, plevhi_k = xs
+        odepth_raw = jnp.maximum(0.0, secdif_g * tau_k)
+        small = odepth_raw <= 0.06
+        if fast_exp:
+            trng_big = jnp.exp(-jnp.minimum(odepth_raw, 500.0))
+            tfn_big = 1.0 - 2.0 * (
+                1.0 / jnp.maximum(odepth_raw, 0.06)
+                - trng_big / jnp.maximum(1.0 - trng_big, 1e-30)
+            )
+            atrgas = jnp.where(
+                small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
+                1.0 - trng_big,
+            )
+            trng = jnp.where(small, 1.0 - atrgas, trng_big)
+            gasfac = jnp.where(small, rec_6 * odepth_raw, tfn_big)
+            odepth = odepth_raw
+        else:
+            tblind = odepth_raw / (P.BPADE + odepth_raw)
+            itgas = jnp.clip(
+                _trunc(P.NTBL * tblind + 0.5), 0, P.NTBL
+            ).astype(jnp.int32)
+            trng_tab = jnp.take(exp_tbl, itgas)
+            atrgas = jnp.where(
+                small, odepth_raw - 0.5 * odepth_raw * odepth_raw,
+                1.0 - trng_tab,
+            )
+            trng = jnp.where(small, 1.0 - atrgas, trng_tab)
+            gasfac = jnp.where(
+                small, rec_6 * odepth_raw, jnp.take(tfn_tbl, itgas)
+            )
+            odepth = jnp.where(
+                small, odepth_raw, jnp.take(tau_tbl, itgas)
+            )
 
-    cloudy = cldfmc >= eps
-    odcld = secdif_g[:, None, :] * taucld_g
-    efclrfr = 1.0 - (1.0 - jnp.exp(-odcld)) * cldfmc
-    odtot = odepth + odcld
-    small_t = odtot < 0.06
-    if fast_exp:
-        exp_t = jnp.exp(-jnp.minimum(odtot, 500.0))
-        tfn_t = 1.0 - 2.0 * (
-            1.0 / jnp.maximum(odtot, 0.06)
-            - exp_t / jnp.maximum(1.0 - exp_t, 1e-30)
-        )
-        totfac = jnp.where(small_t, rec_6 * odtot, tfn_t)
-        atrtot = jnp.where(
-            small_t, odtot - 0.5 * odtot * odtot, 1.0 - exp_t
-        )
-    else:
-        tblind_t = odtot / (P.BPADE + odtot)
-        ittot = jnp.clip(
-            _trunc(P.NTBL * tblind_t + 0.5), 0, P.NTBL
-        ).astype(jnp.int32)
-        totfac = jnp.where(
-            small_t, rec_6 * odtot, jnp.take(tfn_tbl, ittot)
-        )
-        atrtot = jnp.where(
-            small_t, odtot - 0.5 * odtot * odtot,
-            1.0 - jnp.take(exp_tbl, ittot),
-        )
-    bbdtot = plfrac * (blay + dplnkd * totfac)
-    bbutot = plfrac * (blay + dplnku * totfac)
-    totsrcd = bbdtot * atrtot
-    totsrcu = bbutot * atrtot
+        blay = bexp(blay_k)
+        dplnku = bexp(plevhi_k) - blay
+        dplnkd = bexp(plevlo_k) - blay
+        bbdgas = frac_k * (blay + dplnkd * gasfac)
+        bbugas = frac_k * (blay + dplnku * gasfac)
+        gassrcd = bbdgas * atrgas
+        gassrcu = bbugas * atrgas
 
-    # effective per-layer transmission/source for the total-sky stream
-    trans_tot = jnp.where(cloudy, trng * efclrfr, trng)
-    srcd_tot = jnp.where(
-        cloudy, gassrcd + cldfmc * (totsrcd - gassrcd), gassrcd
+        cloudy = cldf_k >= eps
+        odcld = secdif_g * bexp(taucld_k)
+        efclrfr = 1.0 - (1.0 - jnp.exp(-odcld)) * cldf_k
+        odtot = odepth + odcld
+        small_t = odtot < 0.06
+        if fast_exp:
+            exp_t = jnp.exp(-jnp.minimum(odtot, 500.0))
+            tfn_t = 1.0 - 2.0 * (
+                1.0 / jnp.maximum(odtot, 0.06)
+                - exp_t / jnp.maximum(1.0 - exp_t, 1e-30)
+            )
+            totfac = jnp.where(small_t, rec_6 * odtot, tfn_t)
+            atrtot = jnp.where(
+                small_t, odtot - 0.5 * odtot * odtot, 1.0 - exp_t
+            )
+        else:
+            tblind_t = odtot / (P.BPADE + odtot)
+            ittot = jnp.clip(
+                _trunc(P.NTBL * tblind_t + 0.5), 0, P.NTBL
+            ).astype(jnp.int32)
+            totfac = jnp.where(
+                small_t, rec_6 * odtot, jnp.take(tfn_tbl, ittot)
+            )
+            atrtot = jnp.where(
+                small_t, odtot - 0.5 * odtot * odtot,
+                1.0 - jnp.take(exp_tbl, ittot),
+            )
+        bbdtot = frac_k * (blay + dplnkd * totfac)
+        bbutot = frac_k * (blay + dplnku * totfac)
+        totsrcd = bbdtot * atrtot
+        totsrcu = bbutot * atrtot
+
+        trans_tot = jnp.where(cloudy, trng * efclrfr, trng)
+        srcd_tot = jnp.where(
+            cloudy, gassrcd + cldf_k * (totsrcd - gassrcd), gassrcd
+        )
+        srcu_tot = jnp.where(
+            cloudy, gassrcu + cldf_k * (totsrcu - gassrcu), gassrcu
+        )
+        return trans_tot, srcd_tot, srcu_tot, trng, gassrcd, gassrcu
+
+    # scan inputs: the three [C, L, G] arrays layer-major, plus the
+    # band-resolution cloud/Planck slices (tiny)
+    xs = (
+        jnp.moveaxis(tautot, 1, 0),
+        jnp.moveaxis(cldfmc, 1, 0),
+        jnp.moveaxis(fracs, 1, 0),
+        jnp.moveaxis(taucld, 1, 0),
+        jnp.moveaxis(pklay[:, :, 1:], 2, 0),
+        jnp.moveaxis(pklev[:, :, :-1], 2, 0),
+        jnp.moveaxis(pklev[:, :, 1:], 2, 0),
     )
-    srcu_tot = jnp.where(
-        cloudy, gassrcu + cldfmc * (totsrcu - gassrcu), gassrcu
-    )
 
-    # ---- downward recurrence (TOA -> surface) ------------------------
-    def down_body(carry, xs):
+    # ---- downward recurrence (TOA -> surface), k = L-1 .. 0 ----------
+    def down_body(carry, xs_k):
         radtotd, radclrd = carry
-        t_tot, s_tot, t_clr, s_clr = xs
+        t_tot, s_tot, _, t_clr, s_clr, _ = layer_quants(xs_k)
         radtotd = radtotd * t_tot + s_tot
         radclrd = radclrd * t_clr + s_clr
-        return (radtotd, radclrd), (radtotd, radclrd)
+        return (radtotd, radclrd), (radtotd.sum(-1), radclrd.sum(-1))
 
-    # iterate k = L-1 .. 0
-    xs_down = (
-        trans_tot[:, ::-1].transpose(1, 0, 2),
-        srcd_tot[:, ::-1].transpose(1, 0, 2),
-        trng[:, ::-1].transpose(1, 0, 2),
-        gassrcd[:, ::-1].transpose(1, 0, 2),
-    )
+    xs_down = jax.tree_util.tree_map(lambda a: a[::-1], xs)
     zero = jnp.zeros((C, G), dtype)
     (radtotd_sfc, radclrd_sfc), (down_tot, down_clr) = lax.scan(
         down_body, (zero, zero), xs_down
     )
-    # down_tot[i] = radiance at level (L-1-i), i.e. bottom of layer k
-    totdrad = jnp.concatenate(
-        [down_tot[::-1], zero[None]], axis=0
-    )  # [L+1, C, G] levels 0..L
-    clrdrad = jnp.concatenate([down_clr[::-1], zero[None]], axis=0)
+    zerosum = jnp.zeros((1, C), dtype)
+    # down_tot[i] = G-summed radiance at level (L-1-i)
+    totdrad = jnp.concatenate([down_tot[::-1], zerosum], axis=0)
+    clrdrad = jnp.concatenate([down_clr[::-1], zerosum], axis=0)
 
     # ---- surface reflection + upward recurrence ----------------------
     reflct = 1.0 - semiss_g
-    rad0 = semiss_g * fracs[:, 0, :] * pklay_g[:, :, 0]
+    rad0 = semiss_g * fracs[:, 0, :] * bexp(pklay[:, :, 0])
     radtotu0 = rad0 + reflct * radtotd_sfc
     radclru0 = rad0 + reflct * radclrd_sfc
 
-    def up_body(carry, xs):
+    def up_body(carry, xs_k):
         radtotu, radclru = carry
-        t_tot, s_tot, t_clr, s_clr = xs
+        t_tot, _, s_tot, t_clr, _, s_clr = layer_quants(xs_k)
         radtotu = radtotu * t_tot + s_tot
         radclru = radclru * t_clr + s_clr
-        return (radtotu, radclru), (radtotu, radclru)
+        return (radtotu, radclru), (radtotu.sum(-1), radclru.sum(-1))
 
-    xs_up = (
-        trans_tot.transpose(1, 0, 2),
-        srcu_tot.transpose(1, 0, 2),
-        trng.transpose(1, 0, 2),
-        gassrcu.transpose(1, 0, 2),
-    )
-    _, (up_tot, up_clr) = lax.scan(up_body, (radtotu0, radclru0), xs_up)
-    toturad = jnp.concatenate([radtotu0[None], up_tot], axis=0)
-    clrurad = jnp.concatenate([radclru0[None], up_clr], axis=0)
+    _, (up_tot, up_clr) = lax.scan(up_body, (radtotu0, radclru0), xs)
+    toturad = jnp.concatenate([radtotu0.sum(-1)[None], up_tot], axis=0)
+    clrurad = jnp.concatenate([radclru0.sum(-1)[None], up_clr], axis=0)
 
     flxfac = P.WTDIFF * P.FLUXFAC
-    totuflux = toturad.sum(axis=-1).T * flxfac  # [C, L+1]
-    totdflux = totdrad.sum(axis=-1).T * flxfac
-    totuclfl = clrurad.sum(axis=-1).T * flxfac
-    totdclfl = clrdrad.sum(axis=-1).T * flxfac
+    totuflux = toturad.T * flxfac  # [C, L+1]
+    totdflux = totdrad.T * flxfac
+    totuclfl = clrurad.T * flxfac
+    totdclfl = clrdrad.T * flxfac
 
     rfdelp = P.HEATFAC / delp
     fnet = totuflux - totdflux

@@ -7,10 +7,13 @@ radsw_bands.py) — correlated-k gas optics over 112 g-points in 14 bands
 overlap, delta-scaled PIFM two-stream with vertical quadrature (vrtqdr).
 
 Same TPU-first design as lw.py: fully batched [ncol, nlay], troposphere
-mask instead of laytrop slicing, table gathers, and the three vrtqdr
-recurrences as ``lax.scan``s with all layer-local two-stream quantities
-precomputed vectorized.  Tables are the reference's ``swdict`` layout
-(tables.make_sw_tables) enabling oracle validation.
+mask instead of laytrop slicing, factored weighted-selection matmuls
+for every k-table fetch (shared base-row weight matrices + small
+species stencils), and the vrtqdr recurrences as two ``lax.scan``s over
+layers with the PIFM two-stream evaluation INSIDE the scan bodies, so
+almost no [C, L, ngpt] intermediates are materialized.  Tables are the
+reference's ``swdict`` layout (tables.make_sw_tables) enabling oracle
+validation.
 """
 from __future__ import annotations
 
@@ -128,106 +131,18 @@ def _take(tab, ids):
     return jnp.take(tab, ids, axis=0)
 
 
-def _self_for_sw(bt, c, with_self=True):
-    """Water-vapor self/foreign continuum terms, INCLUDING the h2o
-    column-amount factor (the SW taugb's multiply colamt[:,0] into the
-    continuum explicitly — radsw_bands.py:121-135 — unlike the LW where
-    setcoef pre-scales selffac/forfac)."""
-    h2o = c["colh2o"][..., None]
-    inds = c["indself"] - 1
-    indf = c["indfor"] - 1
-    s = 0.0
-    if with_self and "selfref" in bt:
-        s0 = _take(bt["selfref"], inds)
-        s1 = _take(bt["selfref"], inds + 1)
-        s = h2o * c["selffac"][..., None] * (
-            s0 + c["selffrac"][..., None] * (s1 - s0)
-        )
-    f0 = _take(bt["forref"], indf)
-    f1 = _take(bt["forref"], indf + 1)
-    f = h2o * c["forfac"][..., None] * (
-        f0 + c["forfrac"][..., None] * (f1 - f0)
-    )
-    return s, f
-
-
-def _spec_ids(c, colA, colB, strrat, nspa, nspb):
-    """2-species interpolation factors + 8 stencil indices, lower and
-    upper (mult 8 / 4)."""
-    jp, jt, jt1 = c["jp"], c["jt"], c["jt1"]
-    id0_lo = ((jp - 1) * 5 + (jt - 1)) * nspa - 1
-    id1_lo = (jp * 5 + (jt1 - 1)) * nspa - 1
-    id0_hi = jnp.maximum(((jp - 13) * 5 + (jt - 1)) * nspb - 1, -1)
-    id1_hi = jnp.maximum(((jp - 12) * 5 + (jt1 - 1)) * nspb - 1, -1)
+def _spec_factors(colA, colB, strrat):
+    """2-species combination + lower (mult 8) / upper (mult 4) species
+    stencil positions (reference radsw_bands.py taugb* semantics)."""
     speccomb = colA + strrat * colB
     ratio = jnp.minimum(P.ONEMINUS, colA / speccomb)
-
-    def factors(mult, id0, id1):
-        specmult = mult * ratio
-        js = 1 + specmult.astype(jnp.int32)
-        fs = specmult % 1.0
-        return js, fs, id0 + js, id1 + js
-
-    return speccomb, factors(8.0, id0_lo, id1_lo), factors(
-        4.0, id0_hi, id1_hi
+    sm_lo = 8.0 * ratio
+    sm_hi = 4.0 * ratio
+    return (
+        speccomb,
+        (1 + sm_lo.astype(jnp.int32), sm_lo % 1.0),
+        (1 + sm_hi.astype(jnp.int32), sm_hi % 1.0),
     )
-
-
-def _weighted_rows(tab, terms):
-    """Σ_k w_k * tab[id_k] as one weighted-selection matmul (see
-    lw._weighted_rows — replaces slow TPU row-gathers)."""
-    rows = tab.shape[0]
-    iota = jnp.arange(rows, dtype=jnp.int32)
-    W = None
-    for ids, w in terms:
-        oh = (
-            jnp.clip(ids, 0, rows - 1)[..., None] == iota
-        ).astype(tab.dtype)
-        contrib = oh if w is None else oh * w[..., None]
-        W = contrib if W is None else W + contrib
-    return jnp.einsum(
-        "clr,rg->clg", W, tab, precision=rlw._MATMUL_PRECISION
-    )
-
-
-def _tau_spec(tab, ind01, ind11, fs, c, off):
-    """8-point 2-species stencil: offsets (+0,+1,+off,+off+1) at two
-    pressure rows — one weighted-selection matmul."""
-    fs1 = 1.0 - fs
-    return _weighted_rows(
-        tab,
-        [
-            (ind01, fs1 * c["fac00"]),
-            (ind01 + 1, fs * c["fac00"]),
-            (ind01 + off, fs1 * c["fac10"]),
-            (ind01 + off + 1, fs * c["fac10"]),
-            (ind11, fs1 * c["fac01"]),
-            (ind11 + 1, fs * c["fac01"]),
-            (ind11 + off, fs1 * c["fac11"]),
-            (ind11 + off + 1, fs * c["fac11"]),
-        ],
-    )
-
-
-def _tau_single_sw(tab, col, c, id0, id1):
-    return _weighted_rows(
-        tab,
-        [
-            (id0 + 1, col * c["fac00"]),
-            (id0 + 2, col * c["fac10"]),
-            (id1 + 1, col * c["fac01"]),
-            (id1 + 2, col * c["fac11"]),
-        ],
-    )
-
-
-def _ids_single(c, nspa, nspb):
-    jp, jt, jt1 = c["jp"], c["jt"], c["jt1"]
-    id0_lo = ((jp - 1) * 5 + (jt - 1)) * nspa - 1
-    id1_lo = (jp * 5 + (jt1 - 1)) * nspa - 1
-    id0_hi = jnp.maximum(((jp - 13) * 5 + (jt - 1)) * max(nspb, 1) - 1, -1)
-    id1_hi = jnp.maximum(((jp - 12) * 5 + (jt1 - 1)) * max(nspb, 1) - 1, -1)
-    return id0_lo, id1_lo, id0_hi, id1_hi
 
 
 def _sfluxzen(c, colamt, T):
@@ -289,13 +204,23 @@ def _sfluxzen(c, colamt, T):
 
 def taumol_sw(c, colamt, colmol, T):
     """Gas + Rayleigh optical depths for all 112 g-points.  Returns
-    (sfluxzen [C, G], taug [C, L, G], taur [C, L, G])."""
+    (sfluxzen [C, G], taug [C, L, G], taur [C, L, G]).
+
+    Table fetches use the factored base-row contraction machinery from
+    lw.py: band-independent pressure/temperature weight matrices (lower
+    and upper atmosphere) contracted once against merged band tables,
+    then the 2-point species stencil.  Unlike the LW, the SW species
+    stencil is SHARED between the two pressure paths
+    (radsw_bands.py taugb* semantics), so one merged contraction serves
+    each atmosphere."""
     B = [T[f"radsw_kgb{16 + b}"] for b in range(P.NBANDS_SW)]
     strrat = np.asarray(T["strrat"])
     tropo = c["tropo"][..., None]
     h2o, co2, o3 = colamt[..., 0], colamt[..., 1], colamt[..., 2]
     ch4, o2 = colamt[..., 4], colamt[..., 5]
     taus, raylt = [], []
+    dtype = c["fac00"].dtype
+    jp, jt, jt1 = c["jp"], c["jt"], c["jt1"]
 
     def ray_const(val, ng):
         return colmol[..., None] * val * jnp.ones(ng, colmol.dtype)
@@ -303,86 +228,146 @@ def taumol_sw(c, colamt, colmol, T):
     def ray_vec(vec):
         return colmol[..., None] * vec
 
+    base0 = (jp - 1) * 5 + (jt - 1)
+    base1 = jp * 5 + (jt1 - 1)
+    Wlo = rlw._fac_weights(
+        base0, c["fac00"], c["fac10"], rlw.NBASE_LO, dtype
+    ) + rlw._fac_weights(base1, c["fac01"], c["fac11"], rlw.NBASE_LO, dtype)
+    baseU0 = (jp - 13) * 5 + (jt - 1)
+    baseU1 = (jp - 12) * 5 + (jt1 - 1)
+    Whi = rlw._fac_weights(
+        baseU0, c["fac00"], c["fac10"], rlw.NBASE_HI, dtype
+    ) + rlw._fac_weights(baseU1, c["fac01"], c["fac11"], rlw.NBASE_HI, dtype)
+
+    SPEC_LO = (0, 1, 2, 3, 5, 6, 8, 12)  # nspa=9 lower bands
+    SINGLE_LO = (4, 7, 9, 11, 13)
+    SPEC_HI = (1, 5, 12)  # nspb=5 upper bands
+    SINGLE_HI = (0, 2, 3, 4, 6, 8, 11, 13)
+
+    def _offsets(idx_list):
+        out, off = {}, 0
+        for i in idx_list:
+            out[i] = slice(off, off + P.NG_SW[i])
+            off += P.NG_SW[i]
+        return out
+
+    sl9 = _offsets(SPEC_LO)
+    sl1 = _offsets(SINGLE_LO)
+    sl5 = _offsets(SPEC_HI)
+    sh1 = _offsets(SINGLE_HI)
+
+    A9 = rlw._merged_A(
+        Wlo, [B[i]["absa"] for i in SPEC_LO], 9, rlw.NBASE_LO
+    )
+    A1_lo = rlw._merged_single(
+        Wlo, [B[i]["absa"] for i in SINGLE_LO], rlw.NBASE_LO
+    )
+    A5 = rlw._merged_A(
+        Whi, [B[i]["absb"] for i in SPEC_HI], 5, rlw.NBASE_HI
+    )
+    A1_hi = rlw._merged_single(
+        Whi, [B[i]["absb"] for i in SINGLE_HI], rlw.NBASE_HI
+    )
+
+    # water-vapor self/foreign continuum for all bands that carry the
+    # tables, batched into two weighted-selection matmuls (the SW
+    # continuum includes the h2o column amount explicitly,
+    # radsw_bands.py:121-135, folded into the row weights here)
+    SELFFOR = (0, 1, 2, 3, 4, 5, 6, 7, 8, 13)
+    sfsl = _offsets(SELFFOR)
+    h2o_col = c["colh2o"]
+    inds = c["indself"] - 1
+    indf = c["indfor"] - 1
+    sfac, sfrac = c["selffac"], c["selffrac"]
+    ffac, ffrac = c["forfac"], c["forfrac"]
+    tauself_all = rlw._weighted_rows(
+        jnp.concatenate([B[i]["selfref"] for i in SELFFOR], axis=-1),
+        [
+            (inds, h2o_col * (sfac * (1.0 - sfrac))),
+            (inds + 1, h2o_col * (sfac * sfrac)),
+        ],
+    )
+    taufor_all = rlw._weighted_rows(
+        jnp.concatenate([B[i]["forref"] for i in SELFFOR], axis=-1),
+        [
+            (indf, h2o_col * (ffac * (1.0 - ffrac))),
+            (indf + 1, h2o_col * (ffac * ffrac)),
+        ],
+    )
+
+    def self_for(i):
+        return tauself_all[..., sfsl[i]], taufor_all[..., sfsl[i]]
+
+    def tau_spec_lo(i, sc, js, fs):
+        return sc[..., None] * rlw._contract(
+            rlw._stencil2(fs, js, 9, dtype), A9[..., sl9[i]]
+        )
+
+    def tau_spec_hi(i, sc, js, fs):
+        return sc[..., None] * rlw._contract(
+            rlw._stencil2(fs, js, 5, dtype), A5[..., sl5[i]]
+        )
+
+    def tau_single_lo(i, col):
+        return col[..., None] * A1_lo[..., sl1[i]]
+
+    def tau_single_hi(i, col):
+        return col[..., None] * A1_hi[..., sh1[i]]
+
     # band 16: h2o+ch4 lower / ch4 upper
     bt = B[0]
-    sc, (js, fs, i01, i11), _ = _spec_ids(
-        c, h2o, ch4, strrat[0], P.NSPA_SW[0], P.NSPB_SW[0]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9) + s + f
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[0], P.NSPB_SW[0]
-    )
-    upper = _tau_single_sw(bt["absb"], ch4, c, id0_hi, id1_hi)
+    sc, (js, fs), _ = _spec_factors(h2o, ch4, strrat[0])
+    s, f = self_for(0)
+    lower = tau_spec_lo(0, sc, js, fs) + s + f
+    upper = tau_single_hi(0, ch4)
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[0]))
 
     # band 17: h2o+co2 both
     bt = B[1]
-    sc, (js, fs, i01, i11), (jsU, fsU, i01U, i11U) = _spec_ids(
-        c, h2o, co2, strrat[1], P.NSPA_SW[1], P.NSPB_SW[1]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9) + s + f
-    _, fU = _self_for_sw(bt, c, with_self=False)
-    upper = (
-        sc[..., None] * _tau_spec(bt["absb"], i01U, i11U, fsU, c, 5) + fU
-    )
+    sc, (js, fs), (jsU, fsU) = _spec_factors(h2o, co2, strrat[1])
+    s, f = self_for(1)
+    lower = tau_spec_lo(1, sc, js, fs) + s + f
+    fU = f  # foreign term is identical in the upper atmosphere
+    upper = tau_spec_hi(1, sc, jsU, fsU) + fU
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[1]))
 
     # band 18: h2o+ch4 lower / ch4 upper
     bt = B[2]
-    sc, (js, fs, i01, i11), _ = _spec_ids(
-        c, h2o, ch4, strrat[2], P.NSPA_SW[2], P.NSPB_SW[2]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9) + s + f
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[2], P.NSPB_SW[2]
-    )
-    upper = _tau_single_sw(bt["absb"], ch4, c, id0_hi, id1_hi)
+    sc, (js, fs), _ = _spec_factors(h2o, ch4, strrat[2])
+    s, f = self_for(2)
+    lower = tau_spec_lo(2, sc, js, fs) + s + f
+    upper = tau_single_hi(2, ch4)
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[2]))
 
     # band 19: h2o+co2 lower / co2 upper
     bt = B[3]
-    sc, (js, fs, i01, i11), _ = _spec_ids(
-        c, h2o, co2, strrat[3], P.NSPA_SW[3], P.NSPB_SW[3]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9) + s + f
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[3], P.NSPB_SW[3]
-    )
-    upper = _tau_single_sw(bt["absb"], co2, c, id0_hi, id1_hi)
+    sc, (js, fs), _ = _spec_factors(h2o, co2, strrat[3])
+    s, f = self_for(3)
+    lower = tau_spec_lo(3, sc, js, fs) + s + f
+    upper = tau_single_hi(3, co2)
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[3]))
 
     # band 20: h2o both + ch4 cross section
     bt = B[4]
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[4], P.NSPB_SW[4]
-    )
-    s, f = _self_for_sw(bt, c)
+    s, f = self_for(4)
     ch4x = ch4[..., None] * bt["absch4"]
-    lower = _tau_single_sw(bt["absa"], h2o, c, id0_lo, id1_lo) + s + f + ch4x
-    _, fU = _self_for_sw(bt, c, with_self=False)
-    upper = _tau_single_sw(bt["absb"], h2o, c, id0_hi, id1_hi) + fU + ch4x
+    lower = tau_single_lo(4, h2o) + s + f + ch4x
+    fU = f  # foreign term is identical in the upper atmosphere
+    upper = tau_single_hi(4, h2o) + fU + ch4x
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[4]))
 
     # band 21: h2o+co2 both
     bt = B[5]
-    sc, (js, fs, i01, i11), (jsU, fsU, i01U, i11U) = _spec_ids(
-        c, h2o, co2, strrat[5], P.NSPA_SW[5], P.NSPB_SW[5]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9) + s + f
-    _, fU = _self_for_sw(bt, c, with_self=False)
-    upper = (
-        sc[..., None] * _tau_spec(bt["absb"], i01U, i11U, fsU, c, 5) + fU
-    )
+    sc, (js, fs), (jsU, fsU) = _spec_factors(h2o, co2, strrat[5])
+    s, f = self_for(5)
+    lower = tau_spec_lo(5, sc, js, fs) + s + f
+    fU = f  # foreign term is identical in the upper atmosphere
+    upper = tau_spec_hi(5, sc, jsU, fsU) + fU
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[5]))
 
@@ -391,69 +376,43 @@ def taumol_sw(c, colamt, colmol, T):
     o2adj = 1.6
     o2tem = 4.35e-4 / (350.0 * 2.0)
     o2cont = (o2tem * o2)[..., None]
-    sc, (js, fs, i01, i11), _ = _spec_ids(
-        c, h2o, o2, strrat[6], P.NSPA_SW[6], P.NSPB_SW[6]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = (
-        sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9)
-        + s + f + o2cont
-    )
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[6], P.NSPB_SW[6]
-    )
-    upper = (
-        o2adj * _tau_single_sw(bt["absb"], o2, c, id0_hi, id1_hi) + o2cont
-    )
+    sc, (js, fs), _ = _spec_factors(h2o, o2, strrat[6])
+    s, f = self_for(6)
+    lower = tau_spec_lo(6, sc, js, fs) + s + f + o2cont
+    upper = o2adj * tau_single_hi(6, o2) + o2cont
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[6]))
 
     # band 23: h2o lower / nothing upper
     bt = B[7]
-    id0_lo, id1_lo, _, _ = _ids_single(c, P.NSPA_SW[7], P.NSPB_SW[7])
-    s, f = _self_for_sw(bt, c)
-    lower = (
-        bt["givfac"] * _tau_single_sw(bt["absa"], h2o, c, id0_lo, id1_lo)
-        + s + f
-    )
+    s, f = self_for(7)
+    lower = bt["givfac"] * tau_single_lo(7, h2o) + s + f
     taus.append(jnp.where(tropo, lower, jnp.zeros_like(lower)))
     raylt.append(ray_vec(bt["rayl"]))
 
     # band 24: h2o+o2 lower / o2 upper (+o3 cross sections, specie rayleigh)
     bt = B[8]
-    sc, (js, fs, i01, i11), _ = _spec_ids(
-        c, h2o, o2, strrat[8], P.NSPA_SW[8], P.NSPB_SW[8]
-    )
-    s, f = _self_for_sw(bt, c)
+    sc, (js, fs), _ = _spec_factors(h2o, o2, strrat[8])
+    s, f = self_for(8)
     lower = (
-        sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9)
+        tau_spec_lo(8, sc, js, fs)
         + o3[..., None] * bt["abso3a"]
         + s + f
     )
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[8], P.NSPB_SW[8]
-    )
-    upper = (
-        _tau_single_sw(bt["absb"], o2, c, id0_hi, id1_hi)
-        + o3[..., None] * bt["abso3b"]
-    )
+    upper = tau_single_hi(8, o2) + o3[..., None] * bt["abso3b"]
     taus.append(jnp.where(tropo, lower, upper))
     # rayleigh: lower interpolates over the species parameter
-    ra = bt["rayla"]  # [ng, 9]
-    js0 = jnp.clip(js - 1, 0, ra.shape[1] - 2)
-    ray_lo = colmol[..., None] * (
-        ra.T[js0] + fs[..., None] * (ra.T[js0 + 1] - ra.T[js0])
-    )
+    ra = bt["rayla"].T  # [9, ng]
+    js0 = jnp.clip(js - 1, 0, ra.shape[0] - 2)
+    r0 = _take(ra, js0)
+    r1 = _take(ra, js0 + 1)
+    ray_lo = colmol[..., None] * (r0 + fs[..., None] * (r1 - r0))
     ray_hi = ray_vec(bt["raylb"])
     raylt.append(jnp.where(tropo, ray_lo, ray_hi))
 
     # band 25: h2o lower / nothing; o3 both
     bt = B[9]
-    id0_lo, id1_lo, _, _ = _ids_single(c, P.NSPA_SW[9], P.NSPB_SW[9])
-    lower = (
-        _tau_single_sw(bt["absa"], h2o, c, id0_lo, id1_lo)
-        + o3[..., None] * bt["abso3a"]
-    )
+    lower = tau_single_lo(9, h2o) + o3[..., None] * bt["abso3a"]
     upper = o3[..., None] * bt["abso3b"]
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_vec(bt["rayl"]))
@@ -467,38 +426,24 @@ def taumol_sw(c, colamt, colmol, T):
 
     # band 27: o3 both
     bt = B[11]
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[11], P.NSPB_SW[11]
-    )
-    lower = _tau_single_sw(bt["absa"], o3, c, id0_lo, id1_lo)
-    upper = _tau_single_sw(bt["absb"], o3, c, id0_hi, id1_hi)
+    lower = tau_single_lo(11, o3)
+    upper = tau_single_hi(11, o3)
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_vec(bt["rayl"]))
 
     # band 28: o3+o2 both
     bt = B[12]
-    sc, (js, fs, i01, i11), (jsU, fsU, i01U, i11U) = _spec_ids(
-        c, o3, o2, strrat[12], P.NSPA_SW[12], P.NSPB_SW[12]
-    )
-    lower = sc[..., None] * _tau_spec(bt["absa"], i01, i11, fs, c, 9)
-    upper = sc[..., None] * _tau_spec(bt["absb"], i01U, i11U, fsU, c, 5)
+    sc, (js, fs), (jsU, fsU) = _spec_factors(o3, o2, strrat[12])
+    lower = tau_spec_lo(12, sc, js, fs)
+    upper = tau_spec_hi(12, sc, jsU, fsU)
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[12]))
 
     # band 29: h2o lower (+co2 x-sec) / co2 upper (+h2o x-sec)
     bt = B[13]
-    id0_lo, id1_lo, id0_hi, id1_hi = _ids_single(
-        c, P.NSPA_SW[13], P.NSPB_SW[13]
-    )
-    s, f = _self_for_sw(bt, c)
-    lower = (
-        _tau_single_sw(bt["absa"], h2o, c, id0_lo, id1_lo)
-        + s + f + co2[..., None] * bt["absco2"]
-    )
-    upper = (
-        _tau_single_sw(bt["absb"], co2, c, id0_hi, id1_hi)
-        + h2o[..., None] * bt["absh2o"]
-    )
+    s, f = self_for(13)
+    lower = tau_single_lo(13, h2o) + s + f + co2[..., None] * bt["absco2"]
+    upper = tau_single_hi(13, co2) + h2o[..., None] * bt["absh2o"]
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[13]))
 
@@ -538,19 +483,21 @@ def cldprop_sw(
     asyran = ssaran * T["c0r"]
     asysnw = ssasnw * T["c0s"]
 
-    # liquid
+    # liquid: ext/ssa/asy fetched with ONE batched weighted selection
+    # (lerp weights folded into the row weights — rlw._lerp_rows)
     factor = reliq - 1.5
     index = jnp.clip(_trunc(factor), 1.0, 57.0).astype(jnp.int32) - 1
-    fint = (factor - (index + 1).astype(dtype))[..., None]
+    fint = factor - (index + 1).astype(dtype)
     extl = T["extliq2"] if iswcliq == 2 else T["extliq1"]
     ssal = T["ssaliq2"] if iswcliq == 2 else T["ssaliq1"]
     asyl = T["asyliq2"] if iswcliq == 2 else T["asyliq1"]
-    e0, e1 = _take(extl, index), _take(extl, index + 1)
-    s0, s1 = _take(ssal, index), _take(ssal, index + 1)
-    a0, a1 = _take(asyl, index), _take(asyl, index + 1)
-    extcoliq = jnp.maximum(0.0, e0 + fint * (e1 - e0))
-    ssacoliq = jnp.clip(s0 + fint * (s1 - s0), 0.0, 1.0)
-    asycoliq = jnp.clip(a0 + fint * (a1 - a0), 0.0, 1.0)
+    nb = extl.shape[-1]
+    liq = rlw._lerp_rows(
+        jnp.concatenate([extl, ssal, asyl], axis=-1), index, fint
+    )
+    extcoliq = jnp.maximum(0.0, liq[..., :nb])
+    ssacoliq = jnp.clip(liq[..., nb:2 * nb], 0.0, 1.0)
+    asycoliq = jnp.clip(liq[..., 2 * nb:], 0.0, 1.0)
     tauliq = cliqp[..., None] * extcoliq
     ssaliq = tauliq * ssacoliq
     asyliq = ssaliq * asycoliq
@@ -563,16 +510,16 @@ def cldprop_sw(
     dgeice = jnp.clip(1.0315 * reice, 5.0, 140.0)
     factor = (dgeice - 2.0) / 3.0
     index = jnp.clip(_trunc(factor), 1.0, 45.0).astype(jnp.int32) - 1
-    fint = (factor - (index + 1).astype(dtype))[..., None]
-    e0 = _take(T["extice3"], index)
-    e1 = _take(T["extice3"], index + 1)
-    s0 = _take(T["ssaice3"], index)
-    s1 = _take(T["ssaice3"], index + 1)
-    a0 = _take(T["asyice3"], index)
-    a1 = _take(T["asyice3"], index + 1)
-    extcoice = jnp.maximum(0.0, e0 + fint * (e1 - e0))
-    ssacoice = jnp.clip(s0 + fint * (s1 - s0), 0.0, 1.0)
-    asycoice = jnp.clip(a0 + fint * (a1 - a0), 0.0, 1.0)
+    fint = factor - (index + 1).astype(dtype)
+    ice = rlw._lerp_rows(
+        jnp.concatenate(
+            [T["extice3"], T["ssaice3"], T["asyice3"]], axis=-1
+        ),
+        index, fint,
+    )
+    extcoice = jnp.maximum(0.0, ice[..., :nb])
+    ssacoice = jnp.clip(ice[..., nb:2 * nb], 0.0, 1.0)
+    asycoice = jnp.clip(ice[..., 2 * nb:], 0.0, 1.0)
     tauice = cicep[..., None] * extcoice
     ssaice = tauice * ssacoice
     asyice = ssaice * asycoice
@@ -736,87 +683,10 @@ def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2,
     return zrefb, zrefd, ztrab, ztrad, zexp3, zexp4
 
 
-def _vrtqdr(zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt):
-    """Vertical quadrature (reference radsw_main.py:30-85), batched over
-    [C, G]; level arrays [C, L+1, G], level 0 = surface."""
-    C, Lp1, G = zrefb.shape
-    L = Lp1 - 1
-
-    def recip(d):
-        # f32 only: totally-reflective layer stacks can round
-        # 1 - r*r' to exactly 0; never exact in the f64 oracle path
-        return 1.0 / jnp.where(d == 0.0, jnp.asarray(1e-30, d.dtype), d)
-
-    def up_body(carry, xs):
-        zrupb_k, zrupd_k = carry
-        refb_kp, refd_kp, trab_kp, trad_kp, ldbt_kp = xs
-        zden1 = recip(1.0 - zrupd_k * refd_kp)
-        zrupb_kp = refb_kp + (
-            trad_kp
-            * ((trab_kp - ldbt_kp) * zrupd_k + ldbt_kp * zrupb_k)
-        ) * zden1
-        zrupd_kp = refd_kp + trad_kp * trad_kp * zrupd_k * zden1
-        return (zrupb_kp, zrupd_kp), (zrupb_kp, zrupd_kp)
-
-    xs_up = tuple(
-        a[:, 1:].transpose(1, 0, 2)
-        for a in (zrefb, zrefd, ztrab, ztrad, zldbt)
-    )
-    _, (rupb_rest, rupd_rest) = lax.scan(
-        up_body, (zrefb[:, 0], zrefd[:, 0]), xs_up
-    )
-    zrupb = jnp.concatenate(
-        [zrefb[:, :1], rupb_rest.transpose(1, 0, 2)], axis=1
-    )
-    zrupd = jnp.concatenate(
-        [zrefd[:, :1], rupd_rest.transpose(1, 0, 2)], axis=1
-    )
-
-    # downward pass: k = L-1 .. 1 producing ztdn/zrdnd at k-1
-    def dn_body(carry, xs):
-        ztdn_k, zrdnd_k = carry
-        refb_k, refd_k, trab_k, trad_k, tdbt_k = xs
-        zden1 = recip(1.0 - refd_k * zrdnd_k)
-        ztdn_km1 = tdbt_k * trab_k + (
-            trad_k * ((ztdn_k - tdbt_k) + tdbt_k * refb_k * zrdnd_k)
-        ) * zden1
-        zrdnd_km1 = refd_k + trad_k * trad_k * zrdnd_k * zden1
-        return (ztdn_km1, zrdnd_km1), (ztdn_km1, zrdnd_km1)
-
-    ztdn_top = ztrab[:, L]
-    zrdnd_top = zrefd[:, L]
-    ks = np.arange(L - 1, 0, -1)
-    xs_dn = tuple(
-        a[:, ks].transpose(1, 0, 2)
-        for a in (zrefb, zrefd, ztrab, ztrad, ztdbt)
-    )
-    _, (tdn_rest, rdnd_rest) = lax.scan(
-        dn_body, (ztdn_top, zrdnd_top), xs_dn
-    )
-    # assemble level arrays: index L -> 1/0 boundary, L-1 -> top vals
-    ones = jnp.ones_like(ztdn_top)
-    zeros = jnp.zeros_like(ztdn_top)
-    ztdn = jnp.concatenate(
-        [
-            tdn_rest[::-1].transpose(1, 0, 2),  # levels 0..L-2
-            ztdn_top[:, None],
-            ones[:, None],
-        ],
-        axis=1,
-    )
-    zrdnd = jnp.concatenate(
-        [
-            rdnd_rest[::-1].transpose(1, 0, 2),
-            zrdnd_top[:, None],
-            zeros[:, None],
-        ],
-        axis=1,
-    )
-
-    zden1 = recip(1.0 - zrdnd * zrupd)
-    zfu = (ztdbt * zrupb + (ztdn - ztdbt) * zrupd) * zden1
-    zfd = ztdbt + (ztdn - ztdbt + ztdbt * zrupb * zrdnd) * zden1
-    return zfu, zfd
+def _recip(d):
+    # f32 only: totally-reflective layer stacks can round 1 - r*r' to
+    # exactly 0; never exact in the f64 oracle path
+    return 1.0 / jnp.where(d == 0.0, jnp.asarray(1e-30, d.dtype), d)
 
 
 def spcvrtm_sw(
@@ -828,41 +698,34 @@ def spcvrtm_sw(
     radsw_main.py:86-753), batched [C, L, G].
 
     ssolar/cosz [C]; albbm/albdf [C, 2]; sfluxzen [C, G]; aerosol and
-    cloud properties [C, L, nbdsw].  Returns a dict of fluxes."""
+    cloud properties [C, L, nbdsw].  Returns a dict of fluxes.
+
+    TPU design: the PIFM two-stream evaluation and the vrtqdr
+    reflectance/transmittance recurrences all live INSIDE two layer
+    scans (surface-up, then TOA-down), so no [C, L, G] intermediate
+    beyond taug/taur/cldfmc and the up-pass partial reflectances is
+    materialized.  The down scan carries the direct-beam transmittance
+    products and emits the final per-level flux combination directly as
+    solar-weighted g-sums; per-g surface values for the spectral
+    decompositions come from its final carry.  The recurrences,
+    evaluation order, and boundary handling replicate the reference's
+    vrtqdr exactly (the unified top step with carry (1, 0, 1) is
+    algebraically and floating-point identical to the reference's
+    explicit TOA initialization)."""
     dtype = taug.dtype
     C, L, G = taug.shape
-    ngb = jnp.asarray(np.asarray(P.NGB_SW), jnp.int32)
+    ngb = np.asarray(P.NGB_SW)
     idxsfc = np.asarray(P.IDXSFC_SW)  # per band
-    sntz = (1.0 / cosz)[:, None, None]
-    coszb = cosz[:, None, None]
+    sntz = (1.0 / cosz)[:, None]
+    coszb = cosz[:, None]
 
-    taua_g = jnp.take(tauae, ngb, axis=2)
-    ssaa_g = jnp.take(ssaae, ngb, axis=2)
-    asya_g = jnp.take(asyae, ngb, axis=2)
-    taucw_g = jnp.take(taucw, ngb, axis=2)
-    ssacw_g = jnp.take(ssacw, ngb, axis=2)
-    asycw_g = jnp.take(asycw, ngb, axis=2)
+    # static band->g expansion as a bit-exact one-hot contraction
+    expand = jnp.asarray(np.eye(P.NBANDS_SW)[:, ngb], dtype)
 
-    # clear-sky layer properties
-    ztau0 = jnp.maximum(P.FTINY, taur + taug + taua_g)
-    zssa0 = taur + taua_g * ssaa_g
-    zasy0 = asya_g * ssaa_g * taua_g
-    clr = _twostream(ztau0, zssa0, zasy0, coszb, sntz, exp_tbl,
-                     iswmode, fast_exp)
-    zrefb_c, zrefd_c, ztrab_c, ztrad_c, zexp3_c, zexp4_c = clr
-
-    # total-sky: cloudy layers add cloud properties
-    cloudy = cldfmc > P.FTINY
-    tot = _twostream(
-        ztau0 + taucw_g, zssa0 + ssacw_g, zasy0 + asycw_g,
-        coszb, sntz, exp_tbl, iswmode, fast_exp,
-    )
-    zrefb_t = jnp.where(cloudy, tot[0], zrefb_c)
-    zrefd_t = jnp.where(cloudy, tot[1], zrefd_c)
-    ztrab_t = jnp.where(cloudy, tot[2], ztrab_c)
-    ztrad_t = jnp.where(cloudy, tot[3], ztrad_c)
-    zexp3_t = jnp.where(cloudy, tot[4], zexp3_c)
-    zexp4_t = jnp.where(cloudy, tot[5], zexp4_c)
+    def bexp(x):  # [C, nbdsw] -> [C, G]
+        return jnp.einsum(
+            "cb,bg->cg", x, expand, precision=rlw._MATMUL_PRECISION
+        )
 
     # surface albedo per g (idxsfc: 1 nir, 2 uv/vis, 0 half-half)
     bm = []
@@ -875,47 +738,163 @@ def spcvrtm_sw(
         else:
             bm.append(0.5 * (albbm[:, 0] + albbm[:, 1]))
             df.append(0.5 * (albdf[:, 0] + albdf[:, 1]))
-    alb_bm_g = jnp.take(jnp.stack(bm, 1), ngb, axis=1)  # [C, G]
-    alb_df_g = jnp.take(jnp.stack(df, 1), ngb, axis=1)
+    alb_bm_g = jnp.take(jnp.stack(bm, 1), jnp.asarray(ngb), axis=1)
+    alb_df_g = jnp.take(jnp.stack(df, 1), jnp.asarray(ngb), axis=1)
 
-    def assemble_levels(zrefb_l, zrefd_l, ztrab_l, ztrad_l, zexp3_l):
-        """Layer arrays [C, L, G] -> level arrays [C, L+1, G] with the
-        surface row (albedo) at level 0 and layer k at level k+1."""
-        zeros = jnp.zeros((C, 1, G), dtype)
-        zrefb = jnp.concatenate([alb_bm_g[:, None], zrefb_l], axis=1)
-        zrefd = jnp.concatenate([alb_df_g[:, None], zrefd_l], axis=1)
-        ztrab = jnp.concatenate([zeros, ztrab_l], axis=1)
-        ztrad = jnp.concatenate([zeros, ztrad_l], axis=1)
-        zldbt = jnp.concatenate([zeros, zexp3_l], axis=1)
-        # total beam transmittance per level (product downward from TOA)
-        ztdbt = jnp.concatenate(
-            [
-                jnp.cumprod(zexp3_l[:, ::-1], axis=1)[:, ::-1],
-                jnp.ones((C, 1, G), dtype),
-            ],
-            axis=1,
+    zsolar = ssolar[:, None] * sfluxzen  # [C, G]
+
+    def layer_two(xs_k):
+        """Clear and total-sky two-stream properties for one layer,
+        [C, G] each: (refb, refd, trab, trad, exp3, exp4)."""
+        (tau_k, ray_k, cldf_k, taucw_k, ssacw_k, asycw_k,
+         taua_k, ssaa_k, asya_k) = xs_k
+        taua_g = bexp(taua_k)
+        ssaa_g = bexp(ssaa_k)
+        asya_g = bexp(asya_k)
+        ztau0 = jnp.maximum(P.FTINY, ray_k + tau_k + taua_g)
+        zssa0 = ray_k + taua_g * ssaa_g
+        zasy0 = asya_g * ssaa_g * taua_g
+        clr = _twostream(ztau0, zssa0, zasy0, coszb, sntz, exp_tbl,
+                         iswmode, fast_exp)
+        tot = _twostream(
+            ztau0 + bexp(taucw_k), zssa0 + bexp(ssacw_k),
+            zasy0 + bexp(asycw_k), coszb, sntz, exp_tbl,
+            iswmode, fast_exp,
         )
-        return zrefb, zrefd, ztrab, ztrad, zldbt, ztdbt
+        cloudy = cldf_k > P.FTINY
+        sel = tuple(jnp.where(cloudy, t, c_) for t, c_ in zip(tot, clr))
+        return clr, sel
 
-    lev_c = assemble_levels(zrefb_c, zrefd_c, ztrab_c, ztrad_c, zexp3_c)
-    zfu0, zfd0 = _vrtqdr(*lev_c)
-    lev_t = assemble_levels(zrefb_t, zrefd_t, ztrab_t, ztrad_t, zexp3_t)
-    zfuc, zfdc = _vrtqdr(*lev_t)
+    xs = (
+        jnp.moveaxis(taug, 1, 0),
+        jnp.moveaxis(taur, 1, 0),
+        jnp.moveaxis(cldfmc, 1, 0),
+        jnp.moveaxis(taucw, 1, 0),
+        jnp.moveaxis(ssacw, 1, 0),
+        jnp.moveaxis(asycw, 1, 0),
+        jnp.moveaxis(tauae, 1, 0),
+        jnp.moveaxis(ssaae, 1, 0),
+        jnp.moveaxis(asyae, 1, 0),
+    )
 
-    zsolar = (ssolar[:, None] * sfluxzen)  # [C, G]
-    ztdbt0_c = jnp.prod(zexp4_c, axis=1)  # [C, G] unscaled surface beam
-    ztdbt0_t = jnp.prod(zexp4_t, axis=1)
+    # ---- upward pass: partial reflectances zrupb/zrupd at levels 1..L
+    def up_body(carry, xs_k):
+        rupb_c, rupd_c, rupb_t, rupd_t = carry
+        clr, tot = layer_two(xs_k)
 
-    def flux_sum(z):  # [C, L+1, G] -> [C, L+1]
-        return (z * zsolar[:, None, :]).sum(axis=-1)
+        def step(rupb, rupd, q):
+            refb, refd, trab, trad, exp3, _ = q
+            zden1 = _recip(1.0 - rupd * refd)
+            nb = refb + (
+                trad * ((trab - exp3) * rupd + exp3 * rupb)
+            ) * zden1
+            nd = refd + trad * trad * rupd * zden1
+            return nb, nd
 
-    flxu0 = flux_sum(zfu0)
-    flxd0 = flux_sum(zfd0)
-    flxuc = flux_sum(zfuc)
-    flxdc = flux_sum(zfdc)
+        rupb_c, rupd_c = step(rupb_c, rupd_c, clr)
+        rupb_t, rupd_t = step(rupb_t, rupd_t, tot)
+        out = (rupb_c, rupd_c, rupb_t, rupd_t)
+        return out, out
+
+    init_up = (alb_bm_g, alb_df_g, alb_bm_g, alb_df_g)
+    (rupb_cL, rupd_cL, rupb_tL, rupd_tL), ys_up = lax.scan(
+        up_body, init_up, xs
+    )
+
+    # zrupb/zrupd at levels L-1 .. 0 as down-scan inputs
+    def lvl_seq(y, alb):
+        return jnp.concatenate([alb[None], y[: L - 1]], axis=0)[::-1]
+
+    rup_dn = (
+        lvl_seq(ys_up[0], alb_bm_g),
+        lvl_seq(ys_up[1], alb_df_g),
+        lvl_seq(ys_up[2], alb_bm_g),
+        lvl_seq(ys_up[3], alb_df_g),
+    )
+    xs_dn = tuple(
+        jax.tree_util.tree_map(lambda a: a[::-1], xs)
+    ) + rup_dn
+
+    # ---- downward pass: ztdn/zrdnd + running beam products + final
+    # per-level flux combination, j = L-1 .. 0
+    ones = jnp.ones((C, G), dtype)
+    zeros = jnp.zeros((C, G), dtype)
+
+    def down_body(carry, xs_k):
+        (tdn_c, rdnd_c, tdbt_c, tdbt0_c,
+         tdn_t, rdnd_t, tdbt_t, tdbt0_t) = carry
+        layer_xs = xs_k[:9]
+        rupb_c_j, rupd_c_j, rupb_t_j, rupd_t_j = xs_k[9:]
+        clr, tot = layer_two(layer_xs)
+
+        def step(tdn, rdnd, tdbt, tdbt0, q):
+            refb, refd, trab, trad, exp3, exp4 = q
+            zden1 = _recip(1.0 - refd * rdnd)
+            tdn_new = tdbt * trab + (
+                trad * ((tdn - tdbt) + tdbt * refb * rdnd)
+            ) * zden1
+            rdnd_new = refd + trad * trad * rdnd * zden1
+            return tdn_new, rdnd_new, tdbt * exp3, tdbt0 * exp4
+
+        tdn_c, rdnd_c, tdbt_c, tdbt0_c = step(
+            tdn_c, rdnd_c, tdbt_c, tdbt0_c, clr
+        )
+        tdn_t, rdnd_t, tdbt_t, tdbt0_t = step(
+            tdn_t, rdnd_t, tdbt_t, tdbt0_t, tot
+        )
+
+        def combine(tdn, rdnd, tdbt, rupb_j, rupd_j):
+            zden1 = _recip(1.0 - rdnd * rupd_j)
+            zfu = (tdbt * rupb_j + (tdn - tdbt) * rupd_j) * zden1
+            zfd = tdbt + (
+                tdn - tdbt + tdbt * rupb_j * rdnd
+            ) * zden1
+            return zfu, zfd
+
+        zfu_c, zfd_c = combine(tdn_c, rdnd_c, tdbt_c, rupb_c_j, rupd_c_j)
+        zfu_t, zfd_t = combine(tdn_t, rdnd_t, tdbt_t, rupb_t_j, rupd_t_j)
+        carry = (tdn_c, rdnd_c, tdbt_c, tdbt0_c,
+                 tdn_t, rdnd_t, tdbt_t, tdbt0_t)
+        emit = (
+            (zfu_c * zsolar).sum(-1), (zfd_c * zsolar).sum(-1),
+            (zfu_t * zsolar).sum(-1), (zfd_t * zsolar).sum(-1),
+        )
+        return carry, emit
+
+    init_dn = (ones, zeros, ones, ones, ones, zeros, ones, ones)
+    carry_dn, (fu0_s, fd0_s, fuc_s, fdc_s) = lax.scan(
+        down_body, init_dn, xs_dn
+    )
+    (tdn_c0, rdnd_c0, tdbt_c0, ztdbt0_c,
+     tdn_t0, rdnd_t0, tdbt_t0, ztdbt0_t) = carry_dn
+
+    # TOA (level L): zfu = zrupb_L, zfd = 1 exactly (reference boundary)
+    fu0_top = (rupb_cL * zsolar).sum(-1)
+    fuc_top = (rupb_tL * zsolar).sum(-1)
+    fd_top = zsolar.sum(-1)
+
+    # levels 0..L from the emitted (L-1..0) sums + the TOA row
+    def levels(emitted, top):
+        return jnp.concatenate(
+            [emitted[::-1], top[None]], axis=0
+        ).T  # [C, L+1]
+
+    flxu0 = levels(fu0_s, fu0_top)
+    flxd0 = levels(fd0_s, fd_top)
+    flxuc = levels(fuc_s, fuc_top)
+    flxdc = levels(fdc_s, fd_top)
+
+    # per-g surface down-fluxes for the spectral decompositions (same
+    # combination the scan emitted at level 0, recomputed per-g)
+    def combine0(tdn, rdnd, tdbt, rupb_j, rupd_j):
+        zden1 = _recip(1.0 - rdnd * rupd_j)
+        return tdbt + (tdn - tdbt + tdbt * rupb_j * rdnd) * zden1
+
+    zfd0_sfc = combine0(tdn_c0, rdnd_c0, tdbt_c0, alb_bm_g, alb_df_g)
+    zfdc_sfc = combine0(tdn_t0, rdnd_t0, tdbt_t0, alb_bm_g, alb_df_g)
 
     # spectral surface decompositions
-    sfc_group = idxsfc[np.asarray(P.NGB_SW)]  # per g: 1, 2, or 0
+    sfc_group = idxsfc[ngb]  # per g: 1, 2, or 0
     w_nir = jnp.asarray(
         np.where(sfc_group == 1, 1.0, np.where(sfc_group == 0, 0.5, 0.0)),
         dtype,
@@ -925,9 +904,9 @@ def spcvrtm_sw(
         dtype,
     )
     beam_c = zsolar * ztdbt0_t
-    diff_c = zsolar * (zfdc[:, 0] - ztdbt0_t)
+    diff_c = zsolar * (zfdc_sfc - ztdbt0_t)
     beam_0 = zsolar * ztdbt0_c
-    diff_0 = zsolar * (zfd0[:, 0] - ztdbt0_c)
+    diff_0 = zsolar * (zfd0_sfc - ztdbt0_c)
     sfbmc = jnp.stack(
         [(beam_c * w_nir).sum(-1), (beam_c * w_vis).sum(-1)], axis=-1
     )
@@ -942,11 +921,10 @@ def spcvrtm_sw(
     )
 
     uvb_mask = jnp.asarray(
-        (np.asarray(P.NGB_SW) == (P.NUVB_SW - P.NBLOW)).astype(np.float64),
-        dtype,
+        (ngb == (P.NUVB_SW - P.NBLOW)).astype(np.float64), dtype
     )
-    suvbf0 = (zfd0[:, 0] * zsolar * uvb_mask).sum(-1)
-    suvbfc = (zfdc[:, 0] * zsolar * uvb_mask).sum(-1)
+    suvbf0 = (zfd0_sfc * zsolar * uvb_mask).sum(-1)
+    suvbfc = (zfdc_sfc * zsolar * uvb_mask).sum(-1)
 
     return {
         "flxuc": flxuc, "flxdc": flxdc, "flxu0": flxu0, "flxd0": flxd0,
