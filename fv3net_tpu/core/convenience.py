@@ -38,6 +38,13 @@ def parse_current_date_from_str(time_str: str):
     return [t.year, t.month, t.day, t.hour, t.minute, t.second]
 
 
+def shift_timestamp(time: str, seconds: float) -> str:
+    """Add an offset in seconds to a '%Y%m%d.%H%M%S' timestamp
+    (reference convenience.py:139-143)."""
+    shifted = parse_datetime_from_str(time) + datetime.timedelta(seconds=seconds)
+    return encode_time(shifted)
+
+
 def round_time(t: datetime.datetime, to: float = 1.0) -> datetime.datetime:
     """Round to the nearest ``to`` seconds (reference convenience.round_time)."""
     epoch = datetime.datetime(1900, 1, 1)

@@ -80,6 +80,61 @@ def open_restarts(restart_dir: str) -> Dict[str, Dataset]:
     return out
 
 
+#: Fortran restart axis names -> standard names (reference
+#: vcm/fv3_restarts/io.py:69-79 standardize_metadata + vcm._schema_registry).
+_STANDARD_DIM_NAMES = {
+    "xaxis_1": "x",
+    "xaxis_2": "x_interface",
+    "yaxis_1": "y_interface",
+    "yaxis_2": "y",
+    "zaxis_1": "z",
+    "zaxis_2": "z_interface",
+    "nz": "z",
+    "grid_xt": "x",
+    "grid_yt": "y",
+    "grid_x": "x_interface",
+    "grid_y": "y_interface",
+    "pfull": "z",
+    "phalf": "z_interface",
+}
+
+
+def standardize_metadata(ds: Dataset) -> Dataset:
+    """Standardize one restart/diag file's metadata: drop the singleton
+    ``Time`` dimension and rename Fortran axis names to the x/y/z scheme
+    (reference vcm/fv3_restarts/io.py:69-79)."""
+    out = {}
+    for name, q in ds.items():
+        dims = q.dims
+        arr = q.data
+        if "Time" in dims and q.sizes["Time"] == 1:
+            axis = dims.index("Time")
+            arr = np.asarray(arr).take(0, axis=axis)
+            dims = dims[:axis] + dims[axis + 1 :]
+        dims = tuple(_STANDARD_DIM_NAMES.get(d, d) for d in dims)
+        out[name] = Quantity(arr, dims, q.units, dict(q.attrs))
+    coords = {
+        _STANDARD_DIM_NAMES.get(k, k): v
+        for k, v in ds.coords.items()
+        if k != "Time"
+    }
+    return Dataset(out, coords=coords, attrs=dict(ds.attrs))
+
+
+def dump_nc(ds: Dataset, f) -> None:
+    """Serialize a Dataset as classic NetCDF into an open binary
+    file-like object (reference vcm/xarray_loaders.py:108-115 — used to
+    write netCDFs onto filesystems without seek support)."""
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as dirname:
+        path = os.path.join(dirname, "tmp.nc")
+        write_netcdf(ds, path)
+        with open(path, "rb") as tmp:
+            shutil.copyfileobj(tmp, f)
+
+
 def write_netcdf(ds: Dataset, path: str) -> None:
     """Write a Dataset as classic NetCDF-3 (for interchange)."""
     from scipy.io import netcdf_file
@@ -92,10 +147,20 @@ def write_netcdf(ds: Dataset, path: str) -> None:
                     dim_sizes[d] = s
                     f.createDimension(d, s)
         for name, coord in ds.coords.items():
+            arr = np.asarray(coord)
             if name not in dim_sizes:
-                f.createDimension(name, len(np.asarray(coord)))
-            v = f.createVariable(name, np.asarray(coord).dtype, (name,))
-            v[:] = np.asarray(coord)
+                f.createDimension(name, len(arr))
+            if arr.dtype.kind in ("S", "U"):
+                # classic-NetCDF string convention: 2-D char array with a
+                # per-coordinate string-length dimension
+                chars = arr.astype("S")
+                strlen = chars.dtype.itemsize
+                f.createDimension(f"{name}_strlen", strlen)
+                v = f.createVariable(name, "S1", (name, f"{name}_strlen"))
+                v[:] = chars.view("S1").reshape(len(arr), strlen)
+            else:
+                v = f.createVariable(name, arr.dtype, (name,))
+                v[:] = arr
         for name, q in ds.items():
             arr = q.values
             dtype = arr.dtype if arr.dtype != np.float64 else np.dtype("f4")

@@ -345,3 +345,117 @@ def open_zarr(path: str) -> Dataset:
                 data, dims, units=attrs.get("units", ""), attrs=attrs
             )
     return Dataset(data_vars, coords, group.attrs)
+
+
+class ZarrMapping:
+    """Database-like front end to a zarr group: initialize once from a
+    template, then many independent workers insert datasets by coordinate
+    key (reference external/vcm/vcm/_zarr_mapping.py:77-187).
+
+    The managed ``dims`` are prepended to every template variable with
+    chunk size 1 along them, so concurrent writers with distinct keys
+    never touch the same chunk.
+
+    Example::
+
+        m = ZarrMapping.from_schema(path, template, ["time"], {"time": times})
+        m[("20160801.000000",)] = template_shaped_dataset
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.group = ZarrGroup(path)
+
+    @property
+    def dims(self):
+        return list(self.group.attrs["DIMS"])
+
+    @property
+    def coords(self):
+        return {dim: self.group[dim].read() for dim in self.dims}
+
+    @staticmethod
+    def from_schema(path, schema, dims, coords) -> "ZarrMapping":
+        """Create the backing zarr group from a template Dataset; managed
+        dims get chunk size 1 (reference _zarr_mapping.py:14-35)."""
+        dims = list(dims)
+        group = ZarrGroup.create(path, attrs={**schema.attrs, "DIMS": dims})
+        lead_shape = [len(np.asarray(coords[d])) for d in dims]
+        for name, q in schema.items():
+            group.create_array(
+                name,
+                shape=tuple(lead_shape) + q.shape,
+                dtype=q.values.dtype,
+                chunks=(1,) * len(dims) + q.shape,
+                dims=tuple(dims) + q.dims,
+                attrs=q.attrs,
+            )
+        for name, coord in {**schema.coords, **{d: coords[d] for d in dims}}.items():
+            arr = np.asarray(coord)
+            carr = group.create_array(
+                name,
+                shape=arr.shape,
+                dtype=arr.dtype if arr.dtype.kind != "U" else np.dtype("S32"),
+                chunks=arr.shape,
+                dims=(name,) if arr.ndim == 1 else None,
+            )
+            carr[tuple(slice(0, s) for s in arr.shape)] = (
+                arr if arr.dtype.kind != "U" else arr.astype("S32")
+            )
+        return ZarrMapping(path)
+
+    def _get_index(self, keys):
+        if not isinstance(keys, tuple):
+            keys = (keys,)
+        coords = self.coords
+        idx = []
+        for dim, key in zip(self.dims, keys):
+            vals = coords[dim]
+            if vals.dtype.kind == "S" and isinstance(key, str):
+                key = key.encode()
+            idx.append(np.asarray(vals).tolist().index(key))
+        return tuple(idx)
+
+    def __setitem__(self, keys, value) -> None:
+        index = self._get_index(keys)
+        for name, q in value.items():
+            arr = self.group[name]
+            sel = index + tuple(slice(0, s) for s in q.shape)
+            arr[sel] = np.asarray(q.values, dtype=arr.dtype)
+
+    def flush(self):  # parity shim: directory stores are already durable
+        return None
+
+
+class _LazyVars:
+    def __init__(self, loader):
+        self._loader = loader
+        self._ds = None
+
+    def get(self):
+        if self._ds is None:
+            self._ds = self._loader()
+        return self._ds
+
+
+def open_delayed(loader, schema: Dataset) -> Dataset:
+    """Dataset whose variables materialize on first access by calling
+    ``loader()`` (the reference's dask-delayed opener,
+    external/vcm/vcm/xarray_loaders.py:61-105, without dask: laziness via
+    a thunk shared by all variables).  ``schema`` supplies names, dims,
+    units and dtypes up front so shape/metadata queries stay cheap."""
+    cell = _LazyVars(loader)
+
+    class _LazyDataset(Dataset):
+        def __getitem__(self, key):
+            template = self._vars[key]
+            loaded = cell.get()[key]
+            if loaded.shape != template.shape:
+                raise ValueError(
+                    f"delayed variable {key!r} has shape {loaded.shape}, "
+                    f"schema says {template.shape}"
+                )
+            return Quantity(loaded.data, template.dims, template.units,
+                            dict(template.attrs))
+
+    return _LazyDataset(dict(schema.items()), dict(schema.coords), dict(schema.attrs))

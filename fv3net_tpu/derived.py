@@ -319,10 +319,30 @@ def upward_heat_flux_at_surface(self):
     return Quantity(out, q.dims, "W/m^2")
 
 
-def gridcell_to_incloud_condensate(cloud_amount, condensate, eps=1e-6):
-    """In-cloud condensate from gridcell mean (reference vcm helper)."""
-    frac = jnp.clip(cloud_amount, eps, 1.0)
-    return condensate / frac
+CLIMIT1 = 1.0e-3
+CLIMIT2 = 5.0e-2
+
+
+def gridcell_to_incloud_condensate(
+    cloud_amount, condensate, climit1=CLIMIT1, climit2=CLIMIT2
+):
+    """In-cloud condensate from gridcell mean via the GFS condensate
+    normalization (reference vcm/calc/clouds.py:7-38): below ``climit1``
+    the values are identical; the scaling fraction is floored at
+    ``climit2``."""
+    frac = jnp.maximum(cloud_amount, climit2)
+    return jnp.where(cloud_amount <= climit1, condensate, condensate / frac)
+
+
+def incloud_to_gridcell_condensate(
+    cloud_amount, incloud_condensate, climit1=CLIMIT1, climit2=CLIMIT2
+):
+    """Inverse of :func:`gridcell_to_incloud_condensate` (reference
+    vcm/calc/clouds.py:41-68)."""
+    frac = jnp.maximum(cloud_amount, climit2)
+    return jnp.where(
+        cloud_amount <= climit1, incloud_condensate, incloud_condensate * frac
+    )
 
 
 @DerivedMapping.register(

@@ -144,3 +144,32 @@ class CubeToLatLon:
             ..., self._box
         ].add(ff * self._w)
         return num.reshape(lead + (self.nlat, self.nlon))
+
+
+def interpolate_unstructured(field, source_coords, target_coords):
+    """Nearest-neighbor interpolation between arbitrary unstructured
+    coordinate sets (reference external/vcm/vcm/interpolate.py:251-298,
+    which uses a KDTree; here the neighbor search is a single pairwise-
+    distance matmul + argmin — the MXU-native formulation, exact for
+    nearest-neighbor).
+
+    Args:
+        field: ``[..., *spatial]`` data.
+        source_coords: sequence of arrays, each shaped like the spatial
+            axes of ``field`` (e.g. ``(lat, lon)`` — any dimensionality).
+        target_coords: sequence (same length) of arrays with a common
+            shape giving the query points.
+
+    Returns:
+        ``[..., *target_shape]`` nearest-source values.
+    """
+    src = jnp.stack([jnp.ravel(jnp.asarray(c)) for c in source_coords], axis=-1)
+    tgt = jnp.stack([jnp.ravel(jnp.asarray(c)) for c in target_coords], axis=-1)
+    # ||s - t||^2 = |s|^2 - 2 s.t + |t|^2 ; |t|^2 is constant over the argmin
+    d2 = (src * src).sum(-1)[:, None] - 2.0 * (src @ tgt.T)
+    idx = jnp.argmin(d2, axis=0)
+    src_ndim = np.ndim(np.asarray(source_coords[0]))
+    field = jnp.asarray(field)
+    lead = field.shape[: field.ndim - src_ndim]
+    out = jnp.take(field.reshape(lead + (-1,)), idx, axis=-1)
+    return out.reshape(lead + np.shape(np.asarray(target_coords[0])))

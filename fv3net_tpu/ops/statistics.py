@@ -78,6 +78,19 @@ def weighted_mean(field, weights, axis=None):
     return jnp.sum(field * w, axis=axis) / jnp.sum(w, axis=axis)
 
 
+def weighted_average(field, weights, axis=None):
+    """Weighted mean with NaN weights treated as zero (reference
+    vcm/calc/calc.py:33-49 ``weighted_average``)."""
+    w = jnp.nan_to_num(jnp.asarray(weights), nan=0.0)
+    return weighted_mean(field, w, axis=axis)
+
+
+def local_time(hours_utc, lon_deg):
+    """Fractional local solar hour-of-day from UTC hours + longitude
+    (reference vcm/calc/calc.py:25-30: hour + lon/15 mod 24)."""
+    return jnp.mod(jnp.asarray(hours_utc) + jnp.asarray(lon_deg) / 15.0, 24.0)
+
+
 def histogram(field, bins) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Counts + bin edges (reference vcm/calc/histogram.py)."""
     bins = jnp.asarray(bins)
@@ -91,6 +104,54 @@ def histogram(field, bins) -> Tuple[jnp.ndarray, jnp.ndarray]:
         inside.astype(jnp.int32)
     )
     return counts, bins
+
+
+def histogram2d(x, y, bins_x, bins_y) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Joint counts over two fields (reference vcm/calc/histogram.py:33-62).
+
+    Returns ``(counts[nx, ny], bins_x, bins_y)``.  Implemented as two
+    bucketizations + one one-hot contraction so the reduction is a
+    matmul rather than a scatter (TPU-friendly; gathers/scatters are the
+    slow path here).
+    """
+    bins_x = jnp.asarray(bins_x)
+    bins_y = jnp.asarray(bins_y)
+    nx, ny = len(bins_x) - 1, len(bins_y) - 1
+    xf = jnp.ravel(jnp.asarray(x))
+    yf = jnp.ravel(jnp.asarray(y))
+    ix = jnp.clip(jnp.searchsorted(bins_x, xf, side="right") - 1, 0, nx - 1)
+    iy = jnp.clip(jnp.searchsorted(bins_y, yf, side="right") - 1, 0, ny - 1)
+    inside = (
+        (xf >= bins_x[0]) & (xf <= bins_x[-1]) & (yf >= bins_y[0]) & (yf <= bins_y[-1])
+    )
+    one_x = (ix[:, None] == jnp.arange(nx)[None, :]) & inside[:, None]
+    one_y = iy[:, None] == jnp.arange(ny)[None, :]
+    counts = one_x.astype(jnp.float32).T @ one_y.astype(jnp.float32)
+    return counts.astype(jnp.int32), bins_x, bins_y
+
+
+class RegionOfInterest:
+    """Area-weighted average over a lat/lon box (reference
+    vcm/select.py:110-146).  Longitudes are normalized to [0, 360)."""
+
+    def __init__(self, lat_bounds, lon_bounds):
+        self.lat_bounds = tuple(lat_bounds)
+        self.lon_bounds = tuple(lon_bounds)
+
+    def mask(self, lat_deg, lon_deg):
+        lat = jnp.asarray(lat_deg)
+        lon = jnp.mod(jnp.asarray(lon_deg), 360.0)
+        lo0, lo1 = (b % 360.0 for b in self.lon_bounds)
+        in_lat = (lat > self.lat_bounds[0]) & (lat < self.lat_bounds[1])
+        if lo0 <= lo1:
+            in_lon = (lon > lo0) & (lon < lo1)
+        else:  # box crossing the 0-meridian
+            in_lon = (lon > lo0) | (lon < lo1)
+        return in_lat & in_lon
+
+    def average(self, field, lat_deg, lon_deg, area, axis=None):
+        w = jnp.asarray(area) * self.mask(lat_deg, lon_deg)
+        return weighted_mean(jnp.asarray(field), w, axis=axis)
 
 
 # ---------------------------------------------------------------------------
