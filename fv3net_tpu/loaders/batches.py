@@ -101,3 +101,29 @@ def batches_from_config(config: dict) -> List[Dataset]:
             shuffle_seed=config.get("shuffle_seed"),
         )
     raise ValueError(f"unknown batches kind {kind!r}")
+
+
+def batches_from_netcdf(
+    path: str,
+    variable_names: Sequence[str],
+    in_memory: bool = False,
+) -> Sequence[Dataset]:
+    """Lazy sequence of Datasets from a directory of netCDF files in
+    alphabetical order (reference batches/_batch.py:265-286), selecting
+    ``variable_names`` from each."""
+    import glob
+    import os
+
+    from fv3net_tpu.core.netcdfio import open_netcdf
+    from fv3net_tpu.core.safe import get_variables
+    from fv3net_tpu.loaders.sequences import Map
+
+    filenames = sorted(glob.glob(os.path.join(path, "*.nc")))
+
+    def load(fname: str) -> Dataset:
+        return get_variables(open_netcdf(fname), variable_names)
+
+    seq = Map(load, filenames)
+    if in_memory:
+        return tuple(seq[i] for i in range(len(seq)))
+    return seq

@@ -233,6 +233,8 @@ def open_fine_resolution(
     source, ``dynamics_difference`` computes
     Q = fine storage - fine nudging - coarse dynamics tendency
     (reference DynamicsDifferenceApparentSource:98-125)."""
+    if isinstance(approach, str):  # YAML/MapperConfig kwargs pass names
+        approach = Approach[approach]
     budgets = ZarrMapper(budget_zarr)
     if approach == Approach.apparent_sources_only:
         return budgets
@@ -336,3 +338,128 @@ def open_nudge_to_fine_scream(
         return Dataset(renamed)
 
     return ValMap(transform, merged)
+
+
+def open_nudge_to_fine_multiple_datasets(
+    data_path: str,
+    additional_paths: Sequence[str],
+    **kwargs,
+) -> GeoMapper:
+    """Stack several nudged runs along a new 'dataset' dimension
+    (reference _nudged/_nudged.py:188-213): each path is opened with
+    :func:`open_nudge_to_fine` and the results are merged by
+    MultiDatasetMapper over their common timestamps."""
+    paths = [data_path, *additional_paths]
+    return MultiDatasetMapper([open_nudge_to_fine(p, **kwargs) for p in paths])
+
+
+# SHiELD coarsened-diagnostic names -> training names (reference
+# loaders/constants.py:8-19 RENAMED_SHIELD_DIAG_VARS)
+RENAMED_SHIELD_DIAG_VARS: Mapping[str, str] = {
+    "DSWRFtoa_coarse": "total_sky_downward_shortwave_flux_at_top_of_atmosphere",
+    "DSWRFsfc_coarse": "total_sky_downward_shortwave_flux_at_surface",
+    "USWRFtoa_coarse": "total_sky_upward_shortwave_flux_at_top_of_atmosphere",
+    "USWRFsfc_coarse": "total_sky_upward_shortwave_flux_at_surface",
+    "DLWRFsfc_coarse": "total_sky_downward_longwave_flux_at_surface",
+    "ULWRFtoa_coarse": "total_sky_upward_longwave_flux_at_top_of_atmosphere",
+    "ULWRFsfc_coarse": "total_sky_upward_longwave_flux_at_surface",
+    "SHTFLsfc_coarse": "sensible_heat_flux",
+    "LHTFLsfc_coarse": "latent_heat_flux",
+    "PRATEsfc_coarse": "surface_precipitation_rate",
+}
+
+
+def _assign_net_physics_terms(ds: Dataset) -> Dataset:
+    """net_heating / net_precipitation from physics fluxes (reference
+    loaders/_utils.py:182-212)."""
+    from fv3net_tpu.ops import thermo
+
+    def _d(name):
+        return jnp.asarray(ds[name].data)
+
+    heating = thermo.net_heating(
+        _d("total_sky_downward_longwave_flux_at_surface"),
+        _d("total_sky_downward_shortwave_flux_at_surface"),
+        _d("total_sky_upward_longwave_flux_at_surface"),
+        _d("total_sky_upward_longwave_flux_at_top_of_atmosphere"),
+        _d("total_sky_upward_shortwave_flux_at_surface"),
+        _d("total_sky_upward_shortwave_flux_at_top_of_atmosphere"),
+        _d("total_sky_downward_shortwave_flux_at_top_of_atmosphere"),
+        _d("sensible_heat_flux"),
+        _d("surface_precipitation_rate"),
+    )
+    precip = thermo.net_precipitation(
+        _d("latent_heat_flux"), _d("surface_precipitation_rate")
+    )
+    dims = ds["sensible_heat_flux"].dims
+    ds["net_heating"] = Quantity(heating, dims, "W/m^2")
+    ds["net_precipitation"] = Quantity(precip, dims, "mm/day")
+    return ds
+
+
+def open_high_res_diags(
+    data_path: str,
+    renamed_vars: Optional[Mapping[str, str]] = None,
+    time_dim: str = "time",
+) -> GeoMapper:
+    """Mapper over coarsened SHiELD 2-D diagnostics (reference
+    _high_res_diags.py:17-55): rename the *_coarse flux names to training
+    names, keep only those, and insert net_heating/net_precipitation."""
+    renamed = dict(RENAMED_SHIELD_DIAG_VARS if renamed_vars is None else renamed_vars)
+    base = ZarrMapper(data_path, time_dim)
+
+    def transform(ds: Dataset) -> Dataset:
+        out = {renamed[k]: q for k, q in ds.items() if k in renamed}
+        missing = set(renamed.values()) - set(out)
+        if missing:
+            raise KeyError(
+                f"high-res diagnostics missing variables: {sorted(missing)}"
+            )
+        return _assign_net_physics_terms(Dataset(out, coords=dict(ds.coords)))
+
+    return ValMap(transform, base)
+
+
+def open_fine_resolution_nudging_hybrid(
+    budget_zarr: str,
+    approach: str = "apparent_sources_only",
+    nudging_zarr: Optional[str] = None,
+    include_temperature_nudging: bool = False,
+) -> GeoMapper:
+    """Hybrid fine-res + nudging training data (reference
+    _hybrid.py:22-64): compute the fine-res budget for the requested
+    approach, then split it against the coarse physics tendencies —
+    dQ1/dQ2 = Q1/Q2 - physics, pQ1/pQ2 = physics, and the nudging wind
+    tendencies become dQxwind/dQywind (reference compute_hybrid_budget,
+    _hybrid.py:11-18)."""
+    base = open_fine_resolution(
+        budget_zarr,
+        Approach[approach] if isinstance(approach, str) else approach,
+        nudging_zarr=nudging_zarr,
+        include_temperature_nudging=include_temperature_nudging,
+    )
+
+    PHYS_T = "tendency_of_air_temperature_due_to_fv3_physics"
+    PHYS_Q = "tendency_of_specific_humidity_due_to_fv3_physics"
+
+    def hybrid(ds: Dataset) -> Dataset:
+        for total, phys, dq, pq, unit in (
+            ("Q1", PHYS_T, "dQ1", "pQ1", "K/s"),
+            ("Q2", PHYS_Q, "dQ2", "pQ2", "kg/kg/s"),
+        ):
+            if total in ds and phys in ds:
+                q = ds[total]
+                ds[dq] = Quantity(
+                    jnp.asarray(q.data) - jnp.asarray(ds[phys].data),
+                    q.dims, unit,
+                )
+                ds[pq] = Quantity(jnp.asarray(ds[phys].data), q.dims, unit)
+        for src, dst in (
+            ("x_wind_tendency_due_to_nudging", "dQxwind"),
+            ("y_wind_tendency_due_to_nudging", "dQywind"),
+        ):
+            if src in ds:
+                ds[dst] = ds[src]
+        return ds
+
+    return ValMap(hybrid, base)

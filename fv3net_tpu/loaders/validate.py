@@ -19,8 +19,17 @@ def main(argv=None) -> int:
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
     problems = []
+    loader = None
     if not isinstance(cfg, dict):
         problems.append("config must be a mapping")
+    elif "mapper_config" in cfg or "function" in cfg:
+        # reference-shaped BatchesLoader config (loaders/_config.py)
+        from fv3net_tpu.loaders import BatchesLoader
+
+        try:
+            loader = BatchesLoader.from_dict(cfg)
+        except ValueError as e:
+            problems.append(str(e))
     else:
         kind = cfg.get("kind", "zarr")
         if kind not in ("zarr",):
@@ -33,8 +42,10 @@ def main(argv=None) -> int:
         from fv3net_tpu.loaders import batches_from_config
 
         try:
-            batches = batches_from_config(cfg)
-            _ = batches[0]
+            if loader is not None:
+                _ = loader.load_batches()[0]
+            else:
+                _ = batches_from_config(cfg)[0]
         except Exception as e:  # noqa: BLE001 — report, don't crash
             problems.append(f"failed to open: {e}")
     print(json.dumps({"valid": not problems, "problems": problems}))
