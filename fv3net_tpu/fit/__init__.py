@@ -35,3 +35,45 @@ from fv3net_tpu.fit import cyclegan  # noqa: F401  (registers "cyclegan")
 from fv3net_tpu.fit import precipitative  # noqa: F401  (registers "precipitative")
 from fv3net_tpu.fit import autoencoder  # noqa: F401  (registers "dense_autoencoder")
 from fv3net_tpu.fit import transformed  # noqa: F401  (registers "transformed")
+from fv3net_tpu.fit.normalize import StandardScaler  # noqa: F401
+from fv3net_tpu.fit.models import DerivedModel  # noqa: F401
+from fv3net_tpu.fit.train import (  # noqa: F401
+    get_hyperparameter_class,
+    set_random_seed,
+)
+from fv3net_tpu.fit.jacobian import (  # noqa: F401
+    compute_jacobians,
+    nondimensionalize_jacobians,
+)
+from fv3net_tpu.fit.config import (  # noqa: F401
+    LearningRateScheduleConfig,
+    OptimizerConfig,
+    RegularizerConfig,
+)
+from fv3net_tpu.fit.networks import (  # noqa: F401
+    ConvolutionalNetwork,
+    ConvolutionalNetworkConfig,
+    DenseNetwork,
+    DenseNetworkConfig,
+    EpochResult,
+    LossConfig,
+    TrainingLoopConfig,
+)
+from fv3net_tpu.fit.input_sensitivity import (  # noqa: F401
+    InputSensitivity,
+    JacobianInputSensitivity,
+    RandomForestInputSensitivities,
+    RandomForestInputSensitivity,
+    input_sensitivity,
+)
+from fv3net_tpu.fit.data import (  # noqa: F401
+    FromBatches,
+    SyntheticNoise,
+    TFDatasetLoader,
+    WindowedZarrLoader,
+    register_tfdataset_loader,
+    tfdataset_loader_from_dict,
+)
+from fv3net_tpu.fit.dense import DenseHyperparameters  # noqa: F401
+from fv3net_tpu.fit.convolutional import ConvolutionalHyperparameters  # noqa: F401
+from fv3net_tpu.fit.transformed import TransformedPredictor  # noqa: F401

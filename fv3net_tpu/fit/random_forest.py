@@ -52,6 +52,24 @@ class RandomForestModel(Predictor):
         out = packer.unpack(jnp.asarray(Y), self.output_info)
         return packer.samples_to_dataset(out)
 
+    def feature_importances(self):
+        """Per-input importance mean/std across the tree ensemble,
+        split by packed input variable (reference
+        sklearn/_random_forest.py input_sensitivity feature importances,
+        surfaced through fv3fit.InputSensitivity)."""
+        trees = getattr(self.regressor, "estimators_", None)
+        if trees:
+            per_tree = np.stack([t.feature_importances_ for t in trees])
+            mean = per_tree.mean(axis=0)
+            std = per_tree.std(axis=0)
+        else:
+            mean = np.asarray(self.regressor.feature_importances_)
+            std = np.zeros_like(mean)
+        out = {}
+        for name, sl in self.input_info.slices().items():
+            out[name] = (mean[sl], std[sl])
+        return out
+
     def dump(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "regressor.pkl"), "wb") as f:
