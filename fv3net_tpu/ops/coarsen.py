@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 
@@ -179,3 +180,31 @@ def block_coarsen(x, factor: int, method: str = "sum"):
             f"unknown coarsening method {method!r}; one of {sorted(_REDUCTIONS)}"
         )
     return fn(x, factor)
+
+
+def shift_edge_var_to_center(x_edge, axis: int = -1):
+    """Average an edge-staggered variable (n+1 points along ``axis``)
+    onto cell centers (reference vcm/cubedsphere/coarsen.py
+    shift_edge_var_to_center)."""
+    lo = jax.lax.slice_in_dim(x_edge, 0, x_edge.shape[axis] - 1, axis=axis)
+    hi = jax.lax.slice_in_dim(x_edge, 1, x_edge.shape[axis], axis=axis)
+    return 0.5 * (lo + hi)
+
+
+def coarsen_coords(factor: int, n_fine: int):
+    """Coarse-grid 1-based coordinate labels after block coarsening
+    (reference coarsen.py:83-163 coordinate handling): fine index i maps
+    to coarse cell (i-1)//factor + 1."""
+    import numpy as np
+
+    if n_fine % factor:
+        raise ValueError(f"{n_fine} not divisible by factor {factor}")
+    return np.arange(1, n_fine // factor + 1)
+
+
+#: reference-name aliases: both reference entry points reduce blocks of
+#: the trailing two (y, x) axes with an arbitrary reduction
+#: (vcm/cubedsphere/coarsen.py:463 xarray_block_reduce, :520
+#: horizontal_block_reduce) — block_reduce already is that operation.
+horizontal_block_reduce = block_reduce
+xarray_block_reduce = block_reduce

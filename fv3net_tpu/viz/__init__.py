@@ -11,6 +11,9 @@ from fv3net_tpu.viz.helpers import (  # noqa: F401
     get_var_label,
     infer_cmap_params,
     plot_daily_and_hourly_hist,
+    plot_daily_hist,
+    plot_hourly_hist,
+    wong_palette,
     plot_diurnal_cycle,
     plot_time_series,
     use_colorblind_friendly_style,

@@ -163,3 +163,30 @@ def plot_daily_and_hourly_hist(times: Sequence[datetime.datetime]):
     ax_h.set_title("by hour")
     fig.tight_layout()
     return fig, (ax_d, ax_h)
+
+
+def plot_daily_hist(ax, times: Sequence[datetime.datetime]):
+    """Bar chart of timestep counts per day onto an existing axis
+    (reference _timestep_histograms.py plot_daily_hist)."""
+    days = sorted({t.date() for t in times})
+    counts = [sum(1 for t in times if t.date() == d) for d in days]
+    ax.bar(range(len(days)), counts)
+    ax.set_xticks(range(len(days)))
+    ax.set_xticklabels([d.strftime("%m-%d") for d in days], rotation=45,
+                       fontsize=7)
+    ax.set_ylabel("count of timesteps")
+    return ax
+
+
+def plot_hourly_hist(ax, times: Sequence[datetime.datetime]):
+    """Histogram of timestep hours-of-day onto an existing axis
+    (reference _timestep_histograms.py plot_hourly_hist)."""
+    ax.hist([t.hour for t in times], bins=np.arange(25) - 0.5)
+    ax.set_xticks(range(0, 25, 6))
+    ax.set_xlabel("hour of day")
+    ax.set_ylabel("count of timesteps")
+    return ax
+
+
+#: lowercase alias matching the reference export name (fv3viz.wong_palette)
+wong_palette = WONG_PALETTE
