@@ -88,6 +88,7 @@ def physics_step(
     cfg: PhysicsConfig = PhysicsConfig(),
     microphysics_emulator=None,
     gscond_emulator=None,
+    emulator_piggy_back: bool = False,
     radiation_fn=None,
     sgh=None,  # [6, ny, nx] subgrid-orography std (m) enables GWD
     evap_factor=None,  # [6, ny, nx] bucket-land beta (physics/land.py)
@@ -247,45 +248,76 @@ def physics_step(
             wind = wind + dwind_sh
 
     # ---- microphysics ---------------------------------------------------
-    if microphysics_emulator is None:
-        if gscond_emulator is not None:
-            # the reference's finer hook point: emulate ONLY the
-            # grid-scale condensation stage (call_py_fort 'gscond' hook,
-            # emulation/config.py:309-324), run precpd natively
-            emu_state = {
-                "air_temperature": T,
-                "specific_humidity": q,
-                "cloud_water_mixing_ratio": qc,
-                "pressure": pmid,
-            }
-            out = gscond_emulator(emu_state)
-            T = out["air_temperature"]
-            q = out["specific_humidity"]
-            qc = out.get("cloud_water_mixing_ratio", qc)
-            T, q, qc, precip, snow = mp.precpd(
-                T, q, qc, pmid, delp, dt, cfg.microphysics
-            )
-        else:
-            T, q, qc, precip, snow = mp.microphysics_step(
-                T, q, qc, pmid, delp, dt, cfg.microphysics
-            )
-    else:
+    def _emulator_result(emulator):
         emu_state = {
             "air_temperature": T,
             "specific_humidity": q,
             "cloud_water_mixing_ratio": qc,
             "pressure": pmid,
         }
-        out = microphysics_emulator(emu_state)
-        T_new = out["air_temperature"]
-        q_new = out["specific_humidity"]
-        qc_new = out.get("cloud_water_mixing_ratio", qc)
+        out = emulator(emu_state)
+        T_e = out["air_temperature"]
+        q_e = out["specific_humidity"]
+        qc_e = out.get("cloud_water_mixing_ratio", qc)
+        return T_e, q_e, qc_e
+
+    emu_diags = {}  # merged into diags once rad_diags seed it below
+
+    def _zhao_carr_diags(source, T_s, q_s, qc_s, precip_s, stage="zhao_carr"):
+        # piggy-backed per-source tendency diagnostics, named as the
+        # reference emulation diags expect (reference
+        # diagnostics/prognostic_run/emulation/tendencies.py:4-20)
+        emu_diags[f"tendency_of_air_temperature_due_to_{stage}_{source}"] = _zmid(
+            (T_s - T) / dt
+        )
+        emu_diags[f"tendency_of_specific_humidity_due_to_{stage}_{source}"] = _zmid(
+            (q_s - q) / dt
+        )
+        emu_diags[f"tendency_of_cloud_water_due_to_{stage}_{source}"] = _zmid(
+            (qc_s - qc) / dt
+        )
+        if precip_s is not None:
+            emu_diags[f"surface_precipitation_due_to_{stage}_{source}"] = precip_s
+
+    if microphysics_emulator is None and gscond_emulator is None:
+        T, q, qc, precip, snow = mp.microphysics_step(
+            T, q, qc, pmid, delp, dt, cfg.microphysics
+        )
+    elif gscond_emulator is not None:
+        # the reference's finer hook point: emulate ONLY the
+        # grid-scale condensation stage (call_py_fort 'gscond' hook,
+        # emulation/config.py:309-324), run precpd natively
+        T_e, q_e, qc_e = _emulator_result(gscond_emulator)
+        if emulator_piggy_back:
+            # run the native stage too; the NATIVE result advances the
+            # state and both sources are emitted for offline skill
+            # evaluation (reference emulation/single_run.py semantics)
+            T_n, q_n, qc_n = mp.gscond(T, q, qc, pmid, dt, cfg.microphysics)
+            _zhao_carr_diags("emulator", T_e, q_e, qc_e, None, "gscond")
+            _zhao_carr_diags("physics", T_n, q_n, qc_n, None, "gscond")
+            T_g, q_g, qc_g = T_n, q_n, qc_n
+        else:
+            T_g, q_g, qc_g = T_e, q_e, qc_e
+        T, q, qc, precip, snow = mp.precpd(
+            T_g, q_g, qc_g, pmid, delp, dt, cfg.microphysics
+        )
+    else:
+        T_e, q_e, qc_e = _emulator_result(microphysics_emulator)
         # implied surface precipitation from total-water convergence
         dm = thermo.layer_mass(delp)
-        dq_col = ((q + qc) - (q_new + qc_new)) * dm
-        precip = jnp.maximum(dq_col.sum(axis=-1) / dt, 0.0)
-        snow = jnp.zeros_like(precip)
-        T, q, qc = T_new, q_new, qc_new
+        dq_col_e = ((q + qc) - (q_e + qc_e)) * dm
+        precip_e = jnp.maximum(dq_col_e.sum(axis=-1) / dt, 0.0)
+        if emulator_piggy_back:
+            T_n, q_n, qc_n, precip_n, snow_n = mp.microphysics_step(
+                T, q, qc, pmid, delp, dt, cfg.microphysics
+            )
+            _zhao_carr_diags("emulator", T_e, q_e, qc_e, precip_e)
+            _zhao_carr_diags("physics", T_n, q_n, qc_n, precip_n)
+            T, q, qc, precip, snow = T_n, q_n, qc_n, precip_n, snow_n
+        else:
+            T, q, qc = T_e, q_e, qc_e
+            precip = precip_e
+            snow = jnp.zeros_like(precip)
 
     # ---- linearized ozone photochemistry --------------------------------
     extra_tracers = {
@@ -322,6 +354,7 @@ def physics_step(
     )
 
     diags = dict(rad_diags)
+    diags.update(emu_diags)
     if cfg.use_gwd and sgh is not None:
         diags["taugwd"] = tau_gwd  # launched mountain-wave stress, N/m^2
     if hpbl is not None:

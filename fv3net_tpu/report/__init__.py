@@ -7,6 +7,9 @@ from fv3net_tpu.report.create_report import (  # noqa: F401
     Link,
     OrderedList,
     RawHTML,
+    MatplotlibFigure,
     create_html,
     create_report,
+    fig_to_b64,
+    upload,
 )

@@ -123,3 +123,41 @@ def create_report(
     with open(path, "w") as f:
         f.write(doc)
     return path
+
+
+def fig_to_b64(fig, format: str = "png", dpi=None) -> str:
+    """Matplotlib figure -> base64 data URI (reference
+    report/matplotlib.py:8-13)."""
+    import base64
+    import io as _io
+
+    buf = _io.BytesIO()
+    fig.savefig(buf, format=format, bbox_inches="tight", dpi=dpi)
+    buf.seek(0)
+    return "data:image/png;base64, " + base64.b64encode(buf.read()).decode()
+
+
+def MatplotlibFigure(fig, width=None) -> "RawHTML":
+    """Embed a matplotlib figure as an inline <img> (reference
+    report/matplotlib.py:15-22)."""
+    properties = {"src": fig_to_b64(fig)}
+    if width:
+        properties = {"width": width, **properties}
+    attr = " ".join(f'{k}="{v}"' for k, v in properties.items())
+    return RawHTML(f"<img {attr}/>")
+
+
+def upload(html: str, path: str = None) -> str:
+    """Publish a report by content hash (reference report/_io.py:19-27,
+    which uploads to GCS; zero-egress here, so the store is a local
+    directory — FV3NET_REPORT_DIR or ./reports)."""
+    import hashlib
+    import os
+
+    root = path or os.environ.get("FV3NET_REPORT_DIR", "reports")
+    os.makedirs(root, exist_ok=True)
+    name = hashlib.md5(html.encode()).hexdigest() + ".html"
+    out = os.path.join(root, name)
+    with open(out, "w") as f:
+        f.write(html)
+    return out

@@ -161,6 +161,12 @@ class OnlineEmulatorConfig:
     # "gscond" only the grid-scale condensation stage (precpd stays
     # native) — the reference's two call_py_fort hooks
     target: str = "microphysics"
+    # piggy-back mode: the NATIVE microphysics still advances the state
+    # while the emulator runs alongside; both sources are emitted as
+    # tendency_of_*_due_to_{zhao_carr,gscond}_{emulator,physics}
+    # diagnostics for offline skill evaluation (reference
+    # diagnostics/prognostic_run/emulation/single_run.py)
+    piggy_back: bool = False
 
 
 @dataclasses.dataclass

@@ -187,8 +187,8 @@ def get_microphysics_emulator(config: UserConfig):
     emulation hook slot."""
     oe = config.online_emulator
     if oe is None or not oe.enabled or not oe.url:
-        return None, "microphysics"
+        return None, "microphysics", False
     from fv3net_tpu import fit
     from fv3net_tpu.emulation import MicrophysicsEmulator
 
-    return MicrophysicsEmulator(fit.load(oe.url)), oe.target
+    return MicrophysicsEmulator(fit.load(oe.url)), oe.target, oe.piggy_back

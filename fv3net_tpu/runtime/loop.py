@@ -234,6 +234,7 @@ class TimeLoop:
         (
             self._microphysics_emulator,
             emu_target,
+            self._emulator_piggy_back,
         ) = factories.get_microphysics_emulator(config)
         self._gscond_emulator = None
         if emu_target == "gscond":
@@ -335,6 +336,7 @@ class TimeLoop:
             radiation_fn=self._radiation_fn,
             microphysics_emulator=self._microphysics_emulator,
             gscond_emulator=self._gscond_emulator,
+            emulator_piggy_back=self._emulator_piggy_back,
             # subgrid-orography std enables mountain-wave drag when a
             # surface field provides it (zero/absent on aquaplanets)
             sgh=self.state.surface.get("sgh"),
