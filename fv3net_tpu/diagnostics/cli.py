@@ -172,7 +172,13 @@ def main(argv=None) -> int:
     elif args.command == "metrics":
         metrics_cmd(args.diags, args.output)
     elif args.command == "report":
-        report_cmd(args.diags, args.output_dir)
+        from fv3net_tpu.diagnostics.computed import detect_folders
+        import os
+
+        if os.path.isdir(args.diags) and detect_folders(args.diags):
+            comparison_report_cmd(args.diags, args.output_dir)
+        else:
+            report_cmd(args.diags, args.output_dir)
     elif args.command == "movies":
         movies_cmd(args.url, args.output_dir, args.names)
     elif args.command == "shell":
@@ -256,3 +262,58 @@ def log_viewer_cmd(logfile: str) -> None:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def comparison_report_cmd(bucket: str, output_dir: str) -> None:
+    """Multi-run comparison report: a bucket of <run>/diags.zarr folders
+    becomes one HTML with per-run-overlaid time series / zonal means and
+    a metrics table (reference computed_diagnostics.py +
+    views/static_report.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from fv3net_tpu.diagnostics.computed import load_diagnostics, load_metrics
+    from fv3net_tpu.report import ImagePlot, create_report
+
+    diags = load_diagnostics(bucket)
+    metrics = load_metrics(bucket)
+    sections = {"Time series": [], "Zonal means": []}
+    for varfilter, section, xlabel in (
+        ("_spatial_mean_global", "Time series", "output time index"),
+        ("_rms_global", "Time series", "output time index"),
+        ("_zonal_and_time_mean", "Zonal means", "latitude [deg]"),
+    ):
+        for name in sorted(diags.matching_variables(varfilter)):
+            fig, ax = plt.subplots(figsize=(6, 3))
+            for run in diags.runs:
+                q = diags.get_variable(run, name)
+                arr = np.asarray(q.data)
+                if varfilter == "_zonal_and_time_mean":
+                    x = np.asarray(q.attrs.get("latitude", range(arr.shape[-1])))
+                    ax.plot(x, arr, label=run)
+                else:
+                    ax.plot(arr, label=run)
+            ax.set_title(name)
+            ax.set_xlabel(xlabel)
+            ax.legend(fontsize=7)
+            sections[section].append(ImagePlot(fig, caption=name))
+            plt.close(fig)
+    table = {}
+    for mtype in sorted(metrics.types):
+        for var in sorted(metrics.get_metric_variables(mtype)):
+            key = metrics.metric_name(mtype, var)
+            table[key] = " | ".join(
+                f"{run}: {metrics.get_metric_value(mtype, var, run):.4g} "
+                f"{metrics.get_metric_units(mtype, var, run)}"
+                for run in metrics.runs
+            )
+    path = create_report(
+        sections,
+        f"comparison of {len(diags.runs)} runs",
+        output_dir,
+        metrics=table or None,
+    )
+    print(path)
