@@ -77,3 +77,9 @@ from fv3net_tpu.fit.data import (  # noqa: F401
 from fv3net_tpu.fit.dense import DenseHyperparameters  # noqa: F401
 from fv3net_tpu.fit.convolutional import ConvolutionalHyperparameters  # noqa: F401
 from fv3net_tpu.fit.transformed import TransformedPredictor  # noqa: F401
+from fv3net_tpu.fit import transformers  # noqa: F401  (registers transformers)
+from fv3net_tpu.fit.transformers import (  # noqa: F401
+    DatasetPredictor,
+    DoNothingAutoencoder,
+    PCATransformer,
+)

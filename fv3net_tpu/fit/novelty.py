@@ -324,3 +324,32 @@ class OutOfSampleModel(Predictor):
             cutoff=meta.get("cutoff", 0.0),
             taper_config=meta.get("tapering_function"),
         )
+
+
+@io.register("constant-output-novelty")
+class ConstantOutputNoveltyDetector(NoveltyDetector):
+    """Test stub emitting a constant novelty score (reference
+    fv3fit/testing.py constant-output-novelty) — exercises the
+    out-of-sample taper path without a trained detector."""
+
+    def __init__(self, input_variables: Sequence[str], score: float = 0.0):
+        super().__init__(input_variables)
+        self.score = float(score)
+
+    def _score(self, X: Dataset) -> jnp.ndarray:
+        n = next(iter(X.values())).shape[0]
+        return jnp.full((n,), self.score, jnp.float32)
+
+    def dump(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(
+                {"input_variables": self.input_variables, "score": self.score},
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "ConstantOutputNoveltyDetector":
+        with open(os.path.join(path, "metadata.json")) as f:
+            meta = json.load(f)
+        return cls(meta["input_variables"], meta["score"])
