@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import typing
-from typing import Any, List, Mapping, Optional
+from typing import Any, Dict, List, Mapping, Optional
 
 import yaml
 
@@ -177,6 +177,13 @@ class ReservoirCorrectorConfig:
     model_path: str = ""
     synchronize_steps: int = 1
     reservoir_timestep_seconds: float = 900.0
+    # model-side -> run-side variable names (reference reservoir.py:50)
+    rename_mapping: Dict[str, str] = dataclasses.field(default_factory=dict)
+    # predictions become diagnostics only (reference reservoir.py:47)
+    diagnostic_only: bool = False
+    # restore a pre-synchronized reservoir state saved next to the model
+    # (reference reservoir.py:49)
+    warm_start: bool = False
 
 
 @dataclasses.dataclass

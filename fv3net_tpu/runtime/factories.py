@@ -174,6 +174,9 @@ def get_reservoir_steppers(config: UserConfig, timestep: float):
         model_path=rc.model_path,
         synchronize_steps=rc.synchronize_steps,
         reservoir_timestep_seconds=rc.reservoir_timestep_seconds,
+        rename_mapping=dict(rc.rename_mapping),
+        diagnostic_only=rc.diagnostic_only,
+        warm_start=rc.warm_start,
     )
     return (
         ReservoirIncrementOnlyStepper(model, cfg),

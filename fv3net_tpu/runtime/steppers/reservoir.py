@@ -25,11 +25,21 @@ from fv3net_tpu.runtime.derived_state import DerivedState, DIMS_3D
 
 @dataclasses.dataclass
 class ReservoirConfig:
-    """(reference reservoir.py:35 — minus per-rank path mapping)"""
+    """(reference reservoir.py:35-65 — minus per-rank path mapping)
+
+    ``rename_mapping`` maps model-side variable names to run-side state
+    names; ``diagnostic_only`` emits predictions as diagnostics
+    (``{name}_reservoir_prediction``) without touching the state;
+    ``warm_start`` restores a pre-synchronized reservoir state saved
+    next to the model (``reservoir_state.npz``) and skips the
+    synchronization gate."""
 
     model_path: str = ""
     synchronize_steps: int = 1
     reservoir_timestep_seconds: float = 900.0
+    rename_mapping: dict = dataclasses.field(default_factory=dict)
+    diagnostic_only: bool = False
+    warm_start: bool = False
 
 
 class _FiniteStateMachine:
@@ -68,11 +78,33 @@ class _ReservoirStepper:
                  input_variables: Optional[Sequence[str]] = None):
         self.model = model
         self.config = config
-        self.input_variables = list(
-            input_variables or model.input_variables
-        )
+        rename = dict(config.rename_mapping)
+        self.input_variables = [
+            rename.get(v, v)
+            for v in (input_variables or model.input_variables)
+        ]
+        self.output_renames = rename
         self._fsm = getattr(model, "_fsm", None) or _FiniteStateMachine()
         model._fsm = self._fsm
+        if config.warm_start and not getattr(self._fsm, "warm_started", False):
+            self._fsm.warm_started = True
+            self._load_warm_state()
+
+    def _load_warm_state(self) -> None:
+        """Restore a saved reservoir state (reference reservoir.py:49
+        warm_start): skip synchronization entirely."""
+        import os
+
+        import numpy as np
+
+        path = os.path.join(self.config.model_path, "reservoir_state.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                self.model.state = jnp.asarray(z["state"])
+        # mark synchronization as already complete
+        self._fsm.completed_increments = max(
+            self._fsm.completed_increments, self.config.synchronize_steps + 1
+        )
 
     @property
     def _spatial(self) -> bool:
@@ -169,10 +201,11 @@ class ReservoirPredictStepper(_ReservoirStepper):
             for v in self.model.output_variables:
                 chunk = pred[..., start : start + nz]  # [6, y, x, z]
                 start += nz
-                state_updates[v] = Quantity(
+                name = self.output_renames.get(v, v)
+                state_updates[name] = Quantity(
                     jnp.moveaxis(chunk, -1, 1), DIMS_3D
                 )
-            return {}, {}, state_updates
+            return self._route(state_updates)
         grid_shape = tuple(
             state[names.DELP].shape[i] for i in (0, 2, 3)
         )
@@ -190,7 +223,32 @@ class ReservoirPredictStepper(_ReservoirStepper):
         for v, nf in zip(self.model.output_variables, feats):
             chunk = pred[:, start : start + nf]
             start += nf
-            state_updates[v] = Quantity(
+            name = self.output_renames.get(v, v)
+            state_updates[name] = Quantity(
                 unstack_columns(chunk, grid_shape), DIMS_3D
             )
+        return self._route(state_updates)
+
+    def _route(self, state_updates):
+        """diagnostic_only mode stores predictions as diagnostics instead
+        of overwriting the model state (reference reservoir.py:47-48)."""
+        if self.config.diagnostic_only:
+            diags = {
+                f"{name}_reservoir_prediction": q
+                for name, q in state_updates.items()
+            }
+            return {}, diags, {}
         return {}, {}, state_updates
+
+
+def save_reservoir_state(model, model_path: str) -> str:
+    """Persist the reservoir's current state next to the model so later
+    runs can ``warm_start`` (reference reservoir.py:49 semantics; the
+    producer side of ``ReservoirConfig.warm_start``)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(model_path, "reservoir_state.npz")
+    np.savez(path, state=np.asarray(model.state))
+    return path

@@ -235,3 +235,66 @@ def test_subdomain_reservoir_steppers_in_loop():
     for _, diags in loop:
         pass
     assert inc.completed_sync_steps == 2
+
+
+def test_reservoir_config_new_options(tmp_path):
+    """rename_mapping / diagnostic_only / warm_start (reference
+    reservoir.py:47-50 ReservoirConfig attributes)."""
+    import datetime
+    import os
+
+    from fv3net_tpu.runtime.steppers.reservoir import (
+        ReservoirPredictStepper,
+        save_reservoir_state,
+    )
+
+    nz = 4
+
+    class FakeModel:
+        input_variables = ["T_model"]
+        output_variables = ["T_model"]
+        output_features = [nz]
+        state = jnp.zeros((6 * 3 * 3, 16), jnp.float32)
+
+        def reset_state(self, batch_shape=()):
+            self.state = jnp.zeros(batch_shape + (16,), jnp.float32)
+
+        def increment(self, u):
+            pass
+
+        def predict_from_state(self, u):
+            return jnp.full((u.shape[0], nz), 5.0, jnp.float32)
+
+    model = FakeModel()
+    # warm_start: save a state, configure, and check it loads + skips sync
+    model_dir = str(tmp_path)
+    model.state = jnp.ones((6 * 3 * 3, 16), jnp.float32) * 7.0
+    save_reservoir_state(model, model_dir)
+    model.reset_state((6 * 3 * 3,))
+    rc = ReservoirConfig(
+        model_path=model_dir,
+        synchronize_steps=100,  # would normally gate prediction off
+        rename_mapping={"T_model": "air_temperature"},
+        diagnostic_only=True,
+        warm_start=True,
+    )
+    inc = ReservoirIncrementOnlyStepper(model, rc)
+    pred = ReservoirPredictStepper(model, rc)
+    assert float(np.asarray(model.state)[0, 0]) == 7.0  # restored
+    t0 = datetime.datetime(2020, 1, 1)
+    state = {
+        "air_temperature": Quantity(
+            jnp.full((6, nz, 3, 3), 250.0), ("tile", "z", "y", "x")
+        ),
+        "pressure_thickness_of_atmospheric_layer": Quantity(
+            jnp.full((6, nz, 3, 3), 100.0), ("tile", "z", "y", "x")
+        ),
+    }
+    inc(t0, state)  # pulls the RENAMED input without KeyError
+    tend, diags, updates = pred(t0, state)
+    # diagnostic_only: prediction lands in diags under the run-side name
+    assert updates == {}
+    assert "air_temperature_reservoir_prediction" in diags
+    q = diags["air_temperature_reservoir_prediction"]
+    assert q.data.shape == (6, nz, 3, 3)
+    np.testing.assert_allclose(np.asarray(q.data), 5.0)
