@@ -270,6 +270,11 @@ class SubdomainReservoirHyperparameters:
         default_factory=ReservoirHyperparameters
     )
     hybrid: bool = False
+    # optional latent space: path to an io-registered transformer
+    # (PCATransformer / Autoencoder / DoNothingAutoencoder) — the ESN
+    # runs on encoded features and predictions are decoded back
+    # (reference reservoir/transformers usage in ReservoirTrainingConfig)
+    transformer_path: str = ""
 
 
 @io.register("subdomain-reservoir")
@@ -279,7 +284,8 @@ class SubdomainReservoirModel(Predictor):
 
     def __init__(self, input_variables, output_variables, divider:
                  CubeXYDivider, W_in, W, coefficients, intercept, hp:
-                 SubdomainReservoirHyperparameters, n_features_out: int):
+                 SubdomainReservoirHyperparameters, n_features_out: int,
+                 transformer=None):
         super().__init__(list(input_variables), list(output_variables))
         self.divider = divider
         self.W_in = W_in
@@ -287,8 +293,20 @@ class SubdomainReservoirModel(Predictor):
         self.coefficients = coefficients  # [n_sub, feats, out_flat]
         self.intercept = intercept        # [n_sub, out_flat]
         self.hp = hp
-        self.n_features_out = n_features_out
+        self.n_features_out = n_features_out  # LATENT features per point
+        self.transformer = transformer
         self.reset_state()
+
+    def _encode(self, field: jnp.ndarray) -> jnp.ndarray:
+        """Raw cube field [..., nf_raw] -> latent [..., nf_latent]."""
+        if self.transformer is None:
+            return field
+        return self.transformer.encode([field])
+
+    def _decode(self, field: jnp.ndarray) -> jnp.ndarray:
+        if self.transformer is None:
+            return field
+        return jnp.concatenate(self.transformer.decode(field), axis=-1)
 
     def reset_state(self, batch_shape=None) -> None:
         self.state = jnp.zeros(
@@ -297,6 +315,7 @@ class SubdomainReservoirModel(Predictor):
         )
 
     def _flatten_inputs(self, field: jnp.ndarray) -> jnp.ndarray:
+        field = self._encode(field)
         subs = self.divider.get_subdomains(field)  # [n_sub, sy+2o, sx+2o, nf]
         return self.divider.flatten_subdomain_features(subs)
 
@@ -324,7 +343,7 @@ class SubdomainReservoirModel(Predictor):
             self.divider.n_subdomains, sy - 2 * o, sx - 2 * o,
             self.n_features_out,
         )
-        return self.divider.merge_subdomains(interior)
+        return self._decode(self.divider.merge_subdomains(interior))
 
     def predict(self, X: Dataset) -> Dataset:
         """Offline rollout over a [time, 6, ny, nx, nf] series."""
@@ -349,7 +368,7 @@ class SubdomainReservoirModel(Predictor):
                 model.divider.n_subdomains, sy - 2 * o, sx - 2 * o,
                 model.n_features_out,
             )
-            return r, model.divider.merge_subdomains(interior)
+            return r, model._decode(model.divider.merge_subdomains(interior))
 
         r0 = jnp.zeros(
             (self.divider.n_subdomains, self.hp.reservoir.state_size),
@@ -384,9 +403,12 @@ class SubdomainReservoirModel(Predictor):
                     },
                     "rank_extent": list(self.divider.rank_extent),
                     "n_features_out": self.n_features_out,
+                    "has_transformer": self.transformer is not None,
                 },
                 f,
             )
+        if self.transformer is not None:
+            io.dump(self.transformer, os.path.join(path, "transformer"))
 
     @classmethod
     def load(cls, path: str) -> "SubdomainReservoirModel":
@@ -400,11 +422,14 @@ class SubdomainReservoirModel(Predictor):
         divider = CubeXYDivider(
             hp.subdomain_layout, hp.overlap, tuple(meta["rank_extent"])
         )
+        transformer = None
+        if meta.get("has_transformer"):
+            transformer = io.load(os.path.join(path, "transformer"))
         return cls(
             meta["input_variables"], meta["output_variables"], divider,
             jnp.asarray(z["W_in"]), jnp.asarray(z["W"]),
             jnp.asarray(z["coefficients"]), jnp.asarray(z["intercept"]),
-            hp, meta["n_features_out"],
+            hp, meta["n_features_out"], transformer=transformer,
         )
 
 
@@ -428,6 +453,14 @@ def train_subdomain_reservoir(hp: SubdomainReservoirHyperparameters,
     # is a straightforward extension if multi-segment data is used)
     u = jnp.asarray(np.concatenate(us, axis=0))
     y = jnp.asarray(np.concatenate(ys, axis=0))
+    transformer = None
+    if hp.transformer_path:
+        # latent-space training: the ESN sees encoded features and the
+        # readout is fit against encoded targets; online, predictions
+        # are decoded back to the raw feature space
+        transformer = io.load(hp.transformer_path)
+        u = jnp.asarray(transformer.encode([u]))
+        y = jnp.asarray(transformer.encode([y]))
     ny, nx = u.shape[2], u.shape[3]
     nf_out = y.shape[-1]
     divider = CubeXYDivider(hp.subdomain_layout, hp.overlap, (ny, nx))
@@ -466,4 +499,5 @@ def train_subdomain_reservoir(hp: SubdomainReservoirHyperparameters,
         hp.input_variables or ["inputs"],
         hp.output_variables or ["outputs"],
         divider, W_in, W, coef, intercept, hp, nf_out,
+        transformer=transformer,
     )

@@ -298,3 +298,61 @@ def test_reservoir_config_new_options(tmp_path):
     q = diags["air_temperature_reservoir_prediction"]
     assert q.data.shape == (6, nz, 3, 3)
     np.testing.assert_allclose(np.asarray(q.data), 5.0)
+
+
+def test_latent_subdomain_reservoir(tmp_path):
+    """Latent-space reservoir: ESN trained on PCA-encoded features,
+    predictions decoded back (reference reservoir/transformers usage)."""
+    from fv3net_tpu.fit import io as fit_io
+    from fv3net_tpu.fit.reservoir import (
+        SubdomainReservoirHyperparameters,
+        train_subdomain_reservoir,
+    )
+    from fv3net_tpu.fit.transformers import PCATransformer
+
+    series = _cube_series(nt=200, n=8, nf=6, seed=0)  # [t, 6, y, x, 6]
+    # fit a transformer on the raw features (rank ~<= 6 here)
+    pca = PCATransformer.fit([series.reshape(-1, 6)], n_components=4)
+    tpath = str(tmp_path / "pca")
+    fit_io.dump(pca, tpath)
+
+    hp = SubdomainReservoirHyperparameters(
+        subdomain_layout=(2, 2),
+        overlap=1,
+        reservoir=ReservoirHyperparameters(state_size=128, seed=0),
+        transformer_path=tpath,
+    )
+    ds = Dataset(
+        {
+            "inputs": Quantity(
+                jnp.asarray(series[:-1]), ("time", "tile", "y", "x", "f")
+            ),
+            "outputs": Quantity(
+                jnp.asarray(series[1:]), ("time", "tile", "y", "x", "f")
+            ),
+        }
+    )
+    model = train_subdomain_reservoir(hp, [ds])
+    assert model.n_features_out == 4  # latent width
+    # online-style increment + predict returns RAW feature width
+    model.reset_state()
+    for t in range(20):
+        model.increment(jnp.asarray(series[t]))
+    pred = model.predict_from_state()
+    assert pred.shape == (6, 8, 8, 6)
+    target = series[20]
+    base_err = float(np.mean((series[19] - target) ** 2))
+    err = float(np.mean((np.asarray(pred) - target) ** 2))
+    assert err < base_err, (err, base_err)  # beats persistence
+    # dump/load roundtrip preserves the transformer
+    mdir = str(tmp_path / "model")
+    fit_io.dump(model, mdir)
+    back = fit_io.load(mdir)
+    assert back.transformer is not None
+    back.reset_state()
+    for t in range(20):
+        back.increment(jnp.asarray(series[t]))
+    np.testing.assert_allclose(
+        np.asarray(back.predict_from_state()), np.asarray(pred), rtol=1e-5,
+        atol=1e-6,
+    )
