@@ -10,7 +10,7 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity

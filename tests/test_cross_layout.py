@@ -7,7 +7,7 @@ import numpy as np
 
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 from fv3net_tpu.grid import CROSS_LAYOUT, GridMetadata, to_cross
 from fv3net_tpu.grid.geometry import make_grid

@@ -11,7 +11,7 @@ import pytest
 
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 

@@ -14,7 +14,7 @@ import pytest
 
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.netcdfio import write_netcdf

@@ -7,7 +7,7 @@ fv3fit/testing.py.
 import numpy as np
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 

@@ -15,7 +15,7 @@ import pytest
 
 import jax
 
-jax.config.update("jax_enable_x64", False)
+jax.config.update("jax_enable_x64", True)
 
 from fv3net_tpu.core.convenience import shift_timestamp
 from fv3net_tpu.core.dataset import Dataset
