@@ -52,6 +52,18 @@ def _legendre_table(lmax: int, x: np.ndarray) -> np.ndarray:
     return P
 
 
+def _lobatto_nodes(n: int):
+    """Gauss-Lobatto-Legendre nodes (incl. the poles x=±1) and weights:
+    interior nodes are the roots of P'_{n-1}; w_i = 2/(n(n-1) P_{n-1}²)."""
+    if n < 2:
+        raise ValueError("lobatto grid needs nlat >= 2")
+    Pm1 = np.polynomial.legendre.Legendre.basis(n - 1)
+    interior = Pm1.deriv().roots()
+    x = np.concatenate([[-1.0], np.sort(interior), [1.0]])
+    w = 2.0 / (n * (n - 1) * Pm1(x) ** 2)
+    return x, w
+
+
 class RoundTripFilter:
     """Truncate a lat-lon field at total wavenumber ``lmax`` by forward +
     inverse spherical-harmonic transform.
@@ -60,15 +72,39 @@ class RoundTripFilter:
     (equiangular), lon ``nlon`` uniform columns.
     """
 
-    def __init__(self, nlat: int, nlon: int, lmax: Optional[int] = None):
+    def __init__(self, nlat: int, nlon: int, lmax: Optional[int] = None,
+                 grid: str = "equiangular",
+                 fraction_modes_kept: Optional[float] = None):
+        """``grid`` selects the latitude nodes/quadrature (the reference's
+        forward_grid/inverse_grid options, xtorch_harmonics.py:209-240):
+        'equiangular' (midpoint rows), 'legendre-gauss', or 'lobatto'.
+        ``fraction_modes_kept`` sets lmax as a fraction of the grid's
+        maximum resolvable wavenumber (reference :216)."""
         self.nlat = nlat
         self.nlon = nlon
-        self.lmax = lmax if lmax is not None else min(nlat - 1, nlon // 2 - 1)
-        lat = (np.arange(nlat) + 0.5) / nlat * np.pi - np.pi / 2
-        x = np.sin(lat)
-        # cos(lat) integral weights over latitude cells
-        edges = np.arange(nlat + 1) / nlat * np.pi - np.pi / 2
-        w = np.sin(edges[1:]) - np.sin(edges[:-1])
+        self.grid = grid
+        max_l = min(nlat - 1, nlon // 2 - 1)
+        if fraction_modes_kept is not None:
+            if lmax is not None:
+                raise ValueError("pass lmax OR fraction_modes_kept, not both")
+            lmax = max(0, int(round(fraction_modes_kept * max_l)))
+        self.lmax = lmax if lmax is not None else max_l
+        if grid == "equiangular":
+            lat = (np.arange(nlat) + 0.5) / nlat * np.pi - np.pi / 2
+            x = np.sin(lat)
+            # cos(lat) integral weights over latitude cells
+            edges = np.arange(nlat + 1) / nlat * np.pi - np.pi / 2
+            w = np.sin(edges[1:]) - np.sin(edges[:-1])
+        elif grid == "legendre-gauss":
+            x, w = np.polynomial.legendre.leggauss(nlat)
+        elif grid == "lobatto":
+            x, w = _lobatto_nodes(nlat)
+        else:
+            raise ValueError(
+                f"unknown grid {grid!r}: use 'equiangular', "
+                "'legendre-gauss' or 'lobatto'"
+            )
+        self.x = x  # sin(latitude) of the rows, ascending
         P = _legendre_table(self.lmax, x)  # [nlat, L, M]
         L = self.lmax + 1
         # analysis = weighted least-squares projection onto the synthesis
@@ -104,8 +140,15 @@ class RoundTripFilter:
         return jnp.fft.irfft(F_full * nlon, n=nlon, axis=-1)
 
 
-def roundtrip_filter(field, lmax: Optional[int] = None):
+def roundtrip_filter(field, lmax: Optional[int] = None,
+                     grid: str = "equiangular",
+                     fraction_modes_kept: Optional[float] = None):
     """One-shot filtering of (..., nlat, nlon)
-    (reference xtorch_harmonics.roundtrip_filter)."""
+    (reference xtorch_harmonics.roundtrip_filter:209-240; the forward
+    and inverse share ``grid`` here — the mixed forward/inverse-grid
+    combination the reference allows is the same filter composed with a
+    latitudinal regrid)."""
     nlat, nlon = field.shape[-2:]
-    return RoundTripFilter(nlat, nlon, lmax)(field)
+    return RoundTripFilter(
+        nlat, nlon, lmax, grid=grid, fraction_modes_kept=fraction_modes_kept
+    )(field)

@@ -70,3 +70,38 @@ def test_global_mean_preserved():
     mean_in = (f * w).sum() / w.sum()
     mean_out = (out * w).sum() / w.sum()
     np.testing.assert_allclose(mean_out, mean_in, rtol=1e-3)
+
+
+def test_quadrature_grids_roundtrip_band_limited():
+    """All three latitude grids (reference xtorch_harmonics grid options)
+    reconstruct a band-limited field to round-off."""
+    nlat, nlon = 24, 48
+    for grid in ("equiangular", "legendre-gauss", "lobatto"):
+        f = RoundTripFilter(nlat, nlon, lmax=10, grid=grid)
+        lat = np.arcsin(f.x)
+        lon = np.arange(nlon) / nlon * 2 * np.pi
+        LA, LO = np.meshgrid(lat, lon, indexing="ij")
+        field = (np.cos(LA) ** 2 * np.sin(LA) * np.cos(2 * LO)).astype(
+            np.float32
+        )
+        out = np.asarray(f(jnp.asarray(field)))
+        assert np.abs(out - field).max() < 2e-4, grid
+
+
+def test_fraction_modes_kept_smooths():
+    nlat, nlon = 24, 48
+    rng = np.random.RandomState(0)
+    noise = rng.randn(nlat, nlon).astype(np.float32)
+    v_all = np.var(np.asarray(roundtrip_filter(jnp.asarray(noise),
+                                               fraction_modes_kept=1.0)))
+    v_few = np.var(np.asarray(roundtrip_filter(jnp.asarray(noise),
+                                               fraction_modes_kept=0.2)))
+    assert v_few < 0.5 * v_all
+
+
+def test_lobatto_weights_integrate_polynomials():
+    from fv3net_tpu.ops.spherical import _lobatto_nodes
+
+    x, w = _lobatto_nodes(9)
+    assert abs(float(w.sum()) - 2.0) < 1e-12
+    assert abs(float((w * x * x).sum()) - 2.0 / 3.0) < 1e-12
