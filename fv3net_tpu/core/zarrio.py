@@ -459,3 +459,26 @@ def open_delayed(loader, schema: Dataset) -> Dataset:
                             dict(template.attrs))
 
     return _LazyDataset(dict(schema.items()), dict(schema.coords), dict(schema.attrs))
+
+
+def consolidate_metadata(path: str) -> str:
+    """Write zarr v2 consolidated metadata (``.zmetadata``) for a group
+    (reference workflows/post_process_run/fv3post/consolidate_metadata.py)
+    so zarr-python/xarray clients open the store with one read."""
+    meta = {}
+    for name in (".zgroup", ".zattrs"):
+        p = os.path.join(path, name)
+        if os.path.exists(p):
+            with open(p) as f:
+                meta[name] = json.load(f)
+    group = ZarrGroup(path)
+    for arr_name in group.array_names():
+        for name in (".zarray", ".zattrs"):
+            p = os.path.join(path, arr_name, name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    meta[f"{arr_name}/{name}"] = json.load(f)
+    out = os.path.join(path, ".zmetadata")
+    with open(out, "w") as f:
+        json.dump({"metadata": meta, "zarr_consolidated_format": 1}, f)
+    return out

@@ -88,6 +88,12 @@ def post_process(
             append_segment_to_store(os.path.join(seg_dir, entry), store)
             if store not in written:
                 written.append(store)
+    from fv3net_tpu.core.zarrio import consolidate_metadata
+
+    for store in written:
+        # reference fv3post consolidates metadata after appends so
+        # zarr/xarray clients open each store with a single read
+        consolidate_metadata(store)
     return written
 
 
