@@ -48,7 +48,7 @@ def main():
         sync(out)
         compile_s = time.perf_counter() - t0
         # enough calls to cover >= 32 model steps per variant
-        n_calls = max(1, 32 // chunk)
+        n_calls = max(1, -(-32 // chunk))
         t0 = time.perf_counter()
         s = state
         for _ in range(n_calls):

@@ -44,7 +44,9 @@ def validation_prediction(
         features]`` arrays; predictions[t] estimates targets[t] =
         inputs[n_synchronize + 1 + t].
     """
-    u = jnp.asarray(inputs)
+    # f32 like the model weights: a f64 input would promote the scan
+    # carry and crash with a carry-dtype mismatch under x64
+    u = jnp.asarray(inputs, jnp.float32)
     if n_synchronize >= u.shape[0] - 1:
         raise ValueError(
             f"n_synchronize={n_synchronize} leaves no validation steps "

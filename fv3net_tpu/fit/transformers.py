@@ -99,6 +99,12 @@ class PCATransformer:
         Xn = (X - mean) / std
         # principal axes from the thin SVD of the normalized data
         _, _, vt = np.linalg.svd(Xn, full_matrices=False)
+        if n_components > vt.shape[0]:
+            raise ValueError(
+                f"n_components={n_components} exceeds the "
+                f"{vt.shape[0]} components available from data of shape "
+                f"{X.shape} (min(n_samples, n_features))"
+            )
         return cls(
             jnp.asarray(mean),
             jnp.asarray(std),

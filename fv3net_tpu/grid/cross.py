@@ -44,7 +44,14 @@ def to_cross(field, fill=np.nan):
         raise ValueError(f"expected 6 tiles on axis -3, got {field.shape}")
     ny, nx = field.shape[-2:]
     lead = field.shape[:-3]
-    out = np.full(lead + (3 * ny, 4 * nx), fill, dtype=field.dtype)
+    dtype = field.dtype
+    if not np.issubdtype(dtype, np.floating) and (
+        isinstance(fill, float) and not np.isfinite(fill)
+    ):
+        # a NaN/inf fill cannot live in an integer field: promote so the
+        # empty blocks stay distinguishable from data
+        dtype = np.result_type(dtype, np.float32)
+    out = np.full(lead + (3 * ny, 4 * nx), fill, dtype=dtype)
     for tile, (row, col) in CROSS_LAYOUT.items():
         out[
             ..., row * ny : (row + 1) * ny, col * nx : (col + 1) * nx

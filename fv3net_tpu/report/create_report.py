@@ -21,10 +21,7 @@ class ImagePlot:
 
     def render(self) -> str:
         if hasattr(self.image, "savefig"):
-            buf = io.BytesIO()
-            self.image.savefig(buf, format="png", bbox_inches="tight", dpi=110)
-            data = base64.b64encode(buf.getvalue()).decode()
-            src = f"data:image/png;base64,{data}"
+            src = fig_to_b64(self.image, dpi=110)
         else:
             src = str(self.image)
         cap = f"<figcaption>{html.escape(self.caption)}</figcaption>" if self.caption else ""
@@ -128,13 +125,10 @@ def create_report(
 def fig_to_b64(fig, format: str = "png", dpi=None) -> str:
     """Matplotlib figure -> base64 data URI (reference
     report/matplotlib.py:8-13)."""
-    import base64
-    import io as _io
-
-    buf = _io.BytesIO()
+    buf = io.BytesIO()
     fig.savefig(buf, format=format, bbox_inches="tight", dpi=dpi)
     buf.seek(0)
-    return "data:image/png;base64, " + base64.b64encode(buf.read()).decode()
+    return f"data:image/{format};base64," + base64.b64encode(buf.read()).decode()
 
 
 def MatplotlibFigure(fig, width=None) -> "RawHTML":

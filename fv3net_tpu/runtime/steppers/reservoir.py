@@ -98,9 +98,14 @@ class _ReservoirStepper:
         import numpy as np
 
         path = os.path.join(self.config.model_path, "reservoir_state.npz")
-        if os.path.exists(path):
-            with np.load(path) as z:
-                self.model.state = jnp.asarray(z["state"])
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"warm_start=true but {path} does not exist; run "
+                "save_reservoir_state after synchronizing, or disable "
+                "warm_start"
+            )
+        with np.load(path) as z:
+            self.model.state = jnp.asarray(z["state"])
         # mark synchronization as already complete
         self._fsm.completed_increments = max(
             self._fsm.completed_increments, self.config.synchronize_steps + 1
