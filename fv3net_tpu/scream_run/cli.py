@@ -51,6 +51,29 @@ def _run(args) -> int:
     return 0
 
 
+def _prepare_config(args) -> int:
+    """Normalize an input (config-file path OR literal YAML text) into a
+    config file; ``--precompiled-case`` forces ``create_newcase: false``
+    (reference cli.py:71-91 prepare_config)."""
+    import shutil
+
+    import yaml
+
+    if os.path.exists(args.input):
+        shutil.copy(args.input, args.output_config)
+    else:
+        with open(args.output_config, "w") as f:
+            f.write(args.input)
+    if args.precompiled_case:
+        with open(args.output_config) as f:
+            cfg = yaml.safe_load(f) or {}
+        cfg["create_newcase"] = False
+        with open(args.output_config, "w") as f:
+            yaml.safe_dump(cfg, f)
+    print(json.dumps({"output_config": args.output_config}))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="scream-run")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -62,6 +85,14 @@ def main(argv=None) -> int:
     r.add_argument("config")
     r.add_argument("rundir")
     r.set_defaults(fn=_run)
+    pc = sub.add_parser(
+        "prepare-config",
+        help="normalize a config path or literal YAML into a config file",
+    )
+    pc.add_argument("input")
+    pc.add_argument("output_config")
+    pc.add_argument("--precompiled-case", action="store_true")
+    pc.set_defaults(fn=_prepare_config)
     args = p.parse_args(argv)
     return args.fn(args)
 
