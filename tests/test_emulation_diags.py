@@ -173,3 +173,96 @@ def test_reservoir_diagnostics_and_cli(tmp_path):
 
     saved = json.load(open(os.path.join(out_dir, "metrics.json")))
     assert saved["r2"] == pytest.approx(metrics["r2"], rel=1e-5)
+
+
+def test_piggy_back_diags_through_diagnostics_file_and_cli(tmp_path):
+    """End to end: a piggy-backed run writes per-source tendencies into a
+    diagnostics zarr via the manager; the emulation CLI scores it."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from fv3net_tpu.fit import DenseHyperparameters, get_training_function
+    from fv3net_tpu.fit import io as fit_io
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime.loop import TimeLoop
+    from fv3net_tpu.runtime.diagnostics.manager import DiagnosticFile
+
+    # tiny dense emulator: q -> q (near-identity after 20 epochs)
+    rng = np.random.RandomState(0)
+    q = (rng.rand(256, 8) * 1e-2).astype(np.float32)
+    from fv3net_tpu.core.dataset import Dataset as DS
+
+    train_ds = DS(
+        {
+            "specific_humidity": Quantity(q, ("sample", "z")),
+            "specific_humidity_out": Quantity(q, ("sample", "z")),
+        }
+    )
+    hp = DenseHyperparameters(
+        input_variables=["specific_humidity"],
+        output_variables=["specific_humidity_out"],
+        epochs=20,
+        width=16,
+    )
+    model = get_training_function("dense")(hp, [train_ds], None)
+
+    class Renamed:
+        input_variables = ["specific_humidity"]
+        output_variables = ["specific_humidity"]
+
+        def __init__(self, m):
+            self.m = m
+
+        def predict_arrays(self, data):
+            out = self.m.predict_arrays(
+                {"specific_humidity": data["specific_humidity"]}
+            )
+            return {"specific_humidity": out["specific_humidity_out"]}
+
+    model_dir = str(tmp_path / "emu")
+    fit_io.dump(model, model_dir)
+    cfg = get_config(
+        {
+            "namelist": {"npx": 6, "npz": 8},
+            "duration_seconds": 1800.0,
+            "online_emulator": {
+                "url": model_dir,
+                "target": "microphysics",
+                "piggy_back": True,
+            },
+        }
+    )
+    loop = TimeLoop(cfg)
+    loop._microphysics_emulator.model = Renamed(
+        loop._microphysics_emulator.model
+    )
+    names_wanted = [
+        f"tendency_of_{f}_due_to_zhao_carr_{src}"
+        for f in ("air_temperature", "specific_humidity", "cloud_water")
+        for src in ("emulator", "physics")
+    ]
+    from fv3net_tpu.runtime.config import DiagnosticFileConfig, TimeConfig
+    from fv3net_tpu.runtime.diagnostics.manager import (
+        time_container_from_config,
+    )
+
+    dcfg = DiagnosticFileConfig(
+        name="diags.zarr", variables=names_wanted, times=TimeConfig("every")
+    )
+    times = time_container_from_config(dcfg.times, loop.time)
+    sink = DiagnosticFile(str(tmp_path / "diags.zarr"), names_wanted, times)
+    for time, diags in loop:
+        sink.observe(time, diags)
+    # score with the CLI
+    env = dict(os.environ, FV3NET_JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "fv3net_tpu.diagnostics.emulation",
+         str(tmp_path / "diags.zarr")],
+        capture_output=True, text=True, env=env,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout)
+    assert "skill/zhao_carr/air_temperature" in metrics
+    assert np.isfinite(metrics["mse/zhao_carr/specific_humidity"])
