@@ -51,7 +51,14 @@ def main():
     dt_atmos = 900.0
     CHUNK = 8  # steps per XLA program; radiation every 4th step (hourly)
 
-    multi_step, args = _flagship(chunk=CHUNK, radiation_interval=4)
+    # size overrides for CPU smoke validation only (the recorded
+    # benchmark always uses the C48 nz=32 defaults)
+    npx = int(os.environ.get("FV3NET_BENCH_NPX", "48"))
+    npz = int(os.environ.get("FV3NET_BENCH_NPZ", "32"))
+
+    multi_step, args = _flagship(
+        npx=npx, npz=npz, chunk=CHUNK, radiation_interval=4
+    )
     state, ml_params, sst, cosz = args
 
     import numpy as np
