@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,14 @@ class DenseHyperparameters:
     batch_size: int = 512
     l2_regularization: float = 0.0
     seed: int = 0
+    # reference-style nested configs (keras/_models/dense.py:36 fields);
+    # when present they override the flat knobs above:
+    #   dense_network:    {width, depth, kernel_regularizer: {name, kwargs}}
+    #   optimizer_config: {name, kwargs, learning_rate_schedule: {...}}
+    #   loss:             {loss_type: mse|mae, weight}
+    dense_network: Optional[dict] = None
+    optimizer_config: Optional[dict] = None
+    loss: Optional[dict] = None
 
 
 def init_mlp_params(key, sizes: Sequence[int]):
@@ -170,25 +178,65 @@ def train_dense_model(
     x_scaler = StandardScaler.fit(jnp.asarray(X))
     y_scaler = StandardScaler.fit(jnp.asarray(Y))
 
-    sizes = [x_info.total_features] + [hp.width] * hp.hidden_layers + [
+    # reference-style nested configs override the flat knobs
+    width, n_hidden = hp.width, hp.hidden_layers
+    penalty = None
+    if hp.dense_network is not None:
+        from fv3net_tpu.fit.config import RegularizerConfig
+        from fv3net_tpu.fit.networks import DenseNetworkConfig
+
+        nd = dict(hp.dense_network)
+        reg = nd.pop("kernel_regularizer", None)
+        netcfg = DenseNetworkConfig(
+            **nd,
+            kernel_regularizer=RegularizerConfig(**reg)
+            if reg
+            else RegularizerConfig("none"),
+        )
+        width, n_hidden = netcfg.width, netcfg.depth - 1
+        penalty = netcfg.penalty
+    sizes = [x_info.total_features] + [width] * n_hidden + [
         y_info.total_features
     ]
     key = jax.random.PRNGKey(hp.seed)
     params = init_mlp_params(key, sizes)
 
-    tx = optax.adam(hp.learning_rate)
+    if hp.optimizer_config is not None:
+        from fv3net_tpu.fit.config import (
+            LearningRateScheduleConfig,
+            OptimizerConfig,
+        )
+
+        oc = dict(hp.optimizer_config)
+        sched = oc.pop("learning_rate_schedule", None)
+        tx = OptimizerConfig(
+            **oc,
+            learning_rate_schedule=LearningRateScheduleConfig(**sched)
+            if sched
+            else None,
+        ).instance
+    else:
+        tx = optax.adam(hp.learning_rate)
     opt_state = tx.init(params)
 
     xn_all = np.asarray(x_scaler.normalize(jnp.asarray(X)))
     yn_all = np.asarray(y_scaler.normalize(jnp.asarray(Y)))
 
+    loss_type = (hp.loss or {}).get("loss_type", "mse")
+    loss_weight = float((hp.loss or {}).get("weight", 1.0))
+
     def loss_fn(p, xb, yb):
         pred = mlp_apply(p, xb)
-        mse = jnp.mean((pred - yb) ** 2)
-        if hp.l2_regularization > 0:
+        if loss_type == "mae":
+            err = loss_weight * jnp.mean(jnp.abs(pred - yb))
+        else:
+            err = loss_weight * jnp.mean((pred - yb) ** 2)
+        if penalty is not None:
+            err = err + penalty([{"w": l["w"]} for l in p])
+        elif hp.l2_regularization > 0:
             l2 = sum(jnp.sum(l["w"] ** 2) for l in p)
-            mse = mse + hp.l2_regularization * l2
-        return mse
+            err = err + hp.l2_regularization * l2
+        return err
 
     # the whole optimization runs as ONE lax.scan over minibatch indices
     # inside a single jit: the reference's per-batch Keras fit dispatches
@@ -213,7 +261,8 @@ def train_dense_model(
     def step(carry, idx):
         p, o = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, xn_d[idx], yn_d[idx])
-        updates, o = tx.update(grads, o)
+        # pass params: decoupled-decay optimizers (adamw, lion) need them
+        updates, o = tx.update(grads, o, p)
         return (optax.apply_updates(p, updates), o), loss
 
     (params, opt_state), _ = jax.jit(
