@@ -473,6 +473,16 @@ def _frac2(fracT, jpl, fpl):
     return f0 + fpl[..., None] * (f1 - f0)
 
 
+def g_offsets(idx_list, ng):
+    """g-point slice per band within a concatenated per-band table
+    (shared by the LW and SW taumol; ``ng`` = P.NG_LW or P.NG_SW)."""
+    out, off = {}, 0
+    for i in idx_list:
+        out[i] = slice(off, off + ng[i])
+        off += ng[i]
+    return out
+
+
 def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     """Gas optical depth + Planck fractions for all 140 g-points.
 
@@ -512,17 +522,10 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     # band 16's nspb is 0, so the reference's flat upper index collapses
     # to rows 0/1 regardless of jp/jt — handled inline at band 16
 
-    def _offsets(idx_list):
-        out, off = {}, 0
-        for i in idx_list:
-            out[i] = slice(off, off + P.NG_LW[i])
-            off += P.NG_LW[i]
-        return out
-
-    sl9 = _offsets(SPEC_LO)
-    sl1 = _offsets(SINGLE_LO)
-    sl5 = _offsets(SPEC_HI)
-    sh1 = _offsets(SINGLE_HI)
+    sl9 = g_offsets(SPEC_LO, P.NG_LW)
+    sl1 = g_offsets(SINGLE_LO, P.NG_LW)
+    sl5 = g_offsets(SPEC_HI, P.NG_LW)
+    sh1 = g_offsets(SINGLE_HI, P.NG_LW)
 
     A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
     A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)

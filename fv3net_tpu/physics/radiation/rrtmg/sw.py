@@ -244,17 +244,10 @@ def taumol_sw(c, colamt, colmol, T):
     SPEC_HI = (1, 5, 12)  # nspb=5 upper bands
     SINGLE_HI = (0, 2, 3, 4, 6, 8, 11, 13)
 
-    def _offsets(idx_list):
-        out, off = {}, 0
-        for i in idx_list:
-            out[i] = slice(off, off + P.NG_SW[i])
-            off += P.NG_SW[i]
-        return out
-
-    sl9 = _offsets(SPEC_LO)
-    sl1 = _offsets(SINGLE_LO)
-    sl5 = _offsets(SPEC_HI)
-    sh1 = _offsets(SINGLE_HI)
+    sl9 = rlw.g_offsets(SPEC_LO, P.NG_SW)
+    sl1 = rlw.g_offsets(SINGLE_LO, P.NG_SW)
+    sl5 = rlw.g_offsets(SPEC_HI, P.NG_SW)
+    sh1 = rlw.g_offsets(SINGLE_HI, P.NG_SW)
 
     A9 = rlw._merged_A(
         Wlo, [B[i]["absa"] for i in SPEC_LO], 9, rlw.NBASE_LO
@@ -274,7 +267,7 @@ def taumol_sw(c, colamt, colmol, T):
     # continuum includes the h2o column amount explicitly,
     # radsw_bands.py:121-135, folded into the row weights here)
     SELFFOR = (0, 1, 2, 3, 4, 5, 6, 7, 8, 13)
-    sfsl = _offsets(SELFFOR)
+    sfsl = rlw.g_offsets(SELFFOR, P.NG_SW)
     h2o_col = c["colh2o"]
     inds = c["indself"] - 1
     indf = c["indfor"] - 1
@@ -564,10 +557,11 @@ def cldprop_sw(
 # ------------------------------------------------------------------ spcvrtm
 def _twostream(ztau0, zssa0, zasy0, cosz, sntz, exp_tbl, iswmode=2,
                 fast_exp=False):
-    """Delta-scaled two-stream layer reflectance/transmittance, fully
-    vectorized (reference radsw_main.py:279-424).  All inputs
-    [C, L, G] (cosz/sntz broadcastable).  Returns (zrefb, zrefd, ztrab,
-    ztrad, zexp3 scaled-beam-T, zexp4 unscaled-beam-T)."""
+    """Delta-scaled two-stream layer reflectance/transmittance
+    (reference radsw_main.py:279-424).  Called per layer inside the
+    vrtqdr scan bodies: inputs are [C, G] with cosz/sntz shaped [C, 1].
+    Returns (zrefb, zrefd, ztrab, ztrad, zexp3 scaled-beam-T,
+    zexp4 unscaled-beam-T)."""
     dtype = ztau0.dtype
     ztau0 = jnp.maximum(P.FTINY, ztau0)
     zssaw = jnp.minimum(P.ONEMINUS, zssa0 / ztau0)
@@ -811,9 +805,7 @@ def spcvrtm_sw(
         lvl_seq(ys_up[2], alb_bm_g),
         lvl_seq(ys_up[3], alb_df_g),
     )
-    xs_dn = tuple(
-        jax.tree_util.tree_map(lambda a: a[::-1], xs)
-    ) + rup_dn
+    xs_dn = jax.tree_util.tree_map(lambda a: a[::-1], xs) + rup_dn
 
     # ---- downward pass: ztdn/zrdnd + running beam products + final
     # per-level flux combination, j = L-1 .. 0
