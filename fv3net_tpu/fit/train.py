@@ -138,14 +138,34 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     with open(args.training_data_config) as f:
         data_config = yaml.safe_load(f)
 
-    from fv3net_tpu.loaders import batches_from_config
+    def open_batches(cfg, variables):
+        """Reference-shaped loader configs (fv3fit.data registry /
+        loaders.BatchesLoader, reference train.py:139-141) or the legacy
+        {kind, path, variables} dict."""
+        if "kind" in cfg or ("path" in cfg and "variables" in cfg):
+            from fv3net_tpu.loaders import batches_from_config
 
-    train_batches = batches_from_config(data_config)
-    val_config = data_config.get("validation")
-    val_batches = batches_from_config(val_config) if val_config else None
+            return batches_from_config(cfg)
+        from fv3net_tpu.fit.data import tfdataset_loader_from_dict
+
+        loader = tfdataset_loader_from_dict(cfg)
+        return loader.open_tfdataset(None, variables)
+
+    hp = config_dict.get("hyperparameters", {})
+    variables = list(hp.get("input_variables", [])) + list(
+        hp.get("output_variables", [])
+    )
+    val_config = data_config.pop("validation", None)
+    train_batches = open_batches(data_config, variables)
+    val_batches = open_batches(val_config, variables) if val_config else None
     train_main(config_dict, train_batches, val_batches, args.output_path)
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    # `python -m fv3net_tpu.fit.train` loads this file as __main__, a
+    # SECOND module instance whose trainer registry would be empty —
+    # delegate to the canonical instance that fv3net_tpu.fit populates
+    from fv3net_tpu.fit.train import main as _canonical_main
+
+    raise SystemExit(_canonical_main())
