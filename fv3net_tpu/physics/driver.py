@@ -68,6 +68,9 @@ class PhysicsConfig:
     # nonzero subgrid-orography field, see physics_step's ``sgh``)
     gwd: gwd_mod.GWDParams = gwd_mod.GWDParams()
     use_gwd: bool = True
+    # stratospheric methane-oxidation water source (GFS h2o_phys role,
+    # physics/h2ophys.py); off by default — it adds water mass
+    stratospheric_h2o: bool = False
 
 
 def _zlast(x):
@@ -318,6 +321,12 @@ def physics_step(
             T, q, qc = T_e, q_e, qc_e
             precip = precip_e
             snow = jnp.zeros_like(precip)
+
+    # ---- stratospheric methane-oxidation water (GFS h2o_phys) -----------
+    if cfg.stratospheric_h2o:
+        from fv3net_tpu.physics import h2ophys as h2o_mod
+
+        q = q + dt * h2o_mod.h2o_tendency(q, pmid)
 
     # ---- linearized ozone photochemistry --------------------------------
     extra_tracers = {

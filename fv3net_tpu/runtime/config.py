@@ -262,6 +262,10 @@ class NamelistConfig:
     # convection scheme: "betts_miller" (relaxed adjustment) or
     # "mass_flux" (SAS-family entraining plume, physics/convection_mf.py)
     convection: str = "betts_miller"
+    # stratospheric methane-oxidation water source (the GFS h2o_phys
+    # flag; physics/h2ophys.py).  Adds water mass by design — keep off
+    # for exact-water-closure runs
+    stratospheric_h2o: bool = False
 
     def __post_init__(self):
         if self.radiation not in ("gray", "rrtmg", "synthband"):

@@ -199,6 +199,7 @@ class TimeLoop:
             surface_scheme=nml.surface_scheme,
             pbl_scheme=nml.pbl_scheme,
             convection_scheme=nml.convection,
+            stratospheric_h2o=nml.stratospheric_h2o,
         )
         self._radiation_fn = None
         if nml.radiation != "gray":

@@ -120,3 +120,49 @@ def test_fused_rrtmg_path_consumes_prognostic_ozone():
     tr["o3mr"] = jnp.zeros_like(state.delp)  # remove all ozone
     no_o3 = heat(dc.replace(state, tracers=tr))
     assert not np.allclose(base, no_o3)
+
+
+def test_h2ophys_relaxes_stratosphere_only():
+    """Stratospheric methane-oxidation water (GFS h2o_phys role):
+    dry stratospheric air moistens toward the ppmv-scale equilibrium;
+    the troposphere is untouched."""
+    import numpy as np
+    from fv3net_tpu.physics.h2ophys import H2OPhysParams, h2o_tendency, _PPMV
+
+    pmid = np.array([50.0, 1000.0, 5000.0, 50000.0, 90000.0])
+    q = np.full(5, 1.0 * _PPMV)  # very dry everywhere
+    dq = np.asarray(h2o_tendency(q, pmid))
+    assert (dq[:3] > 0).all()  # stratosphere moistens
+    assert dq[3] == 0.0 and dq[4] == 0.0  # troposphere untouched
+    # equilibrium at the top is the stratopause value
+    p = H2OPhysParams()
+    q_eq_top = p.q_stratopause_ppmv * _PPMV
+    tau = p.tau_days * 86400.0
+    np.testing.assert_allclose(dq[0], (q_eq_top - q[0]) / tau, rtol=1e-6)
+    # already-wet air dries toward equilibrium
+    wet = np.full(5, 20.0 * _PPMV)
+    assert np.asarray(h2o_tendency(wet, pmid))[0] < 0
+
+
+def test_h2ophys_in_physics_step():
+    import numpy as np
+    import jax.numpy as jnp
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import init_state
+    from fv3net_tpu.physics import PhysicsConfig, physics_step
+    from fv3net_tpu.runtime.loop import aquaplanet_sst
+
+    grid = make_grid(6)
+    state, *_ = init_state(grid, nz=8, dtype=jnp.float64)
+    lat = jnp.asarray(grid.lat)
+    args = (state, aquaplanet_sst(lat), jnp.full_like(lat, 0.3), lat, 900.0)
+    new_off, _ = physics_step(*args, PhysicsConfig())
+    new_on, _ = physics_step(*args, PhysicsConfig(stratospheric_h2o=True))
+    dq = np.asarray(new_on.tracers["sphum"]) - np.asarray(
+        new_off.tracers["sphum"]
+    )
+    # top levels (stratosphere) relax toward equilibrium (nonzero
+    # change); lowest levels identical
+    assert np.abs(dq[:, 0]).max() > 0
+    np.testing.assert_array_equal(dq[:, -1], 0.0)
+    assert np.isfinite(np.asarray(new_on.pt)).all()
