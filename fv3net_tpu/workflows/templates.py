@@ -102,6 +102,27 @@ class WorkflowTemplate:
 
         entry = self._templates[self.entrypoint]
         tasks: List[Task] = []
+        if "script" in entry and "dag" not in entry:
+            # plain script entrypoint (e.g. reference
+            # workflows/argo/resolve-output-url.yaml): the entrypoint
+            # template itself is the single task.
+            script = entry["script"]
+            cmd = [_substitute(str(c), scope) for c in script["command"]]
+            if "source" in script:
+                cmd = cmd + [_substitute(script["source"], scope)]
+            retry = entry.get("retryStrategy", {})
+            return [
+                Task(
+                    name=self.entrypoint,
+                    command=cmd,
+                    dependencies=[],
+                    retries=int(retry.get("limit", 0)),
+                    backoff_seconds=float(
+                        retry.get("backoff", {}).get("duration", "0").rstrip("s")
+                        or 0
+                    ),
+                )
+            ]
         for t in entry.get("dag", {}).get("tasks", []):
             ref = self._templates[t["template"]]
             local = dict(scope)

@@ -49,11 +49,12 @@ spec:
 """
 
 
-def test_all_shipped_templates_parse():
+def test_required_templates_listed():
     names = list_templates()
     assert {"training", "prognostic-run", "prognostic-run-diags",
-            "train-diags-prog", "cubed-to-latlon",
-            "offline-diags"} <= set(names)
+            "train-diags-prog", "cubed-to-latlon", "offline-diags",
+            "run-simulation", "resolve-output-url",
+            "scream-prognostic-run", "chgres-cube"} <= set(names)
     for n in names:
         t = WorkflowTemplate.load(n)
         assert t.parameters() is not None
@@ -148,12 +149,42 @@ def test_all_shipped_templates_parse():
         os.path.dirname(__file__), "..", "fv3net_tpu", "workflows", "argo"
     )
     paths = sorted(glob.glob(os.path.join(root, "*.yaml")))
-    assert len(paths) >= 11, paths
+    assert len(paths) >= 15, paths
     for path in paths:
         with open(path) as f:
             doc = yaml.safe_load(f)
         t = WorkflowTemplate(doc)
         assert t.entrypoint, path
+
+
+def test_resolve_output_url_template_end_to_end(tmp_path):
+    """resolve-output-url runs the artifacts CLI and prints the
+    bucket/project/date/tag convention URL (reference
+    workflows/argo/resolve-output-url.yaml)."""
+    t = WorkflowTemplate.load("resolve-output-url")
+    results = run_workflow(
+        t, {"bucket": "gs://bkt", "project": "proj", "tag": "exp-1"}
+    )
+    task = results["resolve-output-url"]
+    assert task.succeeded
+    out = task.stdout.strip()
+    assert out.startswith("gs://bkt/proj/") and out.endswith("/exp-1")
+
+
+def test_chgres_cube_template_rejects_refinement(tmp_path):
+    """The chgres-cube analog only coarsens; a refinement request must
+    fail the workflow rather than silently produce nothing."""
+    t = WorkflowTemplate.load("chgres-cube")
+    with pytest.raises(RuntimeError, match="failed at task"):
+        run_workflow(
+            t,
+            {
+                "restarts": str(tmp_path),
+                "source_resolution": "C48",
+                "target_resolution": "C384",
+                "destination": str(tmp_path / "out"),
+            },
+        )
 
 
 def test_coarsen_restarts_cli_roundtrip(tmp_path):
