@@ -29,6 +29,10 @@ class MachineLearningConfig:
     model: List[str] = dataclasses.field(default_factory=list)
     use_mse_conserving_humidity_limiter: bool = True
     online: bool = True
+    # reference machine_learning.py:61 — record ML predictions as
+    # diagnostics without applying them (``online: false`` is this
+    # build's equivalent alias)
+    diagnostic_ml: bool = False
 
 
 @dataclasses.dataclass

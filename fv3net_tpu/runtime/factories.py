@@ -39,8 +39,15 @@ def get_postphysics_stepper(config: UserConfig, timestep: float):
         return PureMLStepper(
             MultiModelAdapter(models),
             timestep,
+            hydrostatic=config.namelist.hydrostatic,
             mse_conserving_limiter=(
                 config.scikit_learn.use_mse_conserving_humidity_limiter
+            ),
+            # reference machine_learning.py:61 diagnostic_ml (online:
+            # false is this build's alias): record, don't apply
+            diagnostic_only=(
+                config.scikit_learn.diagnostic_ml
+                or not config.scikit_learn.online
             ),
         )
     if config.nudging is not None and config.nudging.timescale_hours:

@@ -33,11 +33,7 @@ from fv3net_tpu.runtime.derived_state import (
     ModelState,
 )
 from fv3net_tpu.runtime.monitor import Monitor
-from fv3net_tpu.runtime.steppers.machine_learning import (
-    MultiModelAdapter,
-    PureMLStepper,
-    add_tendency,
-)
+from fv3net_tpu.runtime.steppers.machine_learning import add_tendency
 
 logger = logging.getLogger(__name__)
 
@@ -251,19 +247,6 @@ class TimeLoop:
     def timestep(self) -> float:
         return self._timestep
 
-    def _build_ml_stepper(self, config: UserConfig):
-        from fv3net_tpu import fit
-
-        models = [fit.load(path) for path in config.scikit_learn.model]
-        adapter = MultiModelAdapter(models)
-        return PureMLStepper(
-            adapter,
-            self._timestep,
-            mse_conserving_limiter=(
-                config.scikit_learn.use_mse_conserving_humidity_limiter
-            ),
-        )
-
     # -- substeps ---------------------------------------------------------
     def _derived(self) -> DerivedState:
         return DerivedState(self.state, self._g, ptop=self._dyn_cfg.ptop)
@@ -466,11 +449,51 @@ class TimeLoop:
     def _apply_stepper(
         self, stepper, track_precip: bool = False
     ) -> Dict[str, Quantity]:
+        from fv3net_tpu.runtime.diagnostics.compute import (
+            compute_diagnostics,
+            compute_ml_momentum_diagnostics,
+            rename_diagnostics,
+        )
+
         state = self._derived()
         tendencies, diagnostics, state_updates = stepper(self.time, state)
         delp_before = (
             jnp.asarray(state[names.DELP].data) if track_precip else None
         )
+        # column-integrated moistening/heating/mass/momentum diagnostics
+        # per stepper label (reference diagnostics/compute.py:183-270)
+        column_diags: Dict[str, Quantity] = {}
+        if any(k in tendencies for k in ("dQ1", "dQ2", "dQp")):
+            column_diags.update(
+                compute_diagnostics(
+                    state[names.DELP].data,
+                    tendencies,
+                    stepper.label,
+                    hydrostatic=self._config.namelist.hydrostatic,
+                )
+            )
+        if any(k in tendencies for k in ("dQu", "dQv")):
+            column_diags.update(
+                compute_ml_momentum_diagnostics(
+                    state[names.DELP].data, tendencies
+                )
+            )
+        diagnostic_only = getattr(stepper, "diagnostic_only", False)
+        if diagnostic_only:
+            # reference loop.py _postphysics_only_diagnostic_ml: record
+            # predictions, apply nothing
+            out = dict(diagnostics)
+            out.update(column_diags)
+            rename_diagnostics(out, stepper.label)
+            for key, tend in tendencies.items():
+                out[f"{key}_{stepper.label}"] = tend
+            if track_precip:
+                phys_precip = self.state.surface.get(names.TOTAL_PRECIP)
+                if phys_precip is not None:
+                    out[names.TOTAL_PRECIP] = Quantity(
+                        phys_precip, DIMS_2D, "m"
+                    )
+            return out
         add_tendency(state, tendencies, self._timestep)
         # a stepper updating TOTAL_PRECIP_RATE directly overrides the
         # accumulation (reference _replace_precip_rate_with_accumulation)
@@ -479,6 +502,7 @@ class TimeLoop:
         for key, value in state_updates.items():
             state[key] = value
         out = dict(diagnostics)
+        out.update(column_diags)
         if track_precip:
             # precipitation_sum: physics precip + ML-induced drying,
             # thresholded non-negative (reference
@@ -665,6 +689,15 @@ class TimeLoop:
                 diags.update(
                     self._apply_stepper(self._reservoir_predictor)
                 )
+            # water_vapor_path + physics_precip every step (reference
+            # diagnostics/compute.py:292-307 compute_baseline_diagnostics)
+            from fv3net_tpu.runtime.diagnostics.compute import (
+                compute_baseline_diagnostics,
+            )
+
+            diags.update(compute_baseline_diagnostics(self._derived()))
+            if names.PHYSICS_PRECIP_RATE in diags:
+                diags["physics_precip"] = diags[names.PHYSICS_PRECIP_RATE]
             # prognostic state fields, so diagnostics configs can record
             # them (the reference's state_after_timestep.zarr, manager.py)
             for name in (

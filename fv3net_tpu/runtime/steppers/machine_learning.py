@@ -15,7 +15,6 @@ import jax.numpy as jnp
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity
 from fv3net_tpu.fit.packer import stack_columns, unstack_columns
-from fv3net_tpu.ops import thermo
 from fv3net_tpu.runtime import names
 from fv3net_tpu.runtime.derived_state import DerivedState, DIMS_3D, DIMS_2D
 
@@ -77,13 +76,21 @@ class PureMLStepper:
     label = "machine_learning"
 
     def __init__(self, model, timestep: float, hydrostatic: bool = False,
-                 mse_conserving_limiter: bool = True):
+                 mse_conserving_limiter: bool = True,
+                 diagnostic_only: bool = False):
         self.model = model
         self.timestep = timestep
         self.hydrostatic = hydrostatic
         self.mse_conserving_limiter = mse_conserving_limiter
+        # reference MachineLearningConfig.diagnostic_ml: predictions are
+        # recorded as diagnostics but never applied to the state
+        self.diagnostic_only = diagnostic_only
 
     def __call__(self, time, state: DerivedState):
+        from fv3net_tpu.runtime.diagnostics.compute import (
+            limit_sphum_tendency,
+        )
+
         prediction = predict(self.model, state)
         grid_shape = tuple(state[names.DELP].shape[i] for i in (0, 2, 3))
 
@@ -98,22 +105,17 @@ class PureMLStepper:
             else:
                 state_updates[key] = q
 
-        diagnostics: Dict[str, Quantity] = {}
-        if "dQ2" in tendencies and self.mse_conserving_limiter:
-            sphum = jnp.asarray(state[names.SPHUM].data)
-            dQ2 = tendencies["dQ2"].data
-            dQ1 = tendencies.get("dQ1")
-            q2_new, q1_new = thermo.non_negative_sphum_mse_conserving(
-                sphum, dQ2, self.timestep,
-                q1=None if dQ1 is None else dQ1.data,
-            )
-            limiter_active = jnp.any(q2_new != dQ2).astype(jnp.float32)
-            diagnostics["specific_humidity_limiter_active"] = Quantity(
-                limiter_active, ()
-            )
-            tendencies["dQ2"] = Quantity(q2_new, DIMS_3D)
-            if q1_new is not None:
-                tendencies["dQ1"] = Quantity(q1_new, DIMS_3D)
+        # the limiter always runs when dQ2 is predicted; the config flag
+        # picks the MSE-conserving vs plain-scaling variant (reference
+        # diagnostics/compute.py:40-59)
+        tendencies, diagnostics = limit_sphum_tendency(
+            state[names.SPHUM].data,
+            tendencies,
+            self.timestep,
+            mse_conserving=self.mse_conserving_limiter,
+            delp=state[names.DELP].data,
+            hydrostatic=self.hydrostatic,
+        )
         return tendencies, diagnostics, state_updates
 
 

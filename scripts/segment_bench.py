@@ -51,17 +51,15 @@ def main():
         }
     )
     out = tempfile.mkdtemp(prefix="seg_bench_")
-    # warm: run one short segment first so compiles don't count
-    warm_cfg = get_config(
-        {
-            "namelist": {
-                "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
-                "radiation": radiation,
-            },
-            "duration_seconds": chunk * 900.0,
-            "fused_chunk_steps": chunk,
-            "radiation_interval_steps": 4,
-        }
+    # warm: run one short segment first so compiles don't count.  It must
+    # be IDENTICAL to the timed config apart from duration — the
+    # diagnostics set is part of the fused chunk's output signature, so a
+    # diagnostics-free warmup compiles a DIFFERENT executable and the
+    # timed run pays a ~100 s compile (observed: 9.8 vs 59 SYPD).
+    import dataclasses
+
+    warm_cfg = dataclasses.replace(
+        cfg, duration_seconds=chunk * 900.0
     )
     run_segment(warm_cfg, out + "_warm")
 
