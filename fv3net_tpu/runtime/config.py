@@ -61,6 +61,9 @@ class DiagnosticFileConfig:
     times: "TimeConfig" = None
     # stored-name overrides: {model diagnostic name: output name}
     renames: Mapping[str, str] = dataclasses.field(default_factory=dict)
+    # reference manager.py:37-41,54-56 — route this file's variables to
+    # a TensorBoard event log under <rundir>/tensorboard instead of zarr
+    tensorboard: bool = False
 
     def __post_init__(self):
         if self.times is None:

@@ -139,6 +139,21 @@ class DiagnosticsManager:
             if hasattr(cfg, "to_diagnostic_config"):
                 cfg = cfg.to_diagnostic_config()
             times = time_container_from_config(cfg.times, initial_time)
+            if getattr(cfg, "tensorboard", False):
+                # reference manager.py:54-56: tensorboard: true swaps
+                # the zarr sink for a TensorBoard event log
+                from fv3net_tpu.runtime.diagnostics.tensorboard import (
+                    TensorBoardSink,
+                )
+
+                self.files.append(
+                    TensorBoardSink(
+                        os.path.join(output_dir, "tensorboard"),
+                        cfg.variables,
+                        times,
+                    )
+                )
+                continue
             path = os.path.join(output_dir, cfg.name)
             self.files.append(
                 DiagnosticFile(
