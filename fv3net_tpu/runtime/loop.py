@@ -455,11 +455,20 @@ class TimeLoop:
             rename_diagnostics,
         )
 
+        from fv3net_tpu.runtime.tendency import fillna_tendencies
+
         state = self._derived()
         tendencies, diagnostics, state_updates = stepper(self.time, state)
         delp_before = (
             jnp.asarray(state[names.DELP].data) if track_precip else None
         )
+        # zero-fill NaN tendencies (masked ML/reservoir predictions) and
+        # record the filled fraction (reference loop.py:536-541,
+        # tendency.py prepare_tendencies_for_dynamical_core)
+        if tendencies:
+            tendencies, filled_frac = fillna_tendencies(tendencies)
+            diagnostics = dict(diagnostics)
+            diagnostics.update(filled_frac)
         # column-integrated moistening/heating/mass/momentum diagnostics
         # per stepper label (reference diagnostics/compute.py:183-270)
         column_diags: Dict[str, Quantity] = {}

@@ -236,6 +236,55 @@ def test_diagnostic_ml_config_key():
     assert cfg2.scikit_learn.online is False
 
 
+def test_nan_tendencies_filled_with_frac_diagnostic():
+    """NaN ML predictions are zero-filled before application and the
+    per-column filled fraction is a diagnostic (reference
+    runtime/tendency.py:77-119, loop.py:536-541)."""
+
+    class NaNStepper:
+        label = "machine_learning"
+
+        def __call__(self, time, state):
+            shape = state[names.DELP].data.shape
+            dq1 = np.full(shape, 2e-5)
+            dq1[:, : shape[1] // 2] = np.nan  # top half NaN
+            return (
+                {"dQ1": Quantity(jnp.asarray(dq1), DIMS_3D)},
+                {},
+                {},
+            )
+
+    cfg = small_config()
+    loop = TimeLoop(cfg, postphysics_stepper=NaNStepper(), dtype=jnp.float64)
+    diags = None
+    for _t, diags in loop:
+        pass
+    assert np.isfinite(np.asarray(loop.state.dycore.pt)).all()
+    frac = np.asarray(diags["dQ1_filled_frac"].data)
+    np.testing.assert_allclose(frac, 0.5)
+    # the applied (filled) tendency is also what is surfaced
+    tend = np.asarray(diags["dQ1_machine_learning"].data)
+    assert np.isfinite(tend).all()
+
+
+def test_tendencies_from_state_updates_roundtrip():
+    from fv3net_tpu.runtime.tendency import (
+        state_updates_from_tendency,
+        tendencies_from_state_updates,
+    )
+
+    a = {names.TEMP: Quantity(jnp.zeros((6, 2, 2, 2)), DIMS_3D)}
+    b = {
+        names.TEMP: Quantity(jnp.full((6, 2, 2, 2), 9.0), DIMS_3D),
+        "not_a_state_var": Quantity(jnp.ones(()), ()),
+    }
+    tend = tendencies_from_state_updates(a, b, dt=3.0)
+    assert set(tend) == {"dQ1"}
+    np.testing.assert_allclose(np.asarray(tend["dQ1"].data), 3.0)
+    renamed = state_updates_from_tendency({"x": b[names.TEMP]})
+    assert set(renamed) == {"x_state_from_postphysics_tendency"}
+
+
 def test_diagnostic_ml_through_model_artifact(tmp_path):
     """End to end through the config factory: a dumped model referenced
     by scikit_learn.model with diagnostic_ml runs without perturbing the
