@@ -51,3 +51,58 @@ def round_time(t: datetime.datetime, to: float = 1.0) -> datetime.datetime:
     seconds = (t - epoch).total_seconds()
     rounded = round(seconds / to) * to
     return epoch + datetime.timedelta(seconds=rounded)
+
+
+def cast_to_datetime(time) -> datetime.datetime:
+    """Cast a datetime-like object (datetime, cftime-like, np.datetime64,
+    or timestamp string/path) to a python datetime, assuming compatible
+    calendars (reference convenience.py:98-131)."""
+    import numpy as np
+
+    if isinstance(time, datetime.datetime):
+        return time
+    if isinstance(time, str):
+        return parse_datetime_from_str(parse_timestep_str_from_path(time))
+    if isinstance(time, np.datetime64):
+        seconds = (time - np.datetime64(0, "s")) / np.timedelta64(1, "s")
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            seconds=float(seconds)
+        )
+    # cftime-like: duck-typed calendar fields
+    return datetime.datetime(
+        time.year,
+        time.month,
+        time.day,
+        time.hour,
+        time.minute,
+        time.second,
+        getattr(time, "microsecond", 0),
+    )
+
+
+def convert_timestamps(coord):
+    """Vectorized parse of '%Y%m%d.%H%M%S' strings to datetimes
+    (reference convenience.py:134-136); accepts any array-like of
+    timestamp strings and returns an object ndarray."""
+    import numpy as np
+
+    parser = np.vectorize(parse_datetime_from_str)
+    return parser(np.asarray(coord))
+
+
+def gsrm_name_from_resolution_string(res: str) -> str:
+    """'neXX' -> scream, 'cXX'/'CXX' -> fv3gfs (reference
+    convenience.py:151-160)."""
+    if res.startswith("ne"):
+        return "scream"
+    if res.lower().startswith("c"):
+        return "fv3gfs"
+    raise ValueError(
+        f"This resolution {res} can not be mapped to either scream or fv3."
+    )
+
+
+def check_if_scream_dataset(ds) -> bool:
+    """SCREAM output is on an unstructured 'ncol' dimension (reference
+    convenience.py:164-168)."""
+    return "ncol" in getattr(ds, "dims", {})

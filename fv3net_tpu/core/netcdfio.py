@@ -80,6 +80,57 @@ def open_restarts(restart_dir: str) -> Dict[str, Dataset]:
     return out
 
 
+def open_restarts_with_time_coordinates(url: str) -> Dict:
+    """Open every restart snapshot under a run directory with its time
+    coordinate (reference vcm/fv3_restarts/io.py:41-66).
+
+    Times come from the FV3 timestamp prefixes on RESTART files
+    (``YYYYMMDD.HHMMSS.<category>.tile1.nc``); unprefixed files take the
+    directory's ``coupler.res`` time when present.  Searches ``url``
+    itself plus its INPUT/ and RESTART/ subdirectories (the run-directory
+    layout).  Returns ``{datetime: {category: Dataset}}`` sorted by time.
+    """
+    import glob as _glob
+    import re
+
+    from fv3net_tpu.core.convenience import parse_datetime_from_str
+
+    def _coupler_time(d):
+        path = os.path.join(d, "coupler.res")
+        if not os.path.exists(path):
+            return None
+        from fv3net_tpu.runtime.checkpoint import _read_coupler_res
+
+        return _read_coupler_res(path)
+
+    out: Dict = {}
+    stamp = re.compile(r"(\d{8}\.\d{6})\.(.+)\.tile1\.nc$")
+    for sub in ("", "INPUT", "RESTART"):
+        d = os.path.join(url, sub) if sub else url
+        if not os.path.isdir(d):
+            continue
+        # timestamp-prefixed snapshots
+        for path in sorted(_glob.glob(os.path.join(d, "*.tile1.nc"))):
+            m = stamp.search(os.path.basename(path))
+            if not m:
+                continue
+            ts, category = m.groups()
+            if category not in RESTART_CATEGORIES:
+                continue
+            time = parse_datetime_from_str(ts)
+            out.setdefault(time, {})[category] = open_tiles(
+                os.path.join(d, f"{ts}.{category}")
+            )
+        # unprefixed snapshot labeled by the directory's coupler.res
+        unprefixed = open_restarts(d)
+        if unprefixed:
+            time = _coupler_time(d)
+            if time is not None:
+                for category, ds in unprefixed.items():
+                    out.setdefault(time, {}).setdefault(category, ds)
+    return dict(sorted(out.items()))
+
+
 #: Fortran restart axis names -> standard names (reference
 #: vcm/fv3_restarts/io.py:69-79 standardize_metadata + vcm._schema_registry).
 _STANDARD_DIM_NAMES = {
