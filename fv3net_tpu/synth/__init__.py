@@ -21,6 +21,7 @@ from fv3net_tpu.synth.core import (  # noqa: F401
 )
 from fv3net_tpu.synth.cdl import cdl_to_dataset  # noqa: F401
 from fv3net_tpu.synth.generators import (  # noqa: F401
+    generate_fine_res,
     generate_nudging,
     generate_restart_data,
 )

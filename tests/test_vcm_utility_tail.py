@@ -134,3 +134,40 @@ def test_open_restarts_with_time_coordinates(tmp_path):
     first = out[times[0]]["fv_core.res"]["T"]
     assert first.data.shape == (6, 2, 2)
     np.testing.assert_allclose(np.asarray(first.data), 1.0)
+
+
+def test_generate_fine_res_files_and_budget(tmp_path):
+    """generate_fine_res writes the reference per-time per-tile NetCDF
+    layout (reference synth/_fine_res.py:8-22) and the variables feed the
+    fine-res budget pipeline."""
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core.netcdfio import open_tiles
+    from fv3net_tpu.pipelines.fine_res_budget import compute_budget
+    from fv3net_tpu.synth import generate_fine_res
+    from fv3net_tpu.synth.generators import FINE_RES_VARIABLES
+
+    times = ["20160801.001500", "20160801.003000"]
+    ds = generate_fine_res(str(tmp_path), times, nz=6, n=8)
+    assert set(FINE_RES_VARIABLES) <= set(ds)
+    tiles = open_tiles(str(tmp_path / "20160801.001500"))
+    assert tiles["T"].data.shape == (6, 6, 8, 8)
+    # the synthetic variables drive the budget computation (z-last)
+    def zlast(name):
+        return jnp.moveaxis(jnp.asarray(tiles[name].data), 1, -1)
+
+    out = compute_budget(
+        T_begin=zlast("T"),
+        T_end=zlast("T") + 900.0 * zlast("T_storage"),
+        q_begin=zlast("sphum"),
+        q_end=zlast("sphum") + 900.0 * zlast("sphum_storage"),
+        physics_T_tendency=zlast("t_dt_phys_coarse"),
+        physics_q_tendency=zlast("qv_dt_phys_coarse"),
+        delp_fine=zlast("delp"),
+        area=jnp.ones((6, 8, 8)),
+        factor=2,
+        time_step=900.0,
+    )
+    for key in ("Q1", "Q2", "dQ1", "dQ2"):
+        assert np.isfinite(np.asarray(out[key])).all()
+        assert out[key].shape == (6, 4, 4, 6)  # z-last, yx block-coarsened by 2
