@@ -635,6 +635,14 @@ class TimeLoop:
                 "surface_pressure",
             ):
                 diags[name] = state[name]
+            # chunk-boundary baseline diagnostics (reference
+            # compute_baseline_diagnostics; physics_precip is internal to
+            # the fused chunk, so only the state-derived part applies)
+            from fv3net_tpu.runtime.diagnostics.compute import (
+                compute_baseline_diagnostics,
+            )
+
+            diags.update(compute_baseline_diagnostics(state))
             yield self.time, diags
 
     # -- iteration --------------------------------------------------------

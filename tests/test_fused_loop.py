@@ -37,6 +37,11 @@ def test_fused_loop_remainder_chunks():
     _, diags = out[-1]
     assert names.TEMP in diags and "surface_pressure" in diags
     assert np.isfinite(np.asarray(diags[names.TEMP].data)).all()
+    # chunk-boundary baseline diagnostics (reference
+    # compute_baseline_diagnostics): state-derived water_vapor_path
+    wvp = np.asarray(diags["water_vapor_path"].data)
+    assert wvp.shape == diags["surface_pressure"].data.shape
+    assert np.isfinite(wvp).all() and wvp.mean() > 0
 
 
 def test_fused_matches_perstep_statistically():
