@@ -41,6 +41,38 @@ from fv3net_tpu.physics.radiation.rrtmg import params as P
 _STPFAC = 296.0 / 1013.0
 _F = None  # dtype resolved per call
 
+# Unroll of the per-layer solver scans (rtrnmc / vrtqdr / McICA walk).
+# -1 (default) = AUTO: full unroll on accelerators, keep the loop on CPU.
+# The per-layer bodies run at only ~3% of HBM bandwidth as loop
+# iterations (v5e trace), and fully inlining them lets XLA fuse across
+# layers — measured 325 -> 315 ms on the integrated C48 hourly-RRTMG
+# chunk (benchmarks/unroll_sweep.py; PARTIAL unroll 4/8 is SLOWER than
+# 1, so the only useful values are 1 and full).  On CPU, full unroll
+# multiplies LLVM compile time many-fold for zero benefit (tests), hence
+# auto.  Numerics are BIT-IDENTICAL across settings (same ops, same
+# order — the sweep asserts max |Δpt| = 0).  Read at trace time;
+# override via FV3NET_RRTMG_SCAN_UNROLL or RRTMGConfig.scan_unroll
+# (0 = force full, >=1 = explicit factor).
+import os as _os
+
+SCAN_UNROLL = int(_os.environ.get("FV3NET_RRTMG_SCAN_UNROLL", "-1"))
+
+
+def set_scan_unroll(n: int) -> None:
+    """Set the solver-scan unroll factor (-1 auto, 0 full, >=1 explicit;
+    read at trace time — rebuild jitted programs after changing it)."""
+    global SCAN_UNROLL
+    SCAN_UNROLL = int(n)
+
+
+def _unroll():
+    """lax.scan unroll argument for the current setting."""
+    if SCAN_UNROLL > 0:
+        return SCAN_UNROLL
+    if SCAN_UNROLL == 0:
+        return True
+    return True if jax.default_backend() != "cpu" else 1
+
 # MXU precision of the k-table selection/interpolation contractions.
 # HIGHEST (6-pass bf16 = full f32) keeps single-row selections bit-exact
 # vs the reference; HIGH (3-pass) halves the MXU work at ~1e-6 relative
@@ -1019,6 +1051,7 @@ def cldprop_lw(
             body,
             (cdfunc[:, :, 0], cldf[:, 0]),
             (cdfunc[:, :, 1:].transpose(2, 0, 1), cldf[:, 1:].T),
+            unroll=_unroll(),
         )
         cdfunc = jnp.concatenate(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
@@ -1204,15 +1237,17 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
         radclrd = radclrd * t_clr + s_clr
         return (radtotd, radclrd), (radtotd.sum(-1), radclrd.sum(-1))
 
-    xs_down = jax.tree_util.tree_map(lambda a: a[::-1], xs)
+    # reverse=True iterates layers L-1..0 WITHOUT materializing flipped
+    # [L, C, G] copies (the flips showed up as rev/copy kernels in the
+    # device trace); ys stay indexed by layer, so down_tot[k] is the
+    # G-summed radiance at level k directly.
     zero = jnp.zeros((C, G), dtype)
     (radtotd_sfc, radclrd_sfc), (down_tot, down_clr) = lax.scan(
-        down_body, (zero, zero), xs_down
+        down_body, (zero, zero), xs, reverse=True, unroll=_unroll()
     )
     zerosum = jnp.zeros((1, C), dtype)
-    # down_tot[i] = G-summed radiance at level (L-1-i)
-    totdrad = jnp.concatenate([down_tot[::-1], zerosum], axis=0)
-    clrdrad = jnp.concatenate([down_clr[::-1], zerosum], axis=0)
+    totdrad = jnp.concatenate([down_tot, zerosum], axis=0)
+    clrdrad = jnp.concatenate([down_clr, zerosum], axis=0)
 
     # ---- surface reflection + upward recurrence ----------------------
     reflct = 1.0 - semiss_g
@@ -1227,7 +1262,9 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
         radclru = radclru * t_clr + s_clr
         return (radtotu, radclru), (radtotu.sum(-1), radclru.sum(-1))
 
-    _, (up_tot, up_clr) = lax.scan(up_body, (radtotu0, radclru0), xs)
+    _, (up_tot, up_clr) = lax.scan(
+        up_body, (radtotu0, radclru0), xs, unroll=_unroll()
+    )
     toturad = jnp.concatenate([radtotu0.sum(-1)[None], up_tot], axis=0)
     clrurad = jnp.concatenate([radclru0.sum(-1)[None], up_clr], axis=0)
 

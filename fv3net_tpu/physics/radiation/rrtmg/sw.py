@@ -546,6 +546,7 @@ def cldprop_sw(
             body,
             (cdfunc[:, :, 0], cldf[:, 0]),
             (cdfunc[:, :, 1:].transpose(2, 0, 1), cldf[:, 1:].T),
+            unroll=rlw._unroll(),
         )
         cdfunc = jnp.concatenate(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
@@ -792,12 +793,13 @@ def spcvrtm_sw(
 
     init_up = (alb_bm_g, alb_df_g, alb_bm_g, alb_df_g)
     (rupb_cL, rupd_cL, rupb_tL, rupd_tL), ys_up = lax.scan(
-        up_body, init_up, xs
+        up_body, init_up, xs, unroll=rlw._unroll()
     )
 
-    # zrupb/zrupd at levels L-1 .. 0 as down-scan inputs
+    # zrupb/zrupd at level j as down-scan inputs (the down scan runs
+    # reverse=True, j = L-1 .. 0, so no [::-1] materialization)
     def lvl_seq(y, alb):
-        return jnp.concatenate([alb[None], y[: L - 1]], axis=0)[::-1]
+        return jnp.concatenate([alb[None], y[: L - 1]], axis=0)
 
     rup_dn = (
         lvl_seq(ys_up[0], alb_bm_g),
@@ -805,7 +807,7 @@ def spcvrtm_sw(
         lvl_seq(ys_up[2], alb_bm_g),
         lvl_seq(ys_up[3], alb_df_g),
     )
-    xs_dn = jax.tree_util.tree_map(lambda a: a[::-1], xs) + rup_dn
+    xs_dn = xs + rup_dn
 
     # ---- downward pass: ztdn/zrdnd + running beam products + final
     # per-level flux combination, j = L-1 .. 0
@@ -855,7 +857,7 @@ def spcvrtm_sw(
 
     init_dn = (ones, zeros, ones, ones, ones, zeros, ones, ones)
     carry_dn, (fu0_s, fd0_s, fuc_s, fdc_s) = lax.scan(
-        down_body, init_dn, xs_dn
+        down_body, init_dn, xs_dn, reverse=True, unroll=rlw._unroll()
     )
     (tdn_c0, rdnd_c0, tdbt_c0, ztdbt0_c,
      tdn_t0, rdnd_t0, tdbt_t0, ztdbt0_t) = carry_dn
@@ -867,9 +869,8 @@ def spcvrtm_sw(
 
     # levels 0..L from the emitted (L-1..0) sums + the TOA row
     def levels(emitted, top):
-        return jnp.concatenate(
-            [emitted[::-1], top[None]], axis=0
-        ).T  # [C, L+1]
+        # reverse=True keeps ys indexed by level: emitted[k] = level k
+        return jnp.concatenate([emitted, top[None]], axis=0).T  # [C, L+1]
 
     flxu0 = levels(fu0_s, fu0_top)
     flxd0 = levels(fd0_s, fd_top)
