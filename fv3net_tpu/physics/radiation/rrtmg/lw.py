@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from fv3net_tpu.ops import pallas_ktable
 from fv3net_tpu.physics.radiation.rrtmg import params as P
 
 _STPFAC = 296.0 / 1013.0
@@ -72,6 +73,34 @@ def _unroll():
     if SCAN_UNROLL == 0:
         return True
     return True if jax.default_backend() != "cpu" else 1
+
+
+# Pallas k-table contraction route (ops/pallas_ktable.py): computes the
+# major-species taus as weighted-selection dots with the [.., nspa, ng]
+# interpolation block kept in VMEM instead of HBM.  MEASURED SLOWER than
+# the XLA factored path on the integrated v5e flagship (62.1 -> 34.5
+# SYPD; a flat-selection v1 was 31.4): at per-band granularity the
+# opaque kernels defeat XLA's surrounding fusion (which already runs at
+# ~77% of HBM bandwidth) and the term planes materialize as kernel
+# inputs — docs/performance.md "Pallas k-table route".  Kept OPT-IN
+# ("off" everywhere by default) as infrastructure for a future
+# whole-taumol megakernel; "interpret" runs the kernel in interpreter
+# mode (CPU equivalence tests, tests/test_pallas_ktable.py).
+PALLAS_KTABLE = _os.environ.get("FV3NET_RRTMG_PALLAS", "off")
+
+
+def set_pallas_ktable(mode: str) -> None:
+    """'auto' | 'on' | 'off' | 'interpret' (read at trace time)."""
+    if mode not in ("auto", "on", "off", "interpret"):
+        raise ValueError(f"bad pallas ktable mode {mode!r}")
+    global PALLAS_KTABLE
+    PALLAS_KTABLE = mode
+
+
+def _pallas_ktable_mode() -> str:
+    if PALLAS_KTABLE == "auto":
+        return "on" if jax.default_backend() == "tpu" else "off"
+    return PALLAS_KTABLE
 
 # MXU precision of the k-table selection/interpolation contractions.
 # HIGHEST (6-pass bf16 = full f32) keeps single-row selections bit-exact
@@ -393,8 +422,8 @@ def _merged_single(Wsum, tabs, nbase):
     )
 
 
-def _stencil3(specparm, fs, js, dtype):
-    """3-point species stencil as a [C, L, 9] weighted one-hot.  Weights
+def _stencil3_terms(specparm, fs, js, dtype):
+    """3-point species stencil as (position, weight) pairs.  Weights
     replicate the reference port's vectorized expression exactly,
     including its where(...==0) selection quirks (radlw_bands.py:439-491);
     the species offsets are (0,1,2) for the low/normal branches and
@@ -420,26 +449,40 @@ def _stencil3(specparm, fs, js, dtype):
     d1 = jnp.where(hi, izero, ione)
     d2 = jnp.where(hi, -ione, 2 * ione)
     j = js - 1
+    return [
+        (jnp.clip(j + d0, 0, 8), fk0.astype(dtype)),
+        (jnp.clip(j + d1, 0, 8), fk1.astype(dtype)),
+        (jnp.clip(j + d2, 0, 8), fk2.astype(dtype)),
+    ]
+
+
+def _stencil3(specparm, fs, js, dtype):
+    """[C, L, 9] weighted one-hot built from _stencil3_terms."""
     iota = jnp.arange(9, dtype=jnp.int32)
+    out = None
+    for pos, w in _stencil3_terms(specparm, fs, js, dtype):
+        contrib = (pos[..., None] == iota).astype(dtype) * w[..., None]
+        out = contrib if out is None else out + contrib
+    return out
 
-    def oh(dj, w):
-        return (
-            jnp.clip(j + dj, 0, 8)[..., None] == iota
-        ).astype(dtype) * w[..., None]
 
-    return oh(d0, fk0) + oh(d1, fk1) + oh(d2, fk2)
+def _stencil2_terms(fs, js, nspb, dtype):
+    """2-point species stencil as (position, weight) pairs."""
+    j = js - 1
+    return [
+        (jnp.clip(j, 0, nspb - 1), (1.0 - fs).astype(dtype)),
+        (jnp.clip(j + 1, 0, nspb - 1), fs.astype(dtype)),
+    ]
 
 
 def _stencil2(fs, js, nspb, dtype):
     """2-point species stencil [C, L, nspb] (upper-atmosphere tables)."""
-    j = js - 1
     iota = jnp.arange(nspb, dtype=jnp.int32)
-    return (
-        (jnp.clip(j, 0, nspb - 1)[..., None] == iota).astype(dtype)
-        * (1.0 - fs)[..., None]
-        + (jnp.clip(j + 1, 0, nspb - 1)[..., None] == iota).astype(dtype)
-        * fs[..., None]
-    )
+    out = None
+    for pos, w in _stencil2_terms(fs, js, nspb, dtype):
+        contrib = (pos[..., None] == iota).astype(dtype) * w[..., None]
+        out = contrib if out is None else out + contrib
+    return out
 
 
 def _contract(S, A):
@@ -559,16 +602,49 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     sl5 = g_offsets(SPEC_HI, P.NG_LW)
     sh1 = g_offsets(SINGLE_HI, P.NG_LW)
 
-    A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
-    A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
+    pallas_mode = _pallas_ktable_mode()
+    if pallas_mode == "off":
+        A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
+        A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
+        A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
+        A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
     A1_lo = _merged_single(
         Wlo0 + Wlo1, [B[i]["absa"] for i in SINGLE_LO], NBASE_LO
     )
-    A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
-    A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
     A1_hi = _merged_single(
         Whi0 + Whi1, [B[i]["absb"] for i in SINGLE_HI], NBASE_HI
     )
+
+    # raw pressure/temperature selection pairs for the Pallas route
+    # (same clipping as _fac_weights)
+    def _base_pairs(base, fac_a, fac_b, nbase):
+        return [
+            (jnp.clip(base, 0, nbase - 1), fac_a),
+            (jnp.clip(base + 1, 0, nbase - 1), fac_b),
+        ]
+
+    PBL0 = _base_pairs(base0, c["fac00"], c["fac10"], NBASE_LO)
+    PBL1 = _base_pairs(base1, c["fac01"], c["fac11"], NBASE_LO)
+    PBH0 = _base_pairs(baseU0, c["fac00"], c["fac10"], NBASE_HI)
+    PBH1 = _base_pairs(baseU1, c["fac01"], c["fac11"], NBASE_HI)
+
+    def _flat_tab(tab, nspa, nbase):
+        t = _reshape_base(tab, nspa, nbase)  # [nbase, nspa, ng]
+        return t.reshape(nbase, nspa * t.shape[-1])
+
+    def _tau_spec_pallas(tab_grp, nspa, groups):
+        """Σ_p scale·contract(stencil_p, W_p @ tab) with the [.., nspa,
+        ng] interpolation block kept in VMEM (ops/pallas_ktable.py) —
+        identical selections to the XLA path, no HBM intermediate."""
+        w_paths = [pbase for pbase, _, _ in groups]
+        s_paths = [
+            [(pos, scale * w) for pos, w in stencil]
+            for _, stencil, scale in groups
+        ]
+        return pallas_ktable.spec_band_dot(
+            w_paths, s_paths, tab_grp, nspa,
+            interpret=(pallas_mode == "interpret"),
+        )
 
     tauself_all, taufor_all = _self_for_all(
         c,
@@ -587,6 +663,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         return col[..., None] * A1_hi[..., sh1[i]]
 
     def tau_spec_lo(i, sc, sp, fs, js, sc1, sp1, fs1, js1):
+        if pallas_mode != "off":
+            return _tau_spec_pallas(
+                _flat_tab(B[i]["absa"], 9, NBASE_LO), 9,
+                [(PBL0, _stencil3_terms(sp, fs, js, dtype), sc),
+                 (PBL1, _stencil3_terms(sp1, fs1, js1, dtype), sc1)],
+            )
         return sc[..., None] * _contract(
             _stencil3(sp, fs, js, dtype), A9_0[..., sl9[i]]
         ) + sc1[..., None] * _contract(
@@ -594,6 +676,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         )
 
     def tau_spec_hi(i, scU, fsU, jsU, scU1, fsU1, jsU1):
+        if pallas_mode != "off":
+            return _tau_spec_pallas(
+                _flat_tab(B[i]["absb"], 5, NBASE_HI), 5,
+                [(PBH0, _stencil2_terms(fsU, jsU, 5, dtype), scU),
+                 (PBH1, _stencil2_terms(fsU1, jsU1, 5, dtype), scU1)],
+            )
         return scU[..., None] * _contract(
             _stencil2(fsU, jsU, 5, dtype), A5_0[..., sl5[i]]
         ) + scU1[..., None] * _contract(

@@ -249,18 +249,47 @@ def taumol_sw(c, colamt, colmol, T):
     sl5 = rlw.g_offsets(SPEC_HI, P.NG_SW)
     sh1 = rlw.g_offsets(SINGLE_HI, P.NG_SW)
 
-    A9 = rlw._merged_A(
-        Wlo, [B[i]["absa"] for i in SPEC_LO], 9, rlw.NBASE_LO
-    )
+    pallas_mode = rlw._pallas_ktable_mode()
+    if pallas_mode == "off":
+        A9 = rlw._merged_A(
+            Wlo, [B[i]["absa"] for i in SPEC_LO], 9, rlw.NBASE_LO
+        )
+        A5 = rlw._merged_A(
+            Whi, [B[i]["absb"] for i in SPEC_HI], 5, rlw.NBASE_HI
+        )
     A1_lo = rlw._merged_single(
         Wlo, [B[i]["absa"] for i in SINGLE_LO], rlw.NBASE_LO
-    )
-    A5 = rlw._merged_A(
-        Whi, [B[i]["absb"] for i in SPEC_HI], 5, rlw.NBASE_HI
     )
     A1_hi = rlw._merged_single(
         Whi, [B[i]["absb"] for i in SINGLE_HI], rlw.NBASE_HI
     )
+
+    # raw pressure/temperature selection pairs for the Pallas route
+    # (the SW shares one species stencil across both pressure paths,
+    # so all four base selections carry the same stencil)
+    def _pairs(b0, b1, nbase):
+        return [
+            (jnp.clip(b0, 0, nbase - 1), c["fac00"]),
+            (jnp.clip(b0 + 1, 0, nbase - 1), c["fac10"]),
+            (jnp.clip(b1, 0, nbase - 1), c["fac01"]),
+            (jnp.clip(b1 + 1, 0, nbase - 1), c["fac11"]),
+        ]
+
+    PBL = _pairs(base0, base1, rlw.NBASE_LO)
+    PBH = _pairs(baseU0, baseU1, rlw.NBASE_HI)
+
+    def _flat_tab(tab, nspa, nbase):
+        t = rlw._reshape_base(tab, nspa, nbase)  # [nbase, nspa, ng]
+        return t.reshape(nbase, nspa * t.shape[-1])
+
+    def _tau_spec_pallas(tab_grp, nspa, pbase, stencil, scale):
+        from fv3net_tpu.ops import pallas_ktable
+
+        return pallas_ktable.spec_band_dot(
+            [pbase], [[(pos, scale * w) for pos, w in stencil]],
+            tab_grp, nspa,
+            interpret=(pallas_mode == "interpret"),
+        )
 
     # water-vapor self/foreign continuum for all bands that carry the
     # tables, batched into two weighted-selection matmuls (the SW
@@ -292,11 +321,21 @@ def taumol_sw(c, colamt, colmol, T):
         return tauself_all[..., sfsl[i]], taufor_all[..., sfsl[i]]
 
     def tau_spec_lo(i, sc, js, fs):
+        if pallas_mode != "off":
+            return _tau_spec_pallas(
+                _flat_tab(B[i]["absa"], 9, rlw.NBASE_LO), 9,
+                PBL, rlw._stencil2_terms(fs, js, 9, dtype), sc,
+            )
         return sc[..., None] * rlw._contract(
             rlw._stencil2(fs, js, 9, dtype), A9[..., sl9[i]]
         )
 
     def tau_spec_hi(i, sc, js, fs):
+        if pallas_mode != "off":
+            return _tau_spec_pallas(
+                _flat_tab(B[i]["absb"], 5, rlw.NBASE_HI), 5,
+                PBH, rlw._stencil2_terms(fs, js, 5, dtype), sc,
+            )
         return sc[..., None] * rlw._contract(
             rlw._stencil2(fs, js, 5, dtype), A5[..., sl5[i]]
         )
