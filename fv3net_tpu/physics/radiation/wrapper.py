@@ -30,6 +30,11 @@ class RadiationConfig:
     ico2: int = 0
     iaer: int = 1
     icld: int = 1
+    # directory of measured k-table netCDFs in the reference layout
+    # (io.py:29-257); None -> synthetic documented-shape tables.  The
+    # reference init_driver downloads this directory from GCS
+    # (config.py:4-5 LOOKUP_DATA_PATH); here it is a local path
+    lookup_dir: str | None = None
 
 
 class Radiation:
@@ -56,6 +61,12 @@ class Radiation:
                 RRTMGDriver,
             )
 
+            lw_tables = sw_tables = None
+            if self.config.lookup_dir is not None:
+                from fv3net_tpu.physics.radiation.rrtmg import io as rio
+
+                lw_tables = rio.load_lw(self.config.lookup_dir)
+                sw_tables = rio.load_sw(self.config.lookup_dir)
             self._driver = RRTMGDriver(
                 RRTMGConfig(
                     iovr=self.config.iovr_lw,
@@ -63,7 +74,9 @@ class Radiation:
                     ico2=self.config.ico2,
                     iaer=self.config.iaer,
                     icld=self.config.icld,
-                )
+                ),
+                lw_tables=lw_tables,
+                sw_tables=sw_tables,
             )
         elif self.config.scheme == "synthband":
             self._driver = RadiationDriver(

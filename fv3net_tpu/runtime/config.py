@@ -44,6 +44,10 @@ class RadiationSchemeConfig:
     kind: str = "python"
     scheme: str = "rrtmg"
     apply_heating: bool = False
+    # local directory of measured k-table netCDFs in the reference
+    # layout (the reference's GCS lookup download, radiation
+    # config.py:4-5); None -> synthetic tables
+    lookup_dir: Optional[str] = None
 
 
 @dataclasses.dataclass

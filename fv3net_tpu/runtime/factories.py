@@ -116,7 +116,10 @@ def get_radiation_stepper(config: UserConfig, timestep: float):
     from fv3net_tpu.runtime.steppers.radiation import RadiationStepper
 
     return RadiationStepper(
-        Radiation(RadiationConfig(scheme=rs.scheme), timestep),
+        Radiation(
+            RadiationConfig(scheme=rs.scheme, lookup_dir=rs.lookup_dir),
+            timestep,
+        ),
         apply_heating=rs.apply_heating,
     )
 
