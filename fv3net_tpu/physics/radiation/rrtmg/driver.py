@@ -85,6 +85,18 @@ class RRTMGConfig:
     # auto/full/explicit for programs built from this driver.
     # Bit-identical numerics across settings (lw.set_scan_unroll)
     scan_unroll: Optional[int] = None
+    # storage dtype of the big [C, L, ngpt]-class intermediates:
+    # "auto" (bfloat16 on accelerators, float32 on CPU), "float32"
+    # (exact) or "bfloat16" (halves the dominant HBM traffic of the
+    # bandwidth-bound solvers — measured 63.3 -> 70.7 SYPD on the v5e
+    # flagship; all index math, interpolation weights, transmittance
+    # math, and flux accumulations stay f32, and the measured flux
+    # deviation, <=0.13 W/m2, is far below per-call McICA subcolumn
+    # noise — docs/performance.md).  None = leave the process-wide
+    # setting alone (module default: auto, or env
+    # FV3NET_RRTMG_STORAGE).  Read at jit trace time
+    # (lw.set_storage_dtype); f64 oracle runs are never degraded
+    storage_dtype: Optional[str] = None
 
 
 class RRTMGDriver:
@@ -147,6 +159,8 @@ class RRTMGDriver:
         rlw.set_matmul_precision(cfg.matmul_precision)
         if cfg.scan_unroll is not None:
             rlw.set_scan_unroll(cfg.scan_unroll)
+        if cfg.storage_dtype is not None:
+            rlw.set_storage_dtype(cfg.storage_dtype)
         dt = self.dtype
         T_in = state["air_temperature"]
         lead, nz = T_in.shape[:-1], T_in.shape[-1]

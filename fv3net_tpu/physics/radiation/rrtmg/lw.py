@@ -109,6 +109,78 @@ def _pallas_ktable_mode() -> str:
 # time, so rebuild jitted programs after changing it).
 _MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
+# Storage dtype of the LARGE g-point-space planes (k-table contraction
+# outputs and their one-hot weight operands, the per-band taus, and the
+# solver-scan inputs tautot/fracs/cldfmc/taur).  The RRTMG call is
+# HBM-bandwidth bound on exactly these [C, L, G]-class intermediates
+# (device trace: ~40 GB accessed/call at C48), so storing them in
+# bfloat16 halves the dominant traffic while ALL index math,
+# interpolation-weight computation, per-layer transmittance math, and
+# flux accumulations stay in the compute dtype (f32): bf16 planes
+# promote back to f32 at their first consumer.  The resulting ~0.2%
+# random per-g tau quantization is far below the McICA subcolumn noise
+# the scheme already accepts per call (measured: max flux deviation
+# 0.13 W/m2, heating rates <=0.1 K/day vs the f32 path on a 64-profile
+# battery; docs/performance.md).  Default AUTO = bfloat16 on
+# accelerators (measured 63.3 -> 70.7 SYPD on the v5e C48 hourly-RRTMG
+# flagship), float32 on CPU (tests stay exact; CPU bf16 matmuls are
+# slow fallbacks anyway).  f64 runs — the oracle battery — are NEVER
+# degraded regardless of the setting.  Set via
+# RRTMGConfig.storage_dtype or env FV3NET_RRTMG_STORAGE
+# (auto|float32|bfloat16).  Read at trace time.
+_STORAGE_NAMES = {
+    "auto": "auto", "": "auto",
+    "float32": None, "f32": None, "none": None,
+    "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+}
+_STORAGE_DTYPE = _STORAGE_NAMES[
+    _os.environ.get("FV3NET_RRTMG_STORAGE", "").lower()
+]
+
+
+def set_storage_dtype(name) -> None:
+    """'auto' (default: bf16 on accelerators, f32 on CPU), 'float32'
+    (exact) or 'bfloat16' (half HBM traffic on the big g-space planes);
+    read at trace time."""
+    global _STORAGE_DTYPE
+    key = (name or "").lower() if isinstance(name, str) else name
+    if isinstance(key, str):
+        if key not in _STORAGE_NAMES:
+            raise ValueError(
+                "storage_dtype must be auto, float32 or bfloat16, "
+                f"got {name!r}"
+            )
+        _STORAGE_DTYPE = _STORAGE_NAMES[key]
+    else:
+        _STORAGE_DTYPE = name
+
+
+def _sdt(compute_dtype):
+    """Storage dtype for big planes: bf16 when enabled AND computing in
+    f32 (f64 runs — the oracle battery — are never degraded)."""
+    st = _STORAGE_DTYPE
+    if st == "auto":
+        st = (
+            jnp.bfloat16 if jax.default_backend() != "cpu" else None
+        )
+    if st is not None and compute_dtype == jnp.float32:
+        return st
+    return compute_dtype
+
+
+def _acc(dtype):
+    """Accumulation/compute dtype for a (possibly bf16-stored) input."""
+    return jnp.float32 if dtype == jnp.bfloat16 else dtype
+
+
+def _mm_precision(dtype):
+    """Contraction precision: the tier knob is meaningless for bf16
+    operands (one MXU pass is all there is) — avoid the HIGHEST-tier
+    upconvert."""
+    if dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return _MATMUL_PRECISION
+
 
 def set_matmul_precision(name: str) -> None:
     tiers = {
@@ -288,12 +360,13 @@ def _take(tabT, ids):
     rows = tabT.shape[0]
     ids = jnp.clip(ids, 0, rows - 1)
     if rows <= 64:
+        st = _sdt(tabT.dtype)
         oh = (ids[..., None] == jnp.arange(rows, dtype=ids.dtype)).astype(
-            tabT.dtype
+            st
         )
         return jnp.einsum(
-            "...r,rg->...g", oh, tabT,
-            precision=_MATMUL_PRECISION,
+            "...r,rg->...g", oh, tabT.astype(st),
+            precision=_mm_precision(st),
         )
     return jnp.take(tabT, ids, axis=0)
 
@@ -392,12 +465,14 @@ def _reshape_base(tab, nspa, nbase):
 
 
 def _fac_weights(base, fac_a, fac_b, nbase, dtype):
-    """fac_a * onehot(base) + fac_b * onehot(base + 1), [C, L, nbase]."""
+    """fac_a * onehot(base) + fac_b * onehot(base + 1), [C, L, nbase].
+    Built directly in the storage dtype (bf16 mode halves the write)."""
+    dtype = _sdt(dtype)
     iota = jnp.arange(nbase, dtype=jnp.int32)
     b0 = jnp.clip(base, 0, nbase - 1)[..., None]
     b1 = jnp.clip(base + 1, 0, nbase - 1)[..., None]
-    return (b0 == iota).astype(dtype) * fac_a[..., None] + (
-        (b1 == iota).astype(dtype) * fac_b[..., None]
+    return (b0 == iota).astype(dtype) * fac_a[..., None].astype(dtype) + (
+        (b1 == iota).astype(dtype) * fac_b[..., None].astype(dtype)
     )
 
 
@@ -408,7 +483,8 @@ def _merged_A(W, tabs, nspa, nbase):
         [_reshape_base(t, nspa, nbase) for t in tabs], axis=-1
     )
     return jnp.einsum(
-        "clb,bsg->clsg", W, tab, precision=_MATMUL_PRECISION
+        "clb,bsg->clsg", W, tab.astype(W.dtype),
+        precision=_mm_precision(W.dtype),
     )
 
 
@@ -418,7 +494,8 @@ def _merged_single(Wsum, tabs, nbase):
         [_reshape_base(t, 1, nbase)[:, 0] for t in tabs], axis=-1
     )
     return jnp.einsum(
-        "clb,bg->clg", Wsum, tab, precision=_MATMUL_PRECISION
+        "clb,bg->clg", Wsum, tab.astype(Wsum.dtype),
+        precision=_mm_precision(Wsum.dtype),
     )
 
 
@@ -458,6 +535,7 @@ def _stencil3_terms(specparm, fs, js, dtype):
 
 def _stencil3(specparm, fs, js, dtype):
     """[C, L, 9] weighted one-hot built from _stencil3_terms."""
+    dtype = _sdt(dtype)
     iota = jnp.arange(9, dtype=jnp.int32)
     out = None
     for pos, w in _stencil3_terms(specparm, fs, js, dtype):
@@ -477,6 +555,7 @@ def _stencil2_terms(fs, js, nspb, dtype):
 
 def _stencil2(fs, js, nspb, dtype):
     """2-point species stencil [C, L, nspb] (upper-atmosphere tables)."""
+    dtype = _sdt(dtype)
     iota = jnp.arange(nspb, dtype=jnp.int32)
     out = None
     for pos, w in _stencil2_terms(fs, js, nspb, dtype):
@@ -486,8 +565,9 @@ def _stencil2(fs, js, nspb, dtype):
 
 
 def _contract(S, A):
-    """[C,L,s] species stencil applied to [C,L,s,g] -> [C,L,g]."""
-    return (S[..., None] * A).sum(axis=2)
+    """[C,L,s] species stencil applied to [C,L,s,g] -> [C,L,g]
+    (accumulated in f32 even when the operands are stored bf16)."""
+    return (S[..., None] * A).sum(axis=2, dtype=_acc(A.dtype))
 
 
 def _spec(colA, colB, rate):
@@ -528,17 +608,18 @@ def _weighted_rows(tabT, terms):
     expression; only the summation order differs (within the oracle
     tolerances, f64 rtol 1e-9).
     """
+    st = _sdt(tabT.dtype)
     rows = tabT.shape[0]
     iota = jnp.arange(rows, dtype=jnp.int32)
     W = None
     for ids, w in terms:
         oh = (
             jnp.clip(ids, 0, rows - 1)[..., None] == iota
-        ).astype(tabT.dtype)
-        contrib = oh if w is None else oh * w[..., None]
+        ).astype(st)
+        contrib = oh if w is None else oh * w[..., None].astype(st)
         W = contrib if W is None else W + contrib
     return jnp.einsum(
-        "clr,rg->clg", W, tabT, precision=_MATMUL_PRECISION
+        "clr,rg->clg", W, tabT.astype(st), precision=_mm_precision(st)
     )
 
 
@@ -1067,10 +1148,17 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
 
-    taug = jnp.concatenate(taus, axis=-1)  # [C, L, ngptlw]
-    fracs = jnp.concatenate(fracs_all, axis=-1)
+    # the two [C, L, ngptlw] solver inputs are written in the storage
+    # dtype (per-band converts fuse into each band's producer chain)
+    st = _sdt(dtype)
+    taug = jnp.concatenate(
+        [t.astype(st) for t in taus], axis=-1
+    )  # [C, L, ngptlw]
+    fracs = jnp.concatenate(
+        [f.astype(st) for f in fracs_all], axis=-1
+    )
     ngb = jnp.asarray(np.asarray(P.NGB_LW), jnp.int32)
-    tautot = taug + jnp.take(tauaer, ngb, axis=-1)
+    tautot = taug + jnp.take(tauaer.astype(st), ngb, axis=-1)
     return fracs, tautot
 
 
@@ -1145,7 +1233,8 @@ def cldprop_lw(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
         )
     lcloudy = cdfunc >= (1.0 - cldf)[:, None, :]
-    cldfmc = lcloudy.astype(dtype).transpose(0, 2, 1)  # [C, L, ngpt]
+    # binary mask: bf16 storage is EXACT for {0, 1}
+    cldfmc = lcloudy.astype(_sdt(dtype)).transpose(0, 2, 1)  # [C, L, ngpt]
     return cldfmc, taucld
 
 
@@ -1197,7 +1286,9 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
     5 GB of HBM traffic at C48).  The downward and upward passes
     recompute the shared layer quantities from the same input slices;
     the extra VPU flops are free next to the saved bandwidth."""
-    dtype = tautot.dtype
+    # inputs may arrive in the bf16 storage dtype; all per-layer math
+    # and the radiance recurrences run/accumulate in the compute dtype
+    dtype = _acc(tautot.dtype)
     C, L, G = tautot.shape
     ngb = np.asarray(P.NGB_LW)
     rec_6 = 0.166667

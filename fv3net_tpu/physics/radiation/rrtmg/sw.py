@@ -121,12 +121,13 @@ def _take(tab, ids):
     rows = tab.shape[0]
     ids = jnp.clip(ids, 0, rows - 1)
     if rows <= 64:
+        st = rlw._sdt(tab.dtype)
         oh = (ids[..., None] == jnp.arange(rows, dtype=ids.dtype)).astype(
-            tab.dtype
+            st
         )
         return jnp.einsum(
-            "...r,rg->...g", oh, tab,
-            precision=rlw._MATMUL_PRECISION,
+            "...r,rg->...g", oh, tab.astype(st),
+            precision=rlw._mm_precision(st),
         )
     return jnp.take(tab, ids, axis=0)
 
@@ -479,8 +480,11 @@ def taumol_sw(c, colamt, colmol, T):
     taus.append(jnp.where(tropo, lower, upper))
     raylt.append(ray_const(bt["rayl"], P.NG_SW[13]))
 
-    taug = jnp.concatenate(taus, axis=-1)
-    taur = jnp.concatenate(raylt, axis=-1)
+    # the two [C, L, ngptsw] solver inputs are written in the storage
+    # dtype (per-band converts fuse into each band's producer chain)
+    st = rlw._sdt(dtype)
+    taug = jnp.concatenate([t.astype(st) for t in taus], axis=-1)
+    taur = jnp.concatenate([r.astype(st) for r in raylt], axis=-1)
     sfluxzen = _sfluxzen(c, colamt, T)
     return sfluxzen, taug, taur
 
@@ -590,7 +594,8 @@ def cldprop_sw(
         cdfunc = jnp.concatenate(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
         )
-    cldfmc = (cdfunc >= (1.0 - cldf)[:, None, :]).astype(dtype)
+    # binary mask: bf16 storage is EXACT for {0, 1}
+    cldfmc = (cdfunc >= (1.0 - cldf)[:, None, :]).astype(rlw._sdt(dtype))
     return cldfmc.transpose(0, 2, 1), taucw, ssacw, asycw
 
 
@@ -746,7 +751,9 @@ def spcvrtm_sw(
     vrtqdr exactly (the unified top step with carry (1, 0, 1) is
     algebraically and floating-point identical to the reference's
     explicit TOA initialization)."""
-    dtype = taug.dtype
+    # inputs may arrive in the bf16 storage dtype; the two-stream math
+    # and the vrtqdr recurrences run/accumulate in the compute dtype
+    dtype = rlw._acc(taug.dtype)
     C, L, G = taug.shape
     ngb = np.asarray(P.NGB_SW)
     idxsfc = np.asarray(P.IDXSFC_SW)  # per band

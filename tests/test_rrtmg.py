@@ -314,3 +314,41 @@ def test_mcica_random_overlap_option():
     # both honor the cloud fraction statistically
     for m in (m0, m1):
         assert abs(m.mean() - 0.5) < 0.05
+
+
+def test_bfloat16_storage_mode_close_to_f32():
+    """The bf16 storage dtype for the big g-space planes (production
+    default on accelerators; lw.set_storage_dtype) must stay within a
+    small fraction of per-call McICA noise of the exact f32 path."""
+    from fv3net_tpu.physics.radiation.rrtmg.driver import (
+        RRTMGConfig,
+        RRTMGDriver,
+    )
+
+    state = {
+        k: jnp.asarray(np.asarray(v, np.float32))
+        for k, v in profile(ncol=8, nz=24, qc_level=16).items()
+    }
+    d32 = RRTMGDriver(RRTMGConfig(storage_dtype="float32"))
+    d16 = RRTMGDriver(RRTMGConfig(storage_dtype="bfloat16"))
+    o32 = jax.jit(lambda s: d32(NOON, s))(state)
+    o16 = jax.jit(lambda s: d16(NOON, s))(state)
+    try:
+        for k, v in o32.items():
+            a, b = np.asarray(v, np.float64), np.asarray(
+                o16[k], np.float64
+            )
+            assert b.dtype == a.dtype or True  # outputs stay f32
+            if "flux" in k:
+                assert np.abs(a - b).max() < 1.0, k  # W/m2
+            elif "heating" in k or "tendency" in k:
+                assert np.abs(a - b).max() * 86400.0 < 0.5, k  # K/day
+        # outputs themselves are NOT bf16 (accumulations stay f32)
+        assert o16[
+            "total_sky_longwave_heating_rate_python"
+        ].dtype == jnp.float32
+    finally:
+        # the config setter is process-wide; restore the default
+        from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
+
+        rlw.set_storage_dtype("auto")
