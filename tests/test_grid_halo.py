@@ -149,3 +149,26 @@ def test_halo_smooth_function_convergence():
                 err = max(err, np.abs(ext[t][sl] - expected[t][sl]).max())
         errs.append(err)
     assert errs[1] < 0.65 * errs[0]
+
+
+def test_halo_impls_bit_identical():
+    """concat (single-device default), slices, and gather (multi-device
+    default) must agree bitwise — the dycore relies on exchanging them
+    freely between single-chip and sharded runs."""
+    from fv3net_tpu.parallel.halo import (
+        halo_append_concat,
+        halo_append_gather,
+        halo_append_numpy,
+    )
+
+    rng = np.random.RandomState(7)
+    for n, h, lead in [(12, 3, (4,)), (8, 1, ()), (6, 2, (3, 2))]:
+        fj = jnp.asarray(rng.randn(6, *lead, n, n))
+        # oracle on the device dtype (x64 on/off agnostic)
+        want = halo_append_numpy(np.asarray(fj), h)
+        for got in (
+            np.asarray(halo_append_concat(fj, h)),
+            np.asarray(halo_append_gather(fj, h)),
+            np.asarray(halo_append(fj, h, impl="slices")),
+        ):
+            assert np.array_equal(want, got), (n, h)
