@@ -737,6 +737,29 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         sl = slice(P.NS_LW[b], P.NS_LW[b] + P.NG_LW[b])
         return tauself_all[..., sl], taufor_all[..., sl]
 
+    # batched 1-D minor-gas temperature interpolation: every ka_m*/kb_m*
+    # table shares the SAME indminor/minorfrac, so ONE pair of row
+    # selections over the concatenated tables replaces 12 separate
+    # _minor1 fetches (bit-exact: identical per-row selections and the
+    # identical m0 + mf*(m1-m0) lerp, just sliced from a wider plane)
+    _MINOR1 = [
+        (0, "ka_mn2"), (5, "ka_mco2"), (6, "kb_mco2"),
+        (7, "ka_mco2"), (7, "ka_mo3"), (7, "ka_mn2o"),
+        (7, "kb_mco2"), (7, "kb_mn2o"), (8, "kb_mn2o"),
+        (10, "ka_mo2"), (10, "kb_mo2"), (12, "kb_mo3"),
+    ]
+    minor1_all = _minor1(
+        jnp.concatenate([B[i][k] for i, k in _MINOR1], axis=-1), c
+    )
+    _m1_sl = {}
+    off = 0
+    for i, k in _MINOR1:
+        _m1_sl[(i, k)] = slice(off, off + P.NG_LW[i])
+        off += P.NG_LW[i]
+
+    def minor1(i, key):
+        return minor1_all[..., _m1_sl[(i, key)]]
+
     def tau_single_lo(i, col):
         return col[..., None] * A1_lo[..., sl1[i]]
 
@@ -773,7 +796,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     bt = B[0]
     tauself, taufor = self_for(0)
     scalen2 = (colbrd * c["scaleminorn2"])[..., None]
-    taun2_lo = scalen2 * _minor1(bt["ka_mn2"], c)
+    taun2_lo = scalen2 * minor1(0, "ka_mn2")
     pavel = c["pavel"]
     corradj_lo = jnp.where(
         pavel < 250.0, 1.0 - 0.15 * (250.0 - pavel) / 154.4, 1.0
@@ -909,7 +932,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[1], jp + 1)),
         co2,
     )
-    absco2 = _minor1(bt["ka_mco2"], c)
+    absco2 = minor1(5, "ka_mco2")
     cfcs = (
         wx[..., 1:2] * bt["cfc11adj"] + wx[..., 2:3] * bt["cfc12"]
     )
@@ -949,7 +972,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         * (coldry * jnp.take(chi[1], jp)),
         co2,
     )
-    absco2_hi = _minor1(bt["kb_mco2"], c)
+    absco2_hi = minor1(6, "kb_mco2")
     upper = (
         tau_single_hi(6, o3)
         + adjco2_hi[..., None] * absco2_hi
@@ -974,15 +997,15 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     lower = (
         tau_single_lo(7, colamt[..., 0])
         + tauself + taufor
-        + adjcolco2[..., None] * _minor1(bt["ka_mco2"], c)
-        + o3[..., None] * _minor1(bt["ka_mo3"], c)
-        + n2o[..., None] * _minor1(bt["ka_mn2o"], c)
+        + adjcolco2[..., None] * minor1(7, "ka_mco2")
+        + o3[..., None] * minor1(7, "ka_mo3")
+        + n2o[..., None] * minor1(7, "ka_mn2o")
         + cfc
     )
     upper = (
         tau_single_hi(7, o3)
-        + adjcolco2[..., None] * _minor1(bt["kb_mco2"], c)
-        + n2o[..., None] * _minor1(bt["kb_mn2o"], c)
+        + adjcolco2[..., None] * minor1(7, "kb_mco2")
+        + n2o[..., None] * minor1(7, "kb_mn2o")
         + cfc
     )
     taus.append(combine(lower, upper))
@@ -1015,7 +1038,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
     upper = (
         tau_single_hi(8, ch4)
-        + adjcoln2o[..., None] * _minor1(bt["kb_mn2o"], c)
+        + adjcoln2o[..., None] * minor1(8, "kb_mn2o")
     )
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
@@ -1036,11 +1059,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     scaleo2 = (colamt[..., 5] * c["scaleminor"])[..., None]
     lower = (
         tau_single_lo(10, colamt[..., 0])
-        + tauself + taufor + scaleo2 * _minor1(bt["ka_mo2"], c)
+        + tauself + taufor + scaleo2 * minor1(10, "ka_mo2")
     )
     upper = (
         tau_single_hi(10, colamt[..., 0])
-        + taufor + scaleo2 * _minor1(bt["kb_mo2"], c)
+        + taufor + scaleo2 * minor1(10, "kb_mo2")
     )
     taus.append(combine(lower, upper))
     fracs_all.append(
@@ -1094,7 +1117,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         + colamt[..., 6:7] * absco
     )
     fr_lo = _frac2(bt["fracrefa"], jpl_, fpl)
-    upper = o3[..., None] * _minor1(bt["kb_mo3"], c)
+    upper = o3[..., None] * minor1(12, "kb_mo3")
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
 
