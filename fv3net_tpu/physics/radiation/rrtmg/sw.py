@@ -835,7 +835,13 @@ def spcvrtm_sw(
         rupb_c, rupd_c = step(rupb_c, rupd_c, clr)
         rupb_t, rupd_t = step(rupb_t, rupd_t, tot)
         out = (rupb_c, rupd_c, rupb_t, rupd_t)
-        return out, out
+        # the CARRY stays in the compute dtype (the recurrence is
+        # sensitive); the EMITTED partial-reflectance planes — four
+        # [L, C, G] arrays re-read by the down pass, the largest f32
+        # traffic left in the SW solve — are written in the storage
+        # dtype and promote back to f32 at the flux combination
+        st = rlw._sdt(dtype)
+        return out, tuple(o.astype(st) for o in out)
 
     init_up = (alb_bm_g, alb_df_g, alb_bm_g, alb_df_g)
     (rupb_cL, rupd_cL, rupb_tL, rupd_tL), ys_up = lax.scan(
@@ -844,8 +850,10 @@ def spcvrtm_sw(
 
     # zrupb/zrupd at level j as down-scan inputs (the down scan runs
     # reverse=True, j = L-1 .. 0, so no [::-1] materialization)
+    st = rlw._sdt(dtype)
+
     def lvl_seq(y, alb):
-        return jnp.concatenate([alb[None], y[: L - 1]], axis=0)
+        return jnp.concatenate([alb[None].astype(st), y[: L - 1]], axis=0)
 
     rup_dn = (
         lvl_seq(ys_up[0], alb_bm_g),
