@@ -138,8 +138,27 @@ def _cheap_cldprop_sw(cfrac, cliqp, reliq, cicep, reice, cdat1, cdat2,
     return cldfmc, z, z, z
 
 
+def _cheap_planck(totplnk, t):
+    delwave = jnp.asarray(P.DELWAVE_LW, totplnk.dtype)
+    base = totplnk.mean(0)
+    return (t[..., None] * 0.0 + 1.0) * (delwave * base)
+
+
+def _cheap_setaer(plyr, delz_km, rh, land, lat, Taer, nb, month=6.0):
+    C, L = plyr.shape
+    dt = plyr.dtype
+    live = (plyr.mean() + delz_km.mean() + rh.mean() + land.mean()
+            + lat.mean()) * 0.0
+    aer_sw = jnp.zeros((C, L, P.NBANDS_SW, 3), dt) + live
+    aer_lw = jnp.zeros((C, L, P.NBANDS_LW, 3), dt) + live
+    from fv3net_tpu.physics.radiation import aerosols as am
+    aerodp = jnp.zeros((C, len(am.SPECIES) + 1), dt) + live
+    return aer_sw, aer_lw, aerodp
+
+
 def main():
     from __graft_entry__ import _flagship
+    from fv3net_tpu.physics.radiation import aerosols as aer_mod
 
     global _SW_KEYS
     names = sys.argv[1:] or ["full", "cheap-taumol", "cheap-solver",
@@ -163,9 +182,28 @@ def main():
             _SW_KEYS = _probe_sw_keys()
             patch(rlw, "rtrnmc_lw", _cheap_rtrnmc_lw)
             patch(rsw, "spcvrtm_sw", _cheap_spcvrtm_sw)
+        elif name == "cheap-solver-lw":
+            patch(rlw, "rtrnmc_lw", _cheap_rtrnmc_lw)
+        elif name == "cheap-solver-sw":
+            _SW_KEYS = _probe_sw_keys()
+            patch(rsw, "spcvrtm_sw", _cheap_spcvrtm_sw)
         elif name == "cheap-cloud":
             patch(rlw, "cldprop_lw", _cheap_cldprop_lw)
             patch(rsw, "cldprop_sw", _cheap_cldprop_sw)
+        elif name == "cheap-planck":
+            patch(rlw, "_planck_interp", _cheap_planck)
+        elif name == "cheap-aerosol":
+            patch(aer_mod, "setaer", _cheap_setaer)
+        elif name == "cheap-rand":
+            real_uniform = jax.random.uniform
+
+            def fixed_uniform(key, shape, dtype=jnp.float32, **kw):
+                ramp = (jnp.arange(int(np.prod(shape)), dtype=dtype)
+                        % 997.0) / 997.0
+                return ramp.reshape(shape)
+
+            patch(jax.random, "uniform", fixed_uniform)
+            saved[(jax.random, "uniform")] = real_uniform
 
         try:
             multi_step, args = _flagship(

@@ -234,13 +234,29 @@ def _trunc(x):
 
 def _planck_interp(totplnk, t):
     """delwave-weighted Planck table interpolation at temperature t
-    [...]; returns [..., nbands]."""
+    [...]; returns [..., nbands].
+
+    Lowered as ONE weighted-selection contraction instead of two row
+    gathers: the 1-K lerp weights (1-tfr, tfr) are folded into a
+    two-hot row-weight matrix and contracted with the [181, nbands]
+    table on the MXU ((1-f)*lo + f*hi vs lo + f*(hi-lo): reassociation
+    roundoff only; in the bf16 storage mode the weight quantization is
+    ~2^-9 of a 1-K Planck increment, far below the ledgered storage-
+    dtype error)."""
+    rows = totplnk.shape[0]
     ind = jnp.clip(_trunc(t - 159.0), 1.0, 180.0).astype(jnp.int32)
-    tfr = (t - _trunc(t))[..., None]
-    lo = jnp.take(totplnk, ind - 1, axis=0)
-    hi = jnp.take(totplnk, ind, axis=0)
+    tfr = t - _trunc(t)
     delwave = jnp.asarray(P.DELWAVE_LW, totplnk.dtype)
-    return delwave * (lo + tfr * (hi - lo))
+    st = _sdt(totplnk.dtype)
+    iota = jnp.arange(rows, dtype=jnp.int32)
+    lo = ((ind - 1)[..., None] == iota).astype(st)
+    hi = (ind[..., None] == iota).astype(st)
+    f = tfr[..., None].astype(st)
+    W = lo * (1 - f) + hi * f
+    return jnp.einsum(
+        "...r,rb->...b", W, (delwave * totplnk).astype(st),
+        precision=_mm_precision(st),
+    ).astype(_acc(st))
 
 
 def setcoef_lw(pavel, tavel, tz, stemp, h2ovmr, colamt, coldry, colbrd, T):
@@ -251,16 +267,14 @@ def setcoef_lw(pavel, tavel, tz, stemp, h2ovmr, colamt, coldry, colbrd, T):
     totplnk, preflog, tref, chi = (
         T["totplnk"], T["preflog"], T["tref"], T["chi_mls"]
     )
-    pklay_sfc = _planck_interp(totplnk, stemp)  # [C, nbands]
-    pklev_0 = _planck_interp(totplnk, tz[:, 0])
-    pklay_lay = _planck_interp(totplnk, tavel)  # [C, L, nbands]
-    pklev_lev = _planck_interp(totplnk, tz[:, 1:])
-    pklay = jnp.concatenate(
-        [pklay_sfc[:, None], pklay_lay], axis=1
-    ).swapaxes(1, 2)  # [C, nbands, L+1]
-    pklev = jnp.concatenate(
-        [pklev_0[:, None], pklev_lev], axis=1
-    ).swapaxes(1, 2)
+    # one batched contraction for all four temperature sets (surface,
+    # layers, every level): rows [stemp | tavel | tz] so pklay/pklev
+    # slice out with no per-set concats
+    L = tavel.shape[1]
+    t_all = jnp.concatenate([stemp[:, None], tavel, tz], axis=1)
+    pk = _planck_interp(totplnk, t_all)  # [C, 2L+2, nbands]
+    pklay = pk[:, : L + 1].swapaxes(1, 2)  # [C, nbands, L+1]
+    pklev = pk[:, L + 1 :].swapaxes(1, 2)
 
     plog = jnp.log(pavel)
     jp = (
