@@ -38,6 +38,8 @@ from typing import Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from fv3net_tpu.physics.radiation.rrtmg.lw import _acc, _sdt
+
 # the reference's RH classes (radiation_aerosols.py:344)
 RHLEV = np.array([0.0, 0.5, 0.7, 0.8, 0.9, 0.95, 0.98, 0.99])
 NRH = len(RHLEV)
@@ -193,9 +195,14 @@ def component_mixing(land_frac, lat, month: float = 6.5) -> jnp.ndarray:
     return jnp.stack([m[c] for c in COMPONENTS], axis=-1)
 
 
-def _rh_weights(rh) -> jnp.ndarray:
+def _rh_weights(rh, wdtype=None) -> jnp.ndarray:
     """[..., NRH] linear-interpolation weights over the RH classes
-    (one-hot formulation of the reference's ih1/ih2/rdrh search)."""
+    (one-hot formulation of the reference's ih1/ih2/rdrh search).
+    The weight matrix is built DIRECTLY in ``wdtype`` (the RRTMG
+    storage dtype — CLAUDE.md bf16 pattern) so the big [C, L, NRH]
+    plane is written once at half width; the index/frac math stays in
+    the input precision."""
+    wdtype = wdtype or rh.dtype
     levs = jnp.asarray(RHLEV, rh.dtype)
     rhc = jnp.clip(rh, 0.0, float(RHLEV[-1]))
     # fractional class position
@@ -203,10 +210,10 @@ def _rh_weights(rh) -> jnp.ndarray:
     idx = jnp.clip(idx, 0, NRH - 2)
     lo = levs[idx]
     hi = levs[idx + 1]
-    frac = (rhc - lo) / (hi - lo)
+    frac = ((rhc - lo) / (hi - lo)).astype(wdtype)
     iota = jnp.arange(NRH, dtype=jnp.int32)
-    oh0 = (idx[..., None] == iota).astype(rh.dtype)
-    oh1 = ((idx + 1)[..., None] == iota).astype(rh.dtype)
+    oh0 = (idx[..., None] == iota).astype(wdtype)
+    oh1 = ((idx + 1)[..., None] == iota).astype(wdtype)
     return oh0 * (1.0 - frac)[..., None] + oh1 * frac[..., None]
 
 
@@ -229,6 +236,13 @@ def setaer(
     (reference ``aerodp``).
     """
     dtype = plyr_hpa.dtype
+    # all the big [C, L, nb]-class planes are held in the RRTMG storage
+    # dtype (bf16 on accelerators): aerosol taus are a small additive
+    # perturbation on the gas optics, so the ~0.4% quantization is far
+    # below the ledgered bf16-storage flux error; f64 oracle runs are
+    # never degraded (_sdt returns the compute dtype there)
+    st = _sdt(dtype)
+    acc = _acc(st)
     z_agl = jnp.cumsum(delz_km, axis=-1) - 0.5 * delz_km  # [C, L] km
 
     # vertical domains (reference aer_property's idmaer)
@@ -239,18 +253,18 @@ def setaer(
     in_freetrop = (~in_mix) & (~in_transport) & (~in_strat)
     in_strat = in_strat & (~in_upper)
 
-    m_mix = component_mixing(land_frac, lat, month).astype(dtype)  # [C, 6]
-    wrh = _rh_weights(rh)  # [C, L, NRH]
+    m_mix = component_mixing(land_frac, lat, month).astype(st)  # [C, 6]
+    wrh = _rh_weights(rh, st)  # [C, L, NRH]
 
-    extrhi = jnp.asarray(tables["extrhi"], dtype)  # [3, nb]
-    scarhi = jnp.asarray(tables["scarhi"], dtype)
-    ssarhi = jnp.asarray(tables["ssarhi"], dtype)
-    asyrhi = jnp.asarray(tables["asyrhi"], dtype)
+    extrhi = jnp.asarray(tables["extrhi"], st)  # [3, nb]
+    scarhi = jnp.asarray(tables["scarhi"], st)
+    ssarhi = jnp.asarray(tables["ssarhi"], st)
+    asyrhi = jnp.asarray(tables["asyrhi"], st)
     # RH-interpolated hygroscopic tables -> [C, L, 3, nb]
-    ext_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["extrhd"], dtype))
-    sca_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["scarhd"], dtype))
-    ssa_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["ssarhd"], dtype))
-    asy_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["asyrhd"], dtype))
+    ext_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["extrhd"], st))
+    sca_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["scarhd"], st))
+    ssa_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["ssarhd"], st))
+    asy_d = jnp.einsum("slh,hjb->sljb", wrh, jnp.asarray(tables["asyrhd"], st))
 
     def aggregate(m):  # m: [C, L, 6] -> per-band mixture
         mi, md = m[..., :N_RHI], m[..., N_RHI:]
@@ -305,7 +319,7 @@ def setaer(
     asy2n = (asyrhi[2] * scarhi[2])[None, None]
     m_minm = m_mix[:, None, 2:3]  # transport strength follows the belt
 
-    dz = delz_km[..., None]
+    dz = delz_km[..., None].astype(st)
     denn1 = clim.denn_mixing
     denn2 = clim.denn_transport
 
@@ -314,14 +328,14 @@ def setaer(
         in_transport[..., None], ext2 * m_minm * denn2 * dz, 0.0
     )
     tau3 = jnp.where(in_freetrop[..., None], ext3 * denn_ft * dz, 0.0)
-    extstra = jnp.asarray(tables["extstra"], dtype)
+    extstra = jnp.asarray(tables["extstra"], st)
     tau4 = jnp.where(in_strat[..., None], extstra[None, None] * dz, 0.0)
 
     tau = tau1 + tau2 + tau3 + tau4
     # blended ssa/asy: optical-depth-weighted mixture of the active
     # domain's aggregates (the reference assigns per-layer from the
     # single active domain; masks are disjoint so this is identical)
-    eps = jnp.asarray(1e-30, dtype)
+    eps = jnp.asarray(1e-30, st)
 
     def ratio(n, d):
         return jnp.clip(n / jnp.maximum(d, eps), 0.0, 1.0)
@@ -335,7 +349,7 @@ def setaer(
     nb = tau.shape[-1]
     # stratospheric ssa/asy constants (radclimaer idom 4/5): 0.99/0.696
     # in the SW bands, 0.5/0.3 in the LW bands
-    is_sw = (jnp.arange(nb) < nbands_sw).astype(dtype)[None, None]
+    is_sw = (jnp.arange(nb) < nbands_sw).astype(st)[None, None]
     ssa_dom4 = 0.99 * is_sw + 0.5 * (1.0 - is_sw)
     asy_dom4 = 0.696 * is_sw + 0.3 * (1.0 - is_sw)
 
@@ -372,14 +386,16 @@ def setaer(
     # disjoint so the sum attributes every tropospheric tau to a
     # component, as the reference's idxspc bookkeeping does
     m3c = jnp.asarray(
-        [_C3[0], _C3[1], 0.0, _C3[2], 0.0, 0.0], dtype
+        [_C3[0], _C3[1], 0.0, _C3[2], 0.0, 0.0], st
     )
     coeff = (
         m1 * denn1 * in_mix[..., None]
         + m3c * denn_ft * in_freetrop[..., None]
     )
     comp_tau550 = coeff * exts550 * dz  # [C, L, 6]
-    col = comp_tau550.sum(axis=1)  # [C, 6]
+    # column sums accumulate in the compute dtype (bf16 accumulation
+    # over 32 layers would lose ~2 bits)
+    col = comp_tau550.sum(axis=1, dtype=acc)  # [C, 6]
     spc = []
     for s in range(len(SPECIES)):
         tot = jnp.zeros_like(col[..., 0])
@@ -388,8 +404,8 @@ def setaer(
                 tot = tot + col[..., ci]
         spc.append(tot)
     # mineral transport counts as dust; stratosphere as sulfate
-    spc[0] = spc[0] + (tau2[..., b550]).sum(axis=1)
-    spc[3] = spc[3] + (tau4[..., b550]).sum(axis=1)
-    total = tau[..., b550].sum(axis=1)
+    spc[0] = spc[0] + (tau2[..., b550]).sum(axis=1, dtype=acc)
+    spc[3] = spc[3] + (tau4[..., b550]).sum(axis=1, dtype=acc)
+    total = tau[..., b550].sum(axis=1, dtype=acc)
     aerodp = jnp.stack(spc + [total], axis=-1)
     return aer_sw, aer_lw, aerodp
