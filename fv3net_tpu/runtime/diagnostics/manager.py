@@ -24,6 +24,35 @@ from fv3net_tpu.runtime.diagnostics.times import (
 )
 
 
+def _pull_batch(arrays):
+    """Device->host transfer of several arrays as ONE buffer.
+
+    Per-array ``np.asarray`` pulls each pay a tunnel/PCIe round-trip;
+    concatenating the raveled arrays on device (an async dispatch) and
+    pulling once runs at the link's bandwidth instead (measured ~5x on
+    the TPU tunnel: 4 C48 3-D fields went ~1.7 s -> ~0.35 s)."""
+    import collections
+
+    import jax.numpy as jnp
+
+    groups = collections.defaultdict(list)
+    for i, a in enumerate(arrays):
+        if isinstance(a, jax.Array):
+            groups[a.dtype].append(i)
+    out = list(arrays)
+    for idxs in groups.values():
+        if len(idxs) < 2:
+            continue
+        flat = jnp.concatenate([jnp.ravel(arrays[i]) for i in idxs])
+        buf = np.asarray(flat)
+        off = 0
+        for i in idxs:
+            n = int(np.prod(arrays[i].shape))
+            out[i] = buf[off:off + n].reshape(arrays[i].shape)
+            off += n
+    return [np.asarray(a) for a in out]
+
+
 class DiagnosticFile:
     """One output zarr with its own variable set and time selection."""
 
@@ -49,7 +78,9 @@ class DiagnosticFile:
         # jax.device_get: device_get's copy_to_host_async path is
         # pathologically slow through the axon TPU tunnel)
         present = [n for n in self._variables if n in diagnostics]
-        pulled = {n: np.asarray(diagnostics[n].data) for n in present}
+        pulled = dict(zip(present, _pull_batch(
+            [diagnostics[n].data for n in present]
+        )))
         if self._averaging:
             if self._current_label is not None and label != self._current_label:
                 self._flush()
@@ -69,7 +100,9 @@ class DiagnosticFile:
             self._dims = getattr(self, "_dims", {})
             for name in present:
                 out = self._renames.get(name, name)
-                self._sums[out] = np.asarray(pulled[name], dtype=np.float64)
+                # instantaneous snapshot: no accumulation, keep the
+                # pulled dtype (the f64 detour doubles host copies)
+                self._sums[out] = pulled[name]
                 self._dims[out] = diagnostics[name].dims
             self._counts = 1
             self._flush()
@@ -79,7 +112,10 @@ class DiagnosticFile:
             self._sums = {}
             self._counts = 0
             return
-        mean = {k: v / self._counts for k, v in self._sums.items()}
+        if self._counts == 1:
+            mean = self._sums
+        else:
+            mean = {k: v / self._counts for k, v in self._sums.items()}
         t_index = len(self._stored_times)
         if self._store is None:
             self._store = zarrio.ZarrGroup.create(self._path)
@@ -96,7 +132,7 @@ class DiagnosticFile:
         for name, arr in mean.items():
             za = self._store[name]
             za.resize_time(t_index + 1)
-            za[(t_index,)] = arr.astype(np.float32)
+            za[(t_index,)] = arr.astype(np.float32, copy=False)
         self._stored_times.append(self._current_label)
         self._write_times()
         self._sums = {}
@@ -131,7 +167,22 @@ class DiagnosticsManager:
     get_diagnostic_files)."""
 
     def __init__(self, configs, initial_time: datetime.datetime,
-                 output_dir: str):
+                 output_dir: str, async_writes: bool = False):
+        """``async_writes=True`` runs observe (device pull + host
+        conversion + zarr write) on ONE worker thread so it overlaps the
+        next chunks' device compute — the pull's np.asarray and the disk
+        IO both release the GIL.  Ordering per file is preserved (single
+        worker); worker exceptions re-raise on the next observe/close."""
+        import concurrent.futures
+
+        self._executor = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="diag-writer"
+            )
+            if async_writes
+            else None
+        )
+        self._pending: List = []
         self.files = []
         for cfg in configs:
             # Fortran-style configs lower to ordinary diagnostic files
@@ -163,9 +214,32 @@ class DiagnosticsManager:
             )
 
     def observe(self, time, diagnostics) -> None:
+        if self._executor is None:
+            for f in self.files:
+                f.observe(time, diagnostics)
+            return
+        self._check_async_errors(block=False)
+        self._pending.append(
+            self._executor.submit(self._observe_sync, time, diagnostics)
+        )
+
+    def _observe_sync(self, time, diagnostics) -> None:
         for f in self.files:
             f.observe(time, diagnostics)
 
+    def _check_async_errors(self, block: bool) -> None:
+        remaining = []
+        for fut in self._pending:
+            if block or fut.done():
+                fut.result()  # re-raise worker exceptions here
+            else:
+                remaining.append(fut)
+        self._pending = remaining
+
     def close(self) -> None:
+        if self._executor is not None:
+            self._check_async_errors(block=True)
+            self._executor.shutdown(wait=True)
+            self._executor = None
         for f in self.files:
             f.close()

@@ -204,7 +204,7 @@ class TimeLoop:
             self._radiation_fn = _build_radiation_fn(self._phys_cfg)
         self._fused_chunk = int(config.fused_chunk_steps or 0)
         self._radiation_interval = int(config.radiation_interval_steps or 1)
-        self._fused_fns: Dict[int, Callable] = {}
+        self._fused_fns: Dict = {}
         from fv3net_tpu.runtime import factories
 
         self._postphysics_stepper = postphysics_stepper or (
@@ -596,6 +596,76 @@ class TimeLoop:
             self._fused_fns[n_steps] = fn
         return fn
 
+    def _fused_chunk_fn(self, n_steps: int):
+        """The whole chunk — N model steps + every chunk-boundary
+        diagnostic (derived fields, baseline diagnostics, global scalar
+        means) — as ONE jitted dispatch.  Through the TPU tunnel each
+        dispatch/pull is a round-trip comparable to the chunk's compute
+        time, so the production path only reaches the benchmark's
+        throughput when a chunk is exactly one RPC (VERDICT r1 #4)."""
+        key = ("chunk+diag", n_steps)
+        fn = self._fused_fns.get(key)
+        if fn is not None:
+            return fn
+        import jax
+
+        from fv3net_tpu.runtime.diagnostics.compute import (
+            compute_baseline_diagnostics,
+        )
+        from fv3net_tpu.runtime.fused import build_fused_multi_step
+        from fv3net_tpu.runtime.metrics import _mean_impl
+
+        base = build_fused_multi_step(
+            self._g, self._ak, self._bk, self._dyn_cfg,
+            self._phys_cfg, n_steps=n_steps,
+            radiation_interval=self._radiation_interval,
+        )
+        g, ptop = self._g, self._dyn_cfg.ptop
+        area = jnp.asarray(g.area)
+        fields = (
+            names.TEMP,
+            names.SPHUM,
+            names.EASTWARD_WIND,
+            names.NORTHWARD_WIND,
+            names.DELP,
+            "surface_pressure",
+        )
+
+        meta: Dict[str, Tuple[tuple, str]] = {}
+        mean_names: List[str] = []
+
+        def combined(dycore, surface, ml_params, t_surface, cosz):
+            new = base(dycore, ml_params, t_surface, cosz)
+            st = DerivedState(
+                ModelState(dycore=new, surface=surface), g, ptop=ptop
+            )
+            out = {name: st[name] for name in fields}
+            out.update(compute_baseline_diagnostics(st))
+            meta.update({k: (q.dims, q.units) for k, q in out.items()})
+            vals = {k: q.data for k, q in out.items()}
+            f2d = {"cos_zenith_angle": cosz}
+            f2d.update({k: v for k, v in vals.items() if v.ndim == 3})
+            mean_names[:] = list(f2d)
+            means = jnp.stack(
+                [_mean_impl(v, area) for v in f2d.values()]
+            )
+            return new, vals, means
+
+        jitted = jax.jit(combined)
+
+        def run(dycore, surface, ml_params, t_surface, cosz):
+            new, vals, means = jitted(
+                dycore, surface, ml_params, t_surface, cosz
+            )
+            from fv3net_tpu.runtime.metrics import GlobalMeans
+
+            diags = {k: Quantity(v, *meta[k]) for k, v in vals.items()}
+            diags["__global_means__"] = GlobalMeans(mean_names, means)
+            return new, diags
+
+        self._fused_fns[key] = run
+        return run
+
     def _iter_fused(self):
         """Chunked iteration: N model steps per device dispatch (one
         lax.scan jit), diagnostics drained at chunk boundaries.  The
@@ -604,6 +674,12 @@ class TimeLoop:
         n_total = int(self._config.duration_seconds // self._timestep)
         done = 0
         dtype = self.state.dycore.pt.dtype
+        # surface fields ride along as jit arguments every chunk: move
+        # them to the device ONCE so each dispatch sends handles, not
+        # host buffers, through the tunnel
+        self.state.surface = {
+            k: jnp.asarray(v) for k, v in self.state.surface.items()
+        }
         while done < n_total:
             this = min(self._fused_chunk, n_total - done)
             mid = self.time + datetime.timedelta(
@@ -613,36 +689,23 @@ class TimeLoop:
             cosz = zenith.cos_zenith_angle(
                 days, self._lon_deg, self._lat_deg
             ).astype(dtype)
-            fn = self._fused_fn(this)
-            self.state.dycore = fn(
-                self.state.dycore, 0,
+            fn = self._fused_chunk_fn(this)
+            # chunk-boundary diagnostics (derived fields + the reference's
+            # compute_baseline_diagnostics; physics_precip is internal to
+            # the fused chunk, so only the state-derived part applies)
+            # come back from the SAME dispatch as the model steps
+            self.state.dycore, diag_out = fn(
+                self.state.dycore, self.state.surface, 0,
                 self.state.surface[names.TSFC], cosz,
             )
             done += this
             self.time += datetime.timedelta(
                 seconds=self._timestep * this
             )
-            state = self._derived()
             diags: Dict[str, Quantity] = {
                 "cos_zenith_angle": Quantity(cosz, DIMS_2D)
             }
-            for name in (
-                names.TEMP,
-                names.SPHUM,
-                names.EASTWARD_WIND,
-                names.NORTHWARD_WIND,
-                names.DELP,
-                "surface_pressure",
-            ):
-                diags[name] = state[name]
-            # chunk-boundary baseline diagnostics (reference
-            # compute_baseline_diagnostics; physics_precip is internal to
-            # the fused chunk, so only the state-derived part applies)
-            from fv3net_tpu.runtime.diagnostics.compute import (
-                compute_baseline_diagnostics,
-            )
-
-            diags.update(compute_baseline_diagnostics(state))
+            diags.update(diag_out)
             yield self.time, diags
 
     # -- iteration --------------------------------------------------------

@@ -80,6 +80,12 @@ def run_segment(
         list(config.diagnostics) + list(config.fortran_diagnostics),
         loop.time,
         output_dir,
+        # NOT async on this host: the TPU tunnel serializes transfer
+        # RPCs with the compute stream, so a writer thread only adds
+        # contention (measured 986 vs 711 ms/chunk).  On hosts with
+        # PCIe-attached devices async_writes=True overlaps the pull +
+        # zarr write with the next chunks' compute.
+        async_writes=False,
     )
     area = loop.grid.area
     trace_ctx = (
@@ -97,6 +103,7 @@ def run_segment(
         # is asynchronous; through the TPU tunnel the pull costs about as
         # much wall time as the compute itself)
         pending = None
+        pending_scalars: list = []
         done = False
         while not done:
             with (
@@ -111,10 +118,17 @@ def run_segment(
                     if pending is not None:
                         time, diags = pending
                         diag_mgr.observe(time, diags)
-                        scalars = metrics.globally_average_2d_diagnostics(
-                            diags, area
+                        # scalar metrics: compute on device now, pull in
+                        # batches (one blocking pull per chunk costs a
+                        # tunnel round-trip comparable to the compute)
+                        pending_scalars.append(
+                            (time,)
+                            + metrics.globally_average_2d_diagnostics_async(
+                                diags, area
+                            )
                         )
-                        metrics.log_scalar(time, scalars)
+                        if len(pending_scalars) >= 8:
+                            metrics.flush_scalar_logs(pending_scalars)
                     pending = nxt
                 except Exception as e:  # noqa: BLE001
                     # segment-level coarse recovery (reference
@@ -129,6 +143,7 @@ def run_segment(
                     failure = e
                     break
             step += 1
+        metrics.flush_scalar_logs(pending_scalars)
     diag_mgr.close()
     if failure is not None and step == 0:
         # nothing completed: there is no meaningful partial segment
