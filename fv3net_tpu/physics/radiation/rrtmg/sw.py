@@ -985,18 +985,85 @@ def spcvrtm_sw(
 
 
 # ------------------------------------------------------------------ swrad
+def _compress_daylight_default() -> bool:
+    """SW daylight compression default: on for a single accelerator.
+
+    Off on CPU (tests/oracles stay full-width) and under multi-device
+    runs, where the column axis is sharded and a global argsort would
+    insert cross-device permutation collectives.  Override with
+    FV3NET_SW_DAYLIGHT=on/off."""
+    import os
+
+    mode = os.environ.get("FV3NET_SW_DAYLIGHT", "auto").lower()
+    if mode in ("1", "on", "true"):
+        return True
+    if mode in ("0", "off", "false"):
+        return False
+    try:
+        return jax.default_backend() != "cpu" and len(jax.devices()) == 1
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _daylight_k(ncol: int) -> int:
+    """Static daylit-column budget: exactly half the sphere has cosz>0
+    (sun at infinity), plus a terminator-cell sampling margin — 9/16
+    covers it with room (C48: lit count ~6912+-250 of 13824, K=7776)
+    and is lane-aligned."""
+    k = -(-ncol * 9 // 16)
+    return min(ncol, -(-k // 8) * 8)
+
+
 def swrad(
     plyr, plvl, tlyr, tlvl, qlyr, olyr, gasvmr, clouds, aerosols,
     sfcalb, delpin, cosz, solcon, rand2d, T,
     iovrsw: int = 1, iswrgas: int = 1, iswcliq: int = 1,
     iswmode: int = 2, fast_exp: bool = False,
+    compress_daylight=None,
 ) -> Dict[str, jnp.ndarray]:
     """Batched SW driver (reference radsw_main.py:1981-2690 semantics).
 
     Layer arrays [C, L], k=0 at the surface; sfcalb [C, 4] =
     (nir-beam, nir-diff, uvvis-beam, uvvis-diff); gasvmr [C, L, 10];
     clouds [C, L, 9]; aerosols [C, L, nbdsw, 3]; cosz [C] (columns with
-    cosz<=0 get zero fluxes); rand2d [C, ngptsw*nlay]."""
+    cosz<=0 get zero fluxes); rand2d [C, ngptsw*nlay].
+
+    ``compress_daylight``: the reference packs daylit columns before the
+    solver (radsw_main.py ``idxday``); the TPU analog is a STATIC-shape
+    top-K-by-cosz compression (argsort + row gather, K = 9/16 of C) so
+    every [C, L, G] plane in taumol/McICA/two-stream shrinks ~2x.  All
+    per-column math is independent, so retained columns are bit-exact vs
+    the full-width path; dropped columns are the darkest (never lit, up
+    to the K margin) and get the same zero fluxes the day-mask gives
+    them (their ``cldtau`` diagnostic reads 0 instead of its clear-sky
+    value).  Default: auto (_compress_daylight_default)."""
+    if compress_daylight is None:
+        compress_daylight = _compress_daylight_default()
+    ncol = cosz.shape[0]
+    kday = _daylight_k(ncol)
+    if compress_daylight and kday < ncol:
+        order = jnp.argsort(-cosz)
+        inv = jnp.argsort(order)
+
+        def take(a):
+            return jnp.take(a, order[:kday], axis=0)
+
+        small = swrad(
+            take(plyr), take(plvl), take(tlyr), take(tlvl), take(qlyr),
+            take(olyr), take(gasvmr), take(clouds), take(aerosols),
+            take(sfcalb), take(delpin), take(cosz), solcon,
+            take(rand2d), T, iovrsw=iovrsw, iswrgas=iswrgas,
+            iswcliq=iswcliq, iswmode=iswmode, fast_exp=fast_exp,
+            compress_daylight=False,
+        )
+
+        def expand(v):
+            pad = jnp.zeros((ncol - kday,) + v.shape[1:], v.dtype)
+            return jnp.take(
+                jnp.concatenate([v, pad], axis=0), inv, axis=0
+            )
+
+        return {k: expand(v) for k, v in small.items()}
     dtype = plyr.dtype
     day = cosz > 0.0001
     cosz_safe = jnp.where(day, cosz, 1.0)

@@ -388,3 +388,55 @@ def test_fast_exp_sw_matches_tables(sw_oracle_and_ours):
             np.asarray(fast[key]), np.asarray(exact[key]),
             rtol=1e-3, atol=0.5, err_msg=key,
         )
+
+
+def test_sw_daylight_compression_bit_exact():
+    """Top-K daylight compression (the reference's idxday packing as a
+    static-shape argsort+gather) must reproduce the full-width path
+    bit-exactly: per-column math is independent, dropped columns are the
+    darkest and get the day-mask's zero fluxes."""
+    from fv3net_tpu.physics.radiation.rrtmg.sw import (
+        _daylight_k,
+        prep_sw_tables,
+        swrad,
+    )
+    from fv3net_tpu.physics.radiation.rrtmg.tables import make_sw_tables
+
+    pr = _profiles()
+    reps = 6  # C=24 -> kday=16 < 24, so compression actually engages
+    pr = {k: np.concatenate([v] * reps, axis=0) for k, v in pr.items()}
+    C, L = pr["plyr"].shape
+    assert _daylight_k(C) < C
+    swdict = make_sw_tables(seed=1)
+    T32 = prep_sw_tables(swdict, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    rand2d = jnp.asarray(rng.random((C, P.NGPT_SW * L)), jnp.float32)
+    # half the sphere is dark, including exact zeros and the threshold
+    cosz = jnp.asarray(
+        rng.permutation(
+            np.r_[np.linspace(0.02, 0.95, C // 2),
+                  np.zeros(C // 4) - 0.3,
+                  np.zeros(C - C // 2 - C // 4)]
+        ),
+        jnp.float32,
+    )
+    aer = np.zeros((C, L, P.NBANDS_SW, 3), np.float32)
+    aer[:, :, :, 0] = 0.01
+    aer[:, :, :, 1] = 0.9
+    sfcalb = jnp.full((C, 4), 0.15, jnp.float32)
+    args = [jnp.asarray(pr[k], jnp.float32) for k in
+            ("plyr", "plvl", "tlyr", "tlvl", "qlyr", "olyr",
+             "gasvmr", "clouds")]
+    args += [jnp.asarray(aer), sfcalb,
+             jnp.asarray(pr["delp"], jnp.float32), cosz]
+    full = swrad(*args, 1360.8, rand2d, T32, compress_daylight=False)
+    comp = swrad(*args, 1360.8, rand2d, T32, compress_daylight=True)
+    assert full.keys() == comp.keys()
+    lit = np.asarray(cosz) > 0.0001
+    for key in full:
+        a, b = np.asarray(full[key]), np.asarray(comp[key])
+        if key == "cldtau":
+            # dropped dark columns report 0 instead of clear-sky tau
+            np.testing.assert_array_equal(a[lit], b[lit], err_msg=key)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=key)
