@@ -9,6 +9,7 @@ dacite role.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import typing
 from typing import Any, Dict, List, Mapping, Optional
 
@@ -63,6 +64,10 @@ class DiagnosticFileConfig:
     name: str = "diags.zarr"
     variables: List[str] = dataclasses.field(default_factory=list)
     times: "TimeConfig" = None
+    # per-dimension zarr chunk sizes, e.g. {"time": 12} (reference
+    # manager.py:36,46; unlisted dims chunk at their full extent,
+    # time defaults to 1)
+    chunks: Mapping[str, int] = dataclasses.field(default_factory=dict)
     # stored-name overrides: {model diagnostic name: output name}
     renames: Mapping[str, str] = dataclasses.field(default_factory=dict)
     # reference manager.py:37-41,54-56 — route this file's variables to
@@ -110,6 +115,7 @@ class FortranFileConfig:
             name=self.name,
             variables=[v.field_name for v in self.variables],
             times=self.times,
+            chunks=self.chunks,
             renames={
                 v.field_name: v.output_name
                 for v in self.variables
@@ -410,9 +416,120 @@ def _resolve(ftype):
     return ftype
 
 
+# fv3config keys that reference data assets this framework has no use
+# for (Fortran tables, GCS forcing bundles).  Accepted and dropped so a
+# reference fv3config.yml parses as-is.
+FV3CONFIG_ASSET_KEYS = frozenset({
+    "data_table", "diag_table", "field_table", "experiment_name",
+    "forcing", "orographic_forcing", "patch_files", "gfs_analysis_data",
+    "zhao_mp_tables", "nudging_filenames", "restart_interval",
+})
+
+# FV3 hord transport-scheme codes -> this dycore's operator family
+# (1 upwind, 2 MUSCL-limited linear, >=4 PPM variants)
+_HORD_MAP = {1: 1, 2: 2, 3: 2}
+
+
+def lower_fortran_config(d: Mapping[str, Any]) -> Dict[str, Any]:
+    """Lower a reference-shaped fv3config dict (Fortran ``*_nml``
+    namelist sections, data-asset keys) to this framework's flat config.
+
+    Maps the dynamically meaningful keys (reference fv3gfs-fortran
+    namelist semantics): fv_core_nml npx (grid CORNERS, ours is cells ->
+    npx-1), npz, n_split, hydrostatic, tau/rf_cutoff, d2_bg -> d2_div,
+    kord_tm -> kord, hord_mt -> hord family; coupler_nml dt_atmos and
+    days/hours/minutes/seconds -> duration_seconds; gfs_physics_nml
+    fhswr -> radiation_interval_steps and (by its presence) the "rrtmg"
+    band-radiation scheme.  Everything else is ignored with a log line —
+    the reference config carries dozens of Fortran-implementation
+    sections with no analog here.  Flat (non-``_nml``) namelist keys in
+    the same dict win over lowered ones."""
+    out = {k: v for k, v in d.items() if k != "namelist"}
+    nml = dict(d.get("namelist") or {})
+    flat: Dict[str, Any] = {
+        k: v for k, v in nml.items() if not k.endswith("_nml")
+    }
+    ignored = []
+
+    fv = dict(nml.get("fv_core_nml") or {})
+    if "npx" in fv:
+        flat.setdefault("npx", int(fv["npx"]) - 1)
+    for src, dst in (
+        ("npz", "npz"), ("n_split", "n_split"),
+        ("hydrostatic", "hydrostatic"), ("tau", "tau"),
+        ("rf_cutoff", "rf_cutoff"), ("d2_bg", "d2_div"),
+    ):
+        if src in fv:
+            flat.setdefault(dst, fv[src])
+    if "kord_tm" in fv:
+        flat.setdefault("kord", abs(int(fv["kord_tm"])))
+    if "hord_mt" in fv:
+        h = int(fv["hord_mt"])
+        flat.setdefault("hord", _HORD_MAP.get(h, 4))
+
+    coupler = dict(nml.get("coupler_nml") or {})
+    if "dt_atmos" in coupler:
+        flat.setdefault("dt_atmos", float(coupler["dt_atmos"]))
+    span = sum(
+        float(coupler.get(k, 0)) * s
+        for k, s in (("days", 86400.0), ("hours", 3600.0),
+                     ("minutes", 60.0), ("seconds", 1.0))
+    )
+    if float(coupler.get("months", 0)):
+        raise ValueError(
+            "coupler_nml months is not supported; use days/hours"
+        )
+    if span > 0:
+        out.setdefault("duration_seconds", span)
+
+    gfs = dict(nml.get("gfs_physics_nml") or {})
+    if gfs:
+        # GFS physics configs run RRTMG band radiation
+        flat.setdefault("radiation", "rrtmg")
+        fhswr = float(gfs.get("fhswr", 0))
+        dt = float(flat.get("dt_atmos", NamelistConfig.dt_atmos))
+        if fhswr > 0 and dt > 0:
+            out.setdefault(
+                "radiation_interval_steps", max(1, round(fhswr / dt))
+            )
+
+    known = {"fv_core_nml", "coupler_nml", "gfs_physics_nml"}
+    ignored += [k for k in nml if k.endswith("_nml") and k not in known]
+    if ignored:
+        logging.getLogger(__name__).info(
+            "ignoring Fortran namelist sections with no analog here: %s",
+            sorted(ignored),
+        )
+    out["namelist"] = flat
+    return out
+
+
 def get_config(d: Mapping[str, Any]) -> UserConfig:
-    """Parse a config dict (e.g. loaded from fv3config.yml) strictly."""
-    return _from_dict(UserConfig, dict(d))
+    """Parse a config dict (e.g. loaded from fv3config.yml) strictly.
+
+    Reference-shaped fv3config dicts are accepted: a ``base_version``
+    key routes through prepare_config's preset merge, Fortran ``*_nml``
+    namelist sections lower via :func:`lower_fortran_config`, and
+    data-asset keys (diag_table, forcing, ...) are dropped."""
+    d = dict(d)
+    if "base_version" in d:
+        from fv3net_tpu.runtime.segmented_run.prepare_config import (
+            prepare_config,
+        )
+
+        return get_config(prepare_config(d))
+    dropped = FV3CONFIG_ASSET_KEYS & set(d)
+    for k in dropped:
+        d.pop(k)
+    if dropped:
+        logging.getLogger(__name__).info(
+            "ignoring fv3config data-asset keys: %s", sorted(dropped)
+        )
+    if isinstance(d.get("namelist"), Mapping) and any(
+        str(k).endswith("_nml") for k in d["namelist"]
+    ):
+        d = lower_fortran_config(d)
+    return _from_dict(UserConfig, d)
 
 
 def load_config(path: str) -> UserConfig:

@@ -57,10 +57,12 @@ class DiagnosticFile:
     """One output zarr with its own variable set and time selection."""
 
     def __init__(self, path: str, variables: Sequence[str], times,
-                 renames: Optional[Mapping[str, str]] = None):
+                 renames: Optional[Mapping[str, str]] = None,
+                 chunks: Optional[Mapping[str, int]] = None):
         self._path = path
         self._variables = list(variables)
         self._renames = dict(renames or {})
+        self._chunks = dict(chunks or {})
         self._times = times
         self._sums: Dict[str, np.ndarray] = {}
         self._counts = 0
@@ -121,10 +123,14 @@ class DiagnosticFile:
             self._store = zarrio.ZarrGroup.create(self._path)
             for name, arr in mean.items():
                 dims = ("time",) + tuple(self._dims[name])
+                chunk = (self._chunks.get("time", 1),) + tuple(
+                    min(self._chunks.get(d, s), s)
+                    for d, s in zip(dims[1:], arr.shape)
+                )
                 self._store.create_array(
                     name,
                     shape=(0,) + arr.shape,
-                    chunks=(1,) + arr.shape,
+                    chunks=chunk,
                     dtype="float32",
                     dims=dims,
                     fill_value="NaN",
@@ -210,6 +216,7 @@ class DiagnosticsManager:
                 DiagnosticFile(
                     path, cfg.variables, times,
                     renames=getattr(cfg, "renames", None),
+                    chunks=getattr(cfg, "chunks", None),
                 )
             )
 

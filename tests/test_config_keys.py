@@ -211,3 +211,97 @@ def test_reservoir_corrector_key(tmp_path):
         pass
     assert loop._reservoir_incrementer.completed_sync_steps == 2
     assert np.isfinite(np.asarray(loop.state.dycore.pt)).all()
+
+
+def test_reference_fv3config_yaml_parses_as_is():
+    """A reference-shaped fv3config.yml (Fortran *_nml namelist
+    sections, data-asset keys) lowers to this framework's config
+    (config.py::lower_fortran_config; reference
+    external/fv3kube/fv3kube/base_yamls/FV3GFS/v0.7/fv3config.yml)."""
+    from fv3net_tpu.runtime.config import get_config
+
+    cfg = get_config({
+        "data_table": "default",
+        "diag_table": "default",
+        "experiment_name": "default_experiment",
+        "forcing": "gs://vcm-fv3config/data/base_forcing/v1.1/",
+        "orographic_forcing": "gs://vcm-fv3config/data/orographic/v1.0",
+        "namelist": {
+            "amip_interp_nml": {"data_set": "reynolds_oi"},
+            "atmos_model_nml": {"blocksize": 24},
+            "coupler_nml": {"dt_atmos": 900, "days": 0, "hours": 3,
+                            "minutes": 0, "seconds": 0},
+            "fv_core_nml": {"npx": 49, "npy": 49, "npz": 79,
+                            "n_split": 6, "hydrostatic": False,
+                            "tau": 5.0, "rf_cutoff": 800.0,
+                            "d2_bg": 0.0, "kord_tm": -9,
+                            "hord_mt": 6, "layout": [1, 1]},
+            "gfs_physics_nml": {"fhswr": 3600.0, "fhlwr": 3600.0,
+                                "hybedmf": True, "imp_physics": 11},
+        },
+    })
+    assert cfg.namelist.npx == 48
+    assert cfg.namelist.npz == 79
+    assert cfg.namelist.n_split == 6
+    assert cfg.namelist.hydrostatic is False
+    assert cfg.namelist.dt_atmos == 900.0
+    assert cfg.namelist.tau == 5.0
+    assert cfg.namelist.rf_cutoff == 800.0
+    assert cfg.namelist.kord == 9
+    assert cfg.namelist.hord == 4
+    assert cfg.namelist.radiation == "rrtmg"
+    assert cfg.duration_seconds == 3 * 3600.0
+    assert cfg.radiation_interval_steps == 4
+
+
+def test_reference_config_flat_keys_win_and_base_version_routes():
+    from fv3net_tpu.runtime.config import get_config
+
+    cfg = get_config({
+        "namelist": {
+            "fv_core_nml": {"npx": 49, "npz": 79},
+            # flat keys in the same namelist dict override lowered ones
+            "npz": 32,
+            "radiation": "gray",
+            "gfs_physics_nml": {"fhswr": 1800.0},
+        },
+        "duration_seconds": 600.0,
+    })
+    assert cfg.namelist.npx == 48 and cfg.namelist.npz == 32
+    assert cfg.namelist.radiation == "gray"
+    assert cfg.duration_seconds == 600.0
+
+    cfg2 = get_config({
+        "base_version": "v0.1/aquaplanet_c12_test",
+        "duration_seconds": 900.0,
+    })
+    assert cfg2.namelist.npx == 12 and cfg2.duration_seconds == 900.0
+
+
+def test_diagnostic_chunks_key(tmp_path):
+    """DiagnosticFileConfig.chunks (reference manager.py:36,46) controls
+    the stored zarr chunk grid; partial-chunk time appends still read
+    back correctly."""
+    from fv3net_tpu.runtime.config import DiagnosticFileConfig, TimeConfig
+    from fv3net_tpu.runtime.diagnostics.manager import DiagnosticsManager
+
+    cfg = DiagnosticFileConfig(
+        name="out.zarr",
+        variables=["field"],
+        times=TimeConfig(kind="every"),
+        chunks={"time": 4, "x": 3},
+    )
+    t0 = datetime.datetime(2020, 1, 1)
+    mgr = DiagnosticsManager([cfg], t0, str(tmp_path))
+    data = np.arange(36, dtype=np.float32).reshape(6, 6)
+    for k in range(3):
+        mgr.observe(
+            t0 + datetime.timedelta(hours=k),
+            {"field": Quantity(data + k, ("y", "x"))},
+        )
+    mgr.close()
+    arr = zarrio.ZarrArray(str(tmp_path / "out.zarr" / "field"))
+    assert tuple(arr.chunks) == (4, 6, 3)
+    out = arr.read()
+    assert out.shape == (3, 6, 6)
+    np.testing.assert_allclose(out[2], data + 2)
