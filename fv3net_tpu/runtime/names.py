@@ -14,6 +14,7 @@ TOTAL_PRECIP = "total_precipitation"  # m
 AREA = "area_of_grid_cell"
 EASTWARD_WIND = "eastward_wind"
 NORTHWARD_WIND = "northward_wind"
+EASTWARD_WIND_AFTER_PHYSICS = "eastward_wind_after_physics"
 SST = "ocean_surface_temperature"
 TSFC = "surface_temperature"
 MASK = "land_sea_mask"
