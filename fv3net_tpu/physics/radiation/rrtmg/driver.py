@@ -284,13 +284,22 @@ class RRTMGDriver:
         key = jax.random.fold_in(
             jax.random.PRNGKey(cfg.mcica_seed), state_fold
         )
+        # f32 runs draw the uniforms DIRECTLY in bfloat16: 16-bit draws
+        # halve both the threefry work and the [C, G*L] plane bytes, and
+        # the 2^-8 threshold granularity is ~40x below per-call McICA
+        # subcolumn noise.  The draws are then held in the STORAGE dtype
+        # (exact upcast when storage is f32), so both storage modes
+        # sample bit-identical subcolumns.  f64 (oracle) runs keep full-
+        # precision draws.
+        rdt = jnp.bfloat16 if dt == jnp.float32 else dt
+        sdt = rlw._sdt(dt)
         rand_lw = jax.random.uniform(
-            key, (ncol, P.NGPT_LW * nz), dtype=jnp.float32
-        ).astype(dt)
+            key, (ncol, P.NGPT_LW * nz), dtype=rdt
+        ).astype(sdt)
         rand_sw = jax.random.uniform(
             jax.random.fold_in(key, 1), (ncol, P.NGPT_SW * nz),
-            dtype=jnp.float32,
-        ).astype(dt)
+            dtype=rdt,
+        ).astype(sdt)
 
         sfemis = optics.surface_emissivity(land)
         aerodp = None

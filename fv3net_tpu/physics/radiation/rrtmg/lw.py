@@ -1186,16 +1186,22 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
 
     # the two [C, L, ngptlw] solver inputs are written in the storage
-    # dtype (per-band converts fuse into each band's producer chain)
+    # dtype (per-band converts fuse into each band's producer chain).
+    # The per-band aerosol tau is folded into each band's producer
+    # BEFORE the concat: taug itself is never materialized (previously
+    # tautot = taug + take(tauaer, ngb) cost an extra full-plane
+    # write+read pair), and the add runs in the compute dtype.
     st = _sdt(dtype)
-    taug = jnp.concatenate(
-        [t.astype(st) for t in taus], axis=-1
+    tautot = jnp.concatenate(
+        [
+            (t + tauaer[..., i : i + 1]).astype(st)
+            for i, t in enumerate(taus)
+        ],
+        axis=-1,
     )  # [C, L, ngptlw]
     fracs = jnp.concatenate(
         [f.astype(st) for f in fracs_all], axis=-1
     )
-    ngb = jnp.asarray(np.asarray(P.NGB_LW), jnp.int32)
-    tautot = taug + jnp.take(tauaer.astype(st), ngb, axis=-1)
     return fracs, tautot
 
 
@@ -1250,7 +1256,11 @@ def cldprop_lw(
     # McICA subcolumns
     C, L = cfrac.shape
     cldf = jnp.where(cloudy_lay, cfrac, 0.0)
-    cdfunc = rand.reshape(C, P.NGPT_LW, L)
+    # rand may arrive in the bf16 storage dtype; run the overlap walk in
+    # the compute dtype (the upcast fuses into the unrolled walk — the
+    # HBM-resident plane stays bf16) so both storage modes walk
+    # identically
+    cdfunc = rand.reshape(C, P.NGPT_LW, L).astype(dtype)
     if iovrlw == 1:  # maximum-random overlap, bottom-up walk
         def body(carry, xs):
             cdf_prev, cldf_prev = carry

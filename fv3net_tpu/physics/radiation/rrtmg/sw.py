@@ -574,7 +574,9 @@ def cldprop_sw(
     # McICA subcolumns (same generator as LW, ngptsw columns)
     C, L = cfrac.shape
     cldf = jnp.where(cfrac < P.FTINY, 0.0, cfrac)
-    cdfunc = rand.reshape(C, P.NGPT_SW, L)
+    # rand may arrive in the bf16 storage dtype; walk in the compute
+    # dtype (see lw.py) so both storage modes sample identically
+    cdfunc = rand.reshape(C, P.NGPT_SW, L).astype(cfrac.dtype)
     if iovrsw == 1:
         def body(carry, xs):
             cdf_prev, cldf_prev = carry
