@@ -29,6 +29,7 @@ from fv3net_tpu.physics import convection as conv
 from fv3net_tpu.physics import convection_mf as cmf
 from fv3net_tpu.physics import gravity_wave_drag as gwd_mod
 from fv3net_tpu.physics import microphysics as mp
+from fv3net_tpu.physics import microphysics_gfdl as mp_gfdl
 from fv3net_tpu.physics import pbl as pbl_mod
 from fv3net_tpu.physics import radiation_gray as rad
 from fv3net_tpu.physics import surface as sfc
@@ -53,6 +54,12 @@ class PhysicsConfig:
     surface_layer: sl_mod.SurfaceLayerParams = sl_mod.SurfaceLayerParams()
     kprofile: pbl_mod.KProfileParams = pbl_mod.KProfileParams()
     microphysics: mp.MicrophysicsParams = mp.MicrophysicsParams()
+    # "zhao_carr" (default; the scheme the reference's emulation hooks
+    # target) or "gfdl" (six-category bulk scheme,
+    # physics/microphysics_gfdl.py; requires the ice_wat/rainwat/
+    # snowwat/graupel tracers in the state)
+    microphysics_scheme: str = "zhao_carr"
+    gfdl_mp: mp_gfdl.GFDLMPParams = mp_gfdl.GFDLMPParams()
     convection: conv.ConvectionParams = conv.ConvectionParams()
     use_convection: bool = True
     # "betts_miller" (default adjustment scheme) or "mass_flux" (the
@@ -130,6 +137,29 @@ def physics_step(
     qc = _zlast(state.tracers["cloud_water"])
     wind = jnp.stack([_zlast(state.wind[c]) for c in range(3)])
 
+    gfdl_mode = cfg.microphysics_scheme == "gfdl"
+    if gfdl_mode:
+        # six-category mode: "cloud_water" is the LIQUID species
+        # (GFS liq_wat) and the four extra species must be in the state
+        missing = [
+            k for k in mp_gfdl.GFDL_TRACER_NAMES if k not in state.tracers
+        ]
+        if missing:
+            raise ValueError(
+                "microphysics_scheme='gfdl' needs tracers "
+                f"{mp_gfdl.GFDL_TRACER_NAMES}, missing {missing} "
+                "(see runtime config: microphysics namelist key)"
+            )
+        if microphysics_emulator is not None or gscond_emulator is not None:
+            raise ValueError(
+                "the microphysics emulation hooks target the Zhao-Carr "
+                "scheme; use microphysics_scheme='zhao_carr'"
+            )
+        qi_g = _zlast(state.tracers["ice_wat"])
+        qr_g = _zlast(state.tracers["rainwat"])
+        qs_g = _zlast(state.tracers["snowwat"])
+        qg_g = _zlast(state.tracers["graupel"])
+
     pe = thermo.pressure_at_interface(delp, toa_pressure=cfg.ptop)
     pmid = thermo.pressure_at_midpoint_log(delp, toa_pressure=cfg.ptop)
     T = temperature_from_theta_v(pt, pmid, q)
@@ -145,8 +175,11 @@ def physics_step(
             if "o3mr" in state.tracers
             else None
         )
+        # in six-category mode the radiation's condensate path is
+        # liquid + cloud ice (its internal T-ramp then splits optics)
+        qc_rad = qc + qi_g if gfdl_mode else qc
         heating, rad_diags = radiation_fn(
-            T, delp, q, qc, t_surface, cos_zenith, lat, o3=o3_rad,
+            T, delp, q, qc_rad, t_surface, cos_zenith, lat, o3=o3_rad,
             land=land_frac, ice=ice_frac,
         )
     else:
@@ -282,7 +315,16 @@ def physics_step(
         if precip_s is not None:
             emu_diags[f"surface_precipitation_due_to_{stage}_{source}"] = precip_s
 
-    if microphysics_emulator is None and gscond_emulator is None:
+    if gfdl_mode:
+        gfdl_params = cfg.gfdl_mp or mp_gfdl.GFDLMPParams()
+        (
+            T, q, qc, qi_g, qr_g, qs_g, qg_g, rain_g, frozen_g,
+        ) = mp_gfdl.gfdl_microphysics_step(
+            T, q, qc, qi_g, qr_g, qs_g, qg_g, pmid, delp, dt, gfdl_params
+        )
+        precip = rain_g + frozen_g
+        snow = frozen_g
+    elif microphysics_emulator is None and gscond_emulator is None:
         T, q, qc, precip, snow = mp.microphysics_step(
             T, q, qc, pmid, delp, dt, cfg.microphysics
         )
@@ -329,9 +371,11 @@ def physics_step(
         q = q + dt * h2o_mod.h2o_tendency(q, pmid)
 
     # ---- linearized ozone photochemistry --------------------------------
+    skip_tracers = {"sphum", "cloud_water"}
+    if gfdl_mode:
+        skip_tracers.update(mp_gfdl.GFDL_TRACER_NAMES)
     extra_tracers = {
-        k: v for k, v in state.tracers.items()
-        if k not in ("sphum", "cloud_water")
+        k: v for k, v in state.tracers.items() if k not in skip_tracers
     }
     if "o3mr" in extra_tracers:
         from fv3net_tpu.physics import ozone as o3_mod
@@ -356,7 +400,21 @@ def physics_step(
         wind=jnp.stack([_zmid(wind[c]) for c in range(3)]),
         # additional tracers (o3mr, ...) pass through — the dycore
         # transports every tracer in the dict
-        tracers={**extra_tracers, "sphum": _zmid(q), "cloud_water": _zmid(qc)},
+        tracers={
+            **extra_tracers,
+            "sphum": _zmid(q),
+            "cloud_water": _zmid(qc),
+            **(
+                {
+                    "ice_wat": _zmid(qi_g),
+                    "rainwat": _zmid(qr_g),
+                    "snowwat": _zmid(qs_g),
+                    "graupel": _zmid(qg_g),
+                }
+                if gfdl_mode
+                else {}
+            ),
+        },
         phis=state.phis,
         w=state.w,
         delz=delz_new,

@@ -283,8 +283,18 @@ class NamelistConfig:
     # flag; physics/h2ophys.py).  Adds water mass by design — keep off
     # for exact-water-closure runs
     stratospheric_h2o: bool = False
+    # large-scale microphysics: "zhao_carr" (two-stage gscond/precpd,
+    # the scheme the reference's emulation hooks target) or "gfdl"
+    # (six-category bulk scheme, physics/microphysics_gfdl.py; the
+    # TimeLoop adds the ice_wat/rainwat/snowwat/graupel tracers to the
+    # state when restarts do not carry them)
+    microphysics: str = "zhao_carr"
 
     def __post_init__(self):
+        if self.microphysics not in ("zhao_carr", "gfdl"):
+            raise ValueError(
+                f"unknown microphysics scheme {self.microphysics!r}"
+            )
         if self.radiation not in ("gray", "rrtmg", "synthband"):
             raise ValueError(
                 f"unknown radiation scheme {self.radiation!r}"
@@ -492,6 +502,10 @@ def lower_fortran_config(d: Mapping[str, Any]) -> Dict[str, Any]:
             out.setdefault(
                 "radiation_interval_steps", max(1, round(fhswr / dt))
             )
+        # imp_physics: 11 = GFDL six-category cloud MP, 99 = Zhao-Carr
+        imp = int(gfs.get("imp_physics", 0))
+        if imp == 11:
+            flat.setdefault("microphysics", "gfdl")
 
     known = {"fv_core_nml", "coupler_nml", "gfs_physics_nml"}
     ignored += [k for k in nml if k.endswith("_nml") and k not in known]

@@ -135,6 +135,17 @@ class TimeLoop:
             tracers = dict(d.tracers)
             tracers["o3mr"] = jnp.moveaxis(o3, -1, 1).astype(d.pt.dtype)
             self.state.dycore = dataclasses.replace(d, tracers=tracers)
+        if nml.microphysics == "gfdl":
+            from fv3net_tpu.physics.microphysics_gfdl import (
+                GFDL_TRACER_NAMES,
+            )
+
+            d = self.state.dycore
+            tracers = dict(d.tracers)
+            for name in GFDL_TRACER_NAMES:
+                if name not in tracers:
+                    tracers[name] = jnp.zeros_like(d.delp)
+            self.state.dycore = dataclasses.replace(d, tracers=tracers)
         if nml.sea_ice and "ice_thickness" not in self.state.surface:
             self.state.surface["ice_thickness"] = jnp.zeros_like(
                 self.state.surface[names.TSFC]
@@ -196,6 +207,7 @@ class TimeLoop:
             pbl_scheme=nml.pbl_scheme,
             convection_scheme=nml.convection,
             stratospheric_h2o=nml.stratospheric_h2o,
+            microphysics_scheme=nml.microphysics,
         )
         self._radiation_fn = None
         if nml.radiation != "gray":
