@@ -5,6 +5,9 @@ boundedness statistics — the evidence the reference gets from its
 Fortran conservation diagnostics (SURVEY §5.2).
 
 Usage: python scripts/long_run.py [days] [npx] [npz] [hydrostatic(0|1)]
+Env: FV3NET_LONGRUN_MICROPHYSICS=gfdl soaks the six-category scheme
+(adds the ice_wat/rainwat/snowwat/graupel tracers and reports their
+column burdens).
 """
 import json
 import os
@@ -43,9 +46,19 @@ def main(days: int = 10, npx: int = 24, npz: int = 24,
         dt=900.0, n_split=n_split, advection_order=4, diff_coef=0.004,
         divergence_damp_coef=0.06, hydrostatic=bool(hydrostatic),
     )
+    micro = os.environ.get("FV3NET_LONGRUN_MICROPHYSICS", "zhao_carr")
+    if micro == "gfdl":
+        import dataclasses
+
+        from fv3net_tpu.physics.microphysics_gfdl import GFDL_TRACER_NAMES
+
+        tracers = dict(state.tracers)
+        for name in GFDL_TRACER_NAMES:
+            tracers.setdefault(name, jnp.zeros_like(state.delp))
+        state = dataclasses.replace(state, tracers=tracers)
     step = build_fused_step(
         g, jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32),
-        dyn_cfg, PhysicsConfig(),
+        dyn_cfg, PhysicsConfig(microphysics_scheme=micro),
     )
     sst = aquaplanet_sst(g.lat)
     cosz = jnp.asarray(
@@ -88,6 +101,27 @@ def main(days: int = 10, npx: int = 24, npz: int = 24,
                     **(
                         {"w_max": float(np.abs(np.asarray(state.w)).max())}
                         if state.w is not None
+                        else {}
+                    ),
+                    **(
+                        {
+                            "condensate_burden_kg_m2": float(
+                                sum(
+                                    (
+                                        np.asarray(state.tracers[k])
+                                        * delp
+                                        * np.asarray(area)[:, None]
+                                    ).sum()
+                                    for k in (
+                                        "cloud_water", "ice_wat",
+                                        "rainwat", "snowwat", "graupel",
+                                    )
+                                )
+                                / 9.80665
+                                / float(np.asarray(area).sum())
+                            ),
+                        }
+                        if micro == "gfdl"
                         else {}
                     ),
                     "wall_seconds": round(time.perf_counter() - t_start, 1),

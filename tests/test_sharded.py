@@ -248,3 +248,50 @@ def test_nonhydrostatic_step_matches_under_sharding():
         np.asarray(out_sharded.wind), np.asarray(out_single.wind),
         atol=1e-4,
     )
+
+
+@requires_devices
+def test_gfdl_microphysics_matches_under_sharding():
+    """The six-category scheme (per-column sedimentation scans) must
+    shard over the horizontal axes with single-device-equal results."""
+    import dataclasses
+
+    from fv3net_tpu.physics.microphysics_gfdl import GFDL_TRACER_NAMES
+
+    grid = make_grid(8)
+    g = GridArrays.from_grid(grid)
+    state, *_ = init_state(grid, nz=8)
+    rng = np.random.RandomState(1)
+    tracers = dict(state.tracers)
+    shape = state.delp.shape
+    tracers["cloud_water"] = jnp.asarray(
+        rng.uniform(0, 5e-4, shape), jnp.float32
+    )
+    for k in GFDL_TRACER_NAMES:
+        tracers[k] = jnp.asarray(rng.uniform(0, 3e-4, shape), jnp.float32)
+    state = dataclasses.replace(state, tracers=tracers)
+    cfg = PhysicsConfig(microphysics_scheme="gfdl")
+    sst = aquaplanet_sst(g.lat)
+    cosz = jnp.full_like(sst, 0.3)
+    out_single, _ = physics_step(state, sst, cosz, g.lat, 900.0, cfg)
+
+    mesh = sharded.make_mesh(8)
+    state_s = sharded.shard_state(state, mesh)
+    out_sharded, _ = physics_step(
+        state_s,
+        sharded.shard_field2d(sst, mesh),
+        sharded.shard_field2d(cosz, mesh),
+        sharded.replicate(g, mesh).lat,
+        900.0,
+        cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.pt), np.asarray(out_single.pt), rtol=2e-6,
+        atol=1e-5,
+    )
+    for k in ("rainwat", "graupel"):
+        np.testing.assert_allclose(
+            np.asarray(out_sharded.tracers[k]),
+            np.asarray(out_single.tracers[k]),
+            rtol=2e-6, atol=1e-8,
+        )
