@@ -97,6 +97,68 @@ class RRTMGConfig:
     # FV3NET_RRTMG_STORAGE).  Read at jit trace time
     # (lw.set_storage_dtype); f64 oracle runs are never degraded
     storage_dtype: Optional[str] = None
+    # column blocking (the GFS driver's ngptc blocking role, reference
+    # radiation_driver.py drives the solvers in lat-row chunks): run the
+    # LW/SW solvers over blocks of columns via lax.map so the peak HBM
+    # working set of the [C, L, ngpt]-class planes scales with the
+    # BLOCK, not the grid — required for C96+/C192 single-chip runs
+    # (one C192 [C, L, 140] f32 plane is ~4 GB).  None = auto (env
+    # FV3NET_RRTMG_COLBLOCK; default: 16384-column blocks on a single
+    # accelerator when the grid exceeds one block, off on CPU and
+    # sharded meshes where the column axis is already partitioned),
+    # 0 = off, >0 = explicit block size.  Blocked and full-width paths
+    # agree to f32 roundoff (all solver math is per-column; XLA only
+    # reassociates contractions differently per batch shape — measured
+    # max flux delta 1.5e-3 W/m2); the SW daylight compression packs
+    # within each block
+    column_block: Optional[int] = None
+
+
+def _column_block_default(ncol: int) -> int:
+    """Auto column-block size: 16k-column blocks on one accelerator for
+    grids bigger than one block; 0 (off) on CPU, under multi-device
+    meshes (the column axis is already partitioned per device), and for
+    grids that fit one block.  Env FV3NET_RRTMG_COLBLOCK=off/0/<int>
+    overrides."""
+    import os
+
+    mode = os.environ.get("FV3NET_RRTMG_COLBLOCK", "auto").lower()
+    if mode in ("0", "off", "false"):
+        return 0
+    if mode not in ("", "auto"):
+        return int(mode)
+    try:
+        if jax.default_backend() == "cpu" or len(jax.devices()) != 1:
+            return 0
+    except Exception:  # noqa: BLE001
+        return 0
+    return 16384 if ncol > 16384 else 0
+
+
+def _map_blocked(fn, args, blk: int):
+    """Run ``fn(*args) -> dict`` over column blocks with ``lax.map``.
+
+    Each arg has a leading column axis; ragged tails are edge-padded
+    (replicated real columns, so the solver sees physical inputs) and
+    the pad rows are dropped from every output.  The body compiles
+    once; blocks execute sequentially, bounding the live [blk, L, G]
+    working set."""
+    ncol = args[0].shape[0]
+    nblk = -(-ncol // blk)
+    pad = nblk * blk - ncol
+
+    def prep(a):
+        if pad:
+            a = jnp.pad(
+                a, ((0, pad),) + ((0, 0),) * (a.ndim - 1), mode="edge"
+            )
+        return a.reshape((nblk, blk) + a.shape[1:])
+
+    out = jax.lax.map(lambda xs: fn(*xs), tuple(prep(a) for a in args))
+    return {
+        k: v.reshape((nblk * blk,) + v.shape[2:])[:ncol]
+        for k, v in out.items()
+    }
 
 
 class RRTMGDriver:
@@ -333,10 +395,22 @@ class RRTMGDriver:
             aer_lw = jnp.zeros((ncol, nz, P.NBANDS_LW, 3), dt)
             aer_sw = jnp.zeros((ncol, nz, P.NBANDS_SW, 3), dt)
 
-        lw_out = rlw.lwrad(
-            plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_lw,
-            sfemis, tsfc, delp, rand_lw, self.Tlw, iovrlw=cfg.iovr,
-            fast_exp=cfg.fast_exp,
+        blk = (
+            cfg.column_block
+            if cfg.column_block is not None
+            else _column_block_default(ncol)
+        )
+        blocked = bool(blk) and blk < ncol
+
+        def _lw(*a):
+            return rlw.lwrad(
+                *a, self.Tlw, iovrlw=cfg.iovr, fast_exp=cfg.fast_exp
+            )
+
+        lw_args = (plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_lw,
+                   sfemis, tsfc, delp, rand_lw)
+        lw_out = _map_blocked(_lw, lw_args, blk) if blocked else _lw(
+            *lw_args
         )
 
         # broadband dir/dif albedo -> (nir-bm, nir-df, vis-bm, vis-df)
@@ -364,10 +438,22 @@ class RRTMGDriver:
             # orbit-modulated solar constant (the reference
             # radiation_astronomy.py sol_update role): Spencer (a/r)^2
             s0 = cfg.solcon * zenith.solar_distance_factor(days)
-        sw_out = rsw.swrad(
-            plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_sw,
-            sfcalb, delp, cosz, s0, rand_sw, self.Tsw, iovrsw=cfg.iovr,
-            fast_exp=cfg.fast_exp,
+        # inside lax.map every block sorts/packs its own daylit columns,
+        # so the SW daylight compression stays valid per block
+        sw_args = (plyr, plvl, T, tlvl, q, o3, gasvmr, clouds, aer_sw,
+                   sfcalb, delp, cosz, rand_sw)
+
+        def _sw_call(*a):
+            return rsw.swrad(
+                a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7], a[8],
+                a[9], a[10], a[11], s0, a[12], self.Tsw,
+                iovrsw=cfg.iovr, fast_exp=cfg.fast_exp,
+            )
+
+        sw_out = (
+            _map_blocked(_sw_call, sw_args, blk)
+            if blocked
+            else _sw_call(*sw_args)
         )
 
         def resh(x, flip=False):

@@ -35,6 +35,10 @@ class RadiationConfig:
     # reference init_driver downloads this directory from GCS
     # (config.py:4-5 LOOKUP_DATA_PATH); here it is a local path
     lookup_dir: str | None = None
+    # rrtmg column blocking (the GFS ngptc-chunking role): None = auto
+    # (16k blocks on one accelerator for big grids), 0 = off, >0 =
+    # explicit block size (rrtmg/driver.py RRTMGConfig.column_block)
+    column_block: int | None = None
 
 
 class Radiation:
@@ -74,6 +78,7 @@ class Radiation:
                     ico2=self.config.ico2,
                     iaer=self.config.iaer,
                     icld=self.config.icld,
+                    column_block=self.config.column_block,
                 ),
                 lw_tables=lw_tables,
                 sw_tables=sw_tables,

@@ -352,3 +352,33 @@ def test_bfloat16_storage_mode_close_to_f32():
         from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
 
         rlw.set_storage_dtype("auto")
+
+
+def test_column_blocking_equivalent():
+    """Blocked (lax.map over column blocks) and full-width driver paths
+    agree to f32 roundoff: all solver math is per-column, but XLA
+    reassociates the k-table contractions differently per batch shape,
+    so exact bit-equality across block sizes is not guaranteed (measured
+    max flux delta 1.5e-3 W/m2).  Exercises a ragged tail (ncol=20,
+    blk=8) so the edge padding path is covered too."""
+    from fv3net_tpu.physics.radiation.rrtmg.driver import (
+        RRTMGConfig,
+        RRTMGDriver,
+    )
+
+    state = {
+        k: jnp.asarray(np.asarray(v, np.float32))
+        for k, v in profile(ncol=20, nz=24, qc_level=16).items()
+    }
+    d_full = RRTMGDriver(RRTMGConfig(column_block=0))
+    d_blk = RRTMGDriver(RRTMGConfig(column_block=8))
+    o_full = jax.jit(lambda s: d_full(NOON, s))(state)
+    o_blk = jax.jit(lambda s: d_blk(NOON, s))(state)
+    for k, v in o_full.items():
+        a = np.asarray(v, np.float64)
+        b = np.asarray(o_blk[k], np.float64)
+        d = np.abs(a - b).max()
+        if "flux" in k or "optical_depth" in k:
+            assert d < 0.01, (k, d)  # W/m2
+        else:  # heating rates / cosz
+            assert d < 1e-6, (k, d)
