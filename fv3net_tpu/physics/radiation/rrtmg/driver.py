@@ -132,7 +132,13 @@ def _column_block_default(ncol: int) -> int:
             return 0
     except Exception:  # noqa: BLE001
         return 0
-    return 16384 if ncol > 16384 else 0
+    if ncol <= 16384:
+        return 0
+    # even the blocks out (lane-aligned) so the padded tail is tiny:
+    # e.g. C96 (55296 cols) -> 4 exact 13824-col blocks; C192 (221184)
+    # -> 14 blocks of 15800 with 16 pad columns, not a 16384-grid tail
+    nblk = -(-ncol // 16384)
+    return -(-(-(-ncol // nblk)) // 8) * 8
 
 
 def _map_blocked(fn, args, blk: int):
