@@ -73,6 +73,13 @@ class DiagnosticFileConfig:
     # reference manager.py:37-41,54-56 — route this file's variables to
     # a TensorBoard event log under <rundir>/tensorboard instead of zarr
     tensorboard: bool = False
+    # observations held as device handles before one batched
+    # device->host pull (rows land up to pull_buffer-1 observations
+    # late; close() drains).  Through the TPU tunnel each pull RPC is a
+    # round-trip comparable to a fused chunk's compute, so batching
+    # across chunks is a large production-throughput win; 1 restores
+    # write-every-observation behavior.
+    pull_buffer: int = 4
 
     def __post_init__(self):
         if self.times is None:

@@ -54,11 +54,18 @@ def _pull_batch(arrays):
 
 
 class DiagnosticFile:
-    """One output zarr with its own variable set and time selection."""
+    """One output zarr with its own variable set and time selection.
+
+    ``pull_buffer`` observations are held as DEVICE array handles and
+    transferred as one batched pull: through the TPU tunnel each pull
+    RPC costs a round-trip comparable to a fused chunk's compute, so
+    batching across chunk boundaries amortizes it (the zarr rows land
+    up to ``pull_buffer - 1`` observations late; ``close()`` drains)."""
 
     def __init__(self, path: str, variables: Sequence[str], times,
                  renames: Optional[Mapping[str, str]] = None,
-                 chunks: Optional[Mapping[str, int]] = None):
+                 chunks: Optional[Mapping[str, int]] = None,
+                 pull_buffer: int = 4):
         self._path = path
         self._variables = list(variables)
         self._renames = dict(renames or {})
@@ -70,19 +77,46 @@ class DiagnosticFile:
         self._stored_times: List[datetime.datetime] = []
         self._store: Optional[zarrio.ZarrGroup] = None
         self._averaging = isinstance(times, IntervalAveragedTimes)
+        self._pull_buffer = max(1, int(pull_buffer))
+        self._pending: List[tuple] = []
 
     def observe(self, time: datetime.datetime,
                 diagnostics: Mapping[str, Quantity]) -> None:
         label = self._times.indicator(time)
         if label is None:
             return
-        # pull each selected variable once (np.asarray, NOT
-        # jax.device_get: device_get's copy_to_host_async path is
-        # pathologically slow through the axon TPU tunnel)
         present = [n for n in self._variables if n in diagnostics]
-        pulled = dict(zip(present, _pull_batch(
-            [diagnostics[n].data for n in present]
-        )))
+        self._pending.append((
+            label,
+            {n: diagnostics[n].data for n in present},
+            {n: diagnostics[n].dims for n in present},
+        ))
+        if len(self._pending) >= self._pull_buffer:
+            self._drain()
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        # pull every buffered observation's variables as ONE transfer
+        # (np.asarray, NOT jax.device_get: device_get's
+        # copy_to_host_async path is pathologically slow through the
+        # axon TPU tunnel)
+        flat: List = []
+        for _, snap, _ in self._pending:
+            flat.extend(snap.values())
+        buf = _pull_batch(flat)
+        i = 0
+        for label, snap, dims in self._pending:
+            pulled = {}
+            for n in snap:
+                pulled[n] = buf[i]
+                i += 1
+            self._process(label, pulled, dims)
+        self._pending = []
+
+    def _process(self, label, pulled: Dict[str, np.ndarray],
+                 dims: Mapping[str, tuple]) -> None:
+        present = list(pulled)
         if self._averaging:
             if self._current_label is not None and label != self._current_label:
                 self._flush()
@@ -95,7 +129,7 @@ class DiagnosticFile:
                 else:
                     self._sums[out] = arr.copy()
                     self._dims = getattr(self, "_dims", {})
-                    self._dims[out] = diagnostics[name].dims
+                    self._dims[out] = dims[name]
             self._counts += 1
         else:
             self._current_label = label
@@ -105,7 +139,7 @@ class DiagnosticFile:
                 # instantaneous snapshot: no accumulation, keep the
                 # pulled dtype (the f64 detour doubles host copies)
                 self._sums[out] = pulled[name]
-                self._dims[out] = diagnostics[name].dims
+                self._dims[out] = dims[name]
             self._counts = 1
             self._flush()
 
@@ -164,6 +198,7 @@ class DiagnosticFile:
         za[:] = hours
 
     def close(self) -> None:
+        self._drain()
         if self._averaging:
             self._flush()
 
@@ -217,6 +252,7 @@ class DiagnosticsManager:
                     path, cfg.variables, times,
                     renames=getattr(cfg, "renames", None),
                     chunks=getattr(cfg, "chunks", None),
+                    pull_buffer=getattr(cfg, "pull_buffer", 4),
                 )
             )
 

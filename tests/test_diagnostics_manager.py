@@ -69,3 +69,50 @@ def test_interval_output_subsamples(tmp_path):
     ds = zarrio.open_zarr(str(tmp_path / "int.zarr"))
     # only the 1800 s multiples: steps 1 and 3 (i=1, 3)
     np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [1.0, 3.0])
+
+
+def test_pull_buffer_batches_across_observations(tmp_path):
+    """Buffered device handles drain as one batched pull: rows written
+    only at drain points (buffer full or close), values identical to the
+    unbuffered path."""
+    from fv3net_tpu.runtime.diagnostics.manager import DiagnosticFile
+    from fv3net_tpu.runtime.diagnostics.times import (
+        time_container_from_config,
+    )
+
+    times = time_container_from_config(TimeConfig(kind="every"), T0)
+    f = DiagnosticFile(
+        str(tmp_path / "buf.zarr"), ["a"], times, pull_buffer=3
+    )
+    t = T0
+    for i in range(5):
+        t += datetime.timedelta(seconds=900)
+        f.observe(t, diags_at(float(i)))
+        if i == 2:
+            # first drain happened at the 3rd observe: 3 rows on disk
+            ds_mid = zarrio.open_zarr(str(tmp_path / "buf.zarr"))
+            assert ds_mid["a"].shape[0] == 3
+    f.close()  # drains the 2 still-buffered observations
+    ds = zarrio.open_zarr(str(tmp_path / "buf.zarr"))
+    np.testing.assert_allclose(
+        ds["a"].values[:, 0, 0, 0], [0.0, 1.0, 2.0, 3.0, 4.0]
+    )
+
+
+def test_pull_buffer_interval_average_spans_drains(tmp_path):
+    """Interval averaging is computed in observation order even when a
+    window boundary lands inside a buffered batch."""
+    cfg = DiagnosticFileConfig(
+        name="avgbuf.zarr",
+        variables=["a"],
+        times=TimeConfig(kind="interval-average", frequency=1800.0),
+        pull_buffer=3,
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    for i in range(4):
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(float(i)))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "avgbuf.zarr"))
+    np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [0.5, 2.5])

@@ -255,6 +255,7 @@ def test_piggy_back_diags_through_diagnostics_file_and_cli(tmp_path):
     sink = DiagnosticFile(str(tmp_path / "diags.zarr"), names_wanted, times)
     for time, diags in loop:
         sink.observe(time, diags)
+    sink.close()
     # score with the CLI
     env = dict(os.environ, FV3NET_JAX_PLATFORMS="cpu")
     r = subprocess.run(
