@@ -78,7 +78,10 @@ class DiagnosticFileConfig:
     # late; close() drains).  Through the TPU tunnel each pull RPC is a
     # round-trip comparable to a fused chunk's compute, so batching
     # across chunks is a large production-throughput win; 1 restores
-    # write-every-observation behavior.
+    # write-every-observation behavior.  For interval-average files the
+    # buffered observations are additionally SUMMED on device per
+    # window, so only one partial-sum plane per window crosses the link
+    # per drain (~pull_buffer x fewer bytes).
     pull_buffer: int = 4
 
     def __post_init__(self):

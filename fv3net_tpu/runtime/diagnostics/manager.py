@@ -24,6 +24,44 @@ from fv3net_tpu.runtime.diagnostics.times import (
 )
 
 
+def _sum_groups_device(flat, sizes):
+    """Sequential per-group sums of a flat tuple of device arrays as ONE
+    jitted dispatch (sizes static).  The adds run in observation order,
+    so a group sum matches the host's sequential accumulation to f32
+    roundoff (the host then continues in f64; window means are stored
+    float32, so the ~1-ulp difference is below the on-disk rounding)."""
+    import jax
+
+    key = tuple(sizes)
+    fn = _sum_groups_device._cache.get(key)
+    if fn is None:
+        def impl(flat_t):
+            out = []
+            i = 0
+            for n in key:
+                s = flat_t[i]
+                for j in range(i + 1, i + n):
+                    s = s + flat_t[j]
+                out.append(s)
+                i += n
+            return tuple(out)
+
+        fn = jax.jit(impl)
+        _sum_groups_device._cache[key] = fn
+    return fn(tuple(flat))
+
+
+_sum_groups_device._cache = {}
+
+
+def _host_sum(arrs):
+    """Sequential sum of non-device arrays (CPU/numpy fallback)."""
+    s = np.asarray(arrs[0]).copy()
+    for a in arrs[1:]:
+        s = s + np.asarray(a)
+    return s
+
+
 def _pull_batch(arrays):
     """Device->host transfer of several arrays as ONE buffer.
 
@@ -97,25 +135,76 @@ class DiagnosticFile:
     def _drain(self) -> None:
         if not self._pending:
             return
-        # pull every buffered observation's variables as ONE transfer
-        # (np.asarray, NOT jax.device_get: device_get's
-        # copy_to_host_async path is pathologically slow through the
-        # axon TPU tunnel)
-        flat: List = []
-        for _, snap, _ in self._pending:
+        pending, self._pending = self._pending, []
+        if self._averaging:
+            # interval-average files: sum each window's buffered
+            # observations ON DEVICE (one jitted dispatch, observation
+            # order) and pull only the per-window partial sums — the
+            # transferred bytes shrink by ~the group size, on top of the
+            # batched-RPC saving
+            groups: List[list] = []  # [label, {name: [arrs]}, dims, count]
+            for label, snap, dims in pending:
+                if groups and groups[-1][0] == label:
+                    g = groups[-1]
+                    for n, a in snap.items():
+                        g[1].setdefault(n, []).append(a)
+                    g[2].update(dims)
+                    g[3] += 1
+                else:
+                    groups.append(
+                        [label, {n: [a] for n, a in snap.items()},
+                         dict(dims), 1]
+                    )
+            flat: List = []
+            sizes: List[int] = []
+            slots: List[tuple] = []
+            for gi, (_, snap, _, _) in enumerate(groups):
+                for name, arrs in snap.items():
+                    if len(arrs) > 1 and all(
+                        isinstance(a, jax.Array) for a in arrs
+                    ):
+                        flat.extend(arrs)
+                        sizes.append(len(arrs))
+                        slots.append((gi, name))
+            if flat:
+                sums = _sum_groups_device(flat, sizes)
+                for (gi, name), s in zip(slots, sums):
+                    groups[gi][1][name] = [s]
+            order: List = []
+            for _, snap, _, _ in groups:
+                for name, arrs in snap.items():
+                    # non-device (or singleton) entries: host-sum below
+                    order.append(
+                        arrs[0] if len(arrs) == 1
+                        else _host_sum(arrs)
+                    )
+            buf = _pull_batch(order)
+            i = 0
+            for label, snap, dims, count in groups:
+                pulled = {}
+                for n in snap:
+                    pulled[n] = buf[i]
+                    i += 1
+                self._process(label, pulled, dims, count=count)
+            return
+        # instantaneous/subsampled files: every observation becomes its
+        # own zarr row — pull them all as ONE transfer (np.asarray, NOT
+        # jax.device_get: device_get's copy_to_host_async path is
+        # pathologically slow through the axon TPU tunnel)
+        flat = []
+        for _, snap, _ in pending:
             flat.extend(snap.values())
         buf = _pull_batch(flat)
         i = 0
-        for label, snap, dims in self._pending:
+        for label, snap, dims in pending:
             pulled = {}
             for n in snap:
                 pulled[n] = buf[i]
                 i += 1
             self._process(label, pulled, dims)
-        self._pending = []
 
     def _process(self, label, pulled: Dict[str, np.ndarray],
-                 dims: Mapping[str, tuple]) -> None:
+                 dims: Mapping[str, tuple], count: int = 1) -> None:
         present = list(pulled)
         if self._averaging:
             if self._current_label is not None and label != self._current_label:
@@ -130,7 +219,7 @@ class DiagnosticFile:
                     self._sums[out] = arr.copy()
                     self._dims = getattr(self, "_dims", {})
                     self._dims[out] = dims[name]
-            self._counts += 1
+            self._counts += count
         else:
             self._current_label = label
             self._dims = getattr(self, "_dims", {})

@@ -101,7 +101,18 @@ def test_pull_buffer_batches_across_observations(tmp_path):
 
 def test_pull_buffer_interval_average_spans_drains(tmp_path):
     """Interval averaging is computed in observation order even when a
-    window boundary lands inside a buffered batch."""
+    window boundary lands inside a buffered batch, and each window's
+    buffered observations are summed ON DEVICE so only the partial sums
+    cross the device->host link."""
+    import fv3net_tpu.runtime.diagnostics.manager as mgr_mod
+
+    pulled_counts = []
+    orig = mgr_mod._pull_batch
+
+    def counting_pull(arrays):
+        pulled_counts.append(len(arrays))
+        return orig(arrays)
+
     cfg = DiagnosticFileConfig(
         name="avgbuf.zarr",
         variables=["a"],
@@ -110,9 +121,16 @@ def test_pull_buffer_interval_average_spans_drains(tmp_path):
     )
     mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
     t = T0
-    for i in range(4):
-        t += datetime.timedelta(seconds=900)
-        mgr.observe(t, diags_at(float(i)))
-    mgr.close()
+    try:
+        mgr_mod._pull_batch = counting_pull
+        for i in range(4):
+            t += datetime.timedelta(seconds=900)
+            mgr.observe(t, diags_at(float(i)))
+        mgr.close()
+    finally:
+        mgr_mod._pull_batch = orig
     ds = zarrio.open_zarr(str(tmp_path / "avgbuf.zarr"))
     np.testing.assert_allclose(ds["a"].values[:, 0, 0, 0], [0.5, 2.5])
+    # drain 1 buffers obs 0,1 (window 1) + obs 2 (window 2): two partial
+    # sums cross; drain 2 (close) holds only obs 3: one array
+    assert pulled_counts == [2, 1]
