@@ -83,6 +83,15 @@ class DiagnosticFileConfig:
     # window, so only one partial-sum plane per window crosses the link
     # per drain (~pull_buffer x fewer bytes).
     pull_buffer: int = 4
+    # pull-precision override: "bfloat16" casts floating diagnostics to
+    # bf16 INSIDE the device-side batched pull (half the bytes over the
+    # device->host link — the dominant cost of the production segment
+    # path on transfer-bound hosts), upcast to float32 before the zarr
+    # write.  bf16 keeps f32 range (no overflow on e.g. pressures);
+    # precision at output drops to ~3 decimal digits, fine for plotting
+    # and monitoring diagnostics, not for restart-grade fields.  None
+    # (default) pulls at model precision.
+    pull_dtype: Optional[str] = None
 
     def __post_init__(self):
         if self.times is None:

@@ -109,9 +109,9 @@ def test_pull_buffer_interval_average_spans_drains(tmp_path):
     pulled_counts = []
     orig = mgr_mod._pull_batch
 
-    def counting_pull(arrays):
+    def counting_pull(arrays, *args, **kwargs):
         pulled_counts.append(len(arrays))
-        return orig(arrays)
+        return orig(arrays, *args, **kwargs)
 
     cfg = DiagnosticFileConfig(
         name="avgbuf.zarr",
@@ -134,3 +134,32 @@ def test_pull_buffer_interval_average_spans_drains(tmp_path):
     # drain 1 buffers obs 0,1 (window 1) + obs 2 (window 2): two partial
     # sums cross; drain 2 (close) holds only obs 3: one array
     assert pulled_counts == [2, 1]
+
+
+def test_pull_dtype_bf16_halves_transfer_and_upcasts(tmp_path):
+    """pull_dtype="bfloat16" casts floating diagnostics to bf16 inside
+    the device-side batched pull (half the link bytes) and upcasts to
+    float32 on the host: stored values equal the bf16 rounding of the
+    observed values, stored dtype stays float32."""
+    import ml_dtypes
+
+    cfg = DiagnosticFileConfig(
+        name="bf16.zarr",
+        variables=["a"],
+        times=TimeConfig(kind="every"),
+        pull_dtype="bfloat16",
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    vals = [1.0 / 3.0, 2.7182818, 101325.0]  # incl. f16-overflow range
+    for v in vals:
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(v))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "bf16.zarr"))
+    assert ds["a"].dtype == np.float32
+    expected = np.asarray(vals, np.float32).astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(
+        ds["a"].values[:, 0, 0, 0],
+        expected.astype(np.float32),
+    )
