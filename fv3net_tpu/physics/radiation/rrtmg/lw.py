@@ -1280,8 +1280,9 @@ def cldprop_lw(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
         )
     lcloudy = cdfunc >= (1.0 - cldf)[:, None, :]
-    # binary mask: bf16 storage is EXACT for {0, 1}
-    cldfmc = lcloudy.astype(_sdt(dtype)).transpose(0, 2, 1)  # [C, L, ngpt]
+    # binary mask stored as int8: one byte/element (half the bf16
+    # plane's HBM traffic); {0, 1} upcasts exactly in the solver body
+    cldfmc = lcloudy.astype(jnp.int8).transpose(0, 2, 1)  # [C, L, ngpt]
     return cldfmc, taucld
 
 
@@ -1361,6 +1362,9 @@ def rtrnmc_lw(semiss, delp, cldfmc, taucld, tautot, pklay, pklev, fracs,
         """Per-layer [C, G] transmittances and Planck sources (the
         reference's k-loop body, batched over columns and g-points)."""
         tau_k, cldf_k, frac_k, taucld_k, blay_k, plevlo_k, plevhi_k = xs
+        # cldfmc arrives as an int8 {0, 1} mask: upcast is exact, so the
+        # blend formulas below are bit-identical to a float-stored mask
+        cldf_k = cldf_k.astype(dtype)
         odepth_raw = jnp.maximum(0.0, secdif_g * tau_k)
         small = odepth_raw <= 0.06
         if fast_exp:

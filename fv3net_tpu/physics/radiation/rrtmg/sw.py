@@ -597,7 +597,9 @@ def cldprop_sw(
             [cdfunc[:, :, :1], rest.transpose(1, 2, 0)], axis=2
         )
     # binary mask: bf16 storage is EXACT for {0, 1}
-    cldfmc = (cdfunc >= (1.0 - cldf)[:, None, :]).astype(rlw._sdt(dtype))
+    # binary mask stored as int8: one byte/element (half the bf16
+    # plane's HBM traffic); {0, 1} upcasts exactly in the solver body
+    cldfmc = (cdfunc >= (1.0 - cldf)[:, None, :]).astype(jnp.int8)
     return cldfmc.transpose(0, 2, 1), taucw, ssacw, asycw
 
 
@@ -791,6 +793,8 @@ def spcvrtm_sw(
         [C, G] each: (refb, refd, trab, trad, exp3, exp4)."""
         (tau_k, ray_k, cldf_k, taucw_k, ssacw_k, asycw_k,
          taua_k, ssaa_k, asya_k) = xs_k
+        # int8 {0, 1} McICA mask: upcast is exact
+        cldf_k = cldf_k.astype(dtype)
         taua_g = bexp(taua_k)
         ssaa_g = bexp(ssaa_k)
         asya_g = bexp(asya_k)

@@ -2,8 +2,9 @@
 run_segment (the runfv3-append code path) with the fused chunked
 TimeLoop — the VERDICT r1 #4 measurement.
 
-Usage: python scripts/segment_bench.py [radiation] [chunk]
-(radiation: gray|rrtmg, default gray; chunk default 8)
+Usage: python scripts/segment_bench.py [radiation] [chunk] [pull_dtype]
+(radiation: gray|rrtmg, default gray; chunk default 12; pull_dtype
+e.g. bfloat16 enables half-width diagnostic pulls)
 """
 import json
 import shutil
@@ -22,6 +23,7 @@ sys.path.insert(0, "/root/repo")
 def main():
     radiation = sys.argv[1] if len(sys.argv) > 1 else "gray"
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    pull_dtype = sys.argv[3] if len(sys.argv) > 3 else None
     from fv3net_tpu.runtime.config import get_config
     from fv3net_tpu.runtime.segmented_run.api import run_segment
 
@@ -46,6 +48,7 @@ def main():
                     # standard prognostic-run cadence (its every-timestep
                     # state output is reserved for training-data runs)
                     "times": {"kind": "interval", "frequency": 10800},
+                    **({"pull_dtype": pull_dtype} if pull_dtype else {}),
                 }
             ],
         }
