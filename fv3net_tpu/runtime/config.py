@@ -96,6 +96,29 @@ class DiagnosticFileConfig:
     def __post_init__(self):
         if self.times is None:
             self.times = TimeConfig()
+        if self.pull_dtype is not None:
+            # Fail at config build, not at the first diagnostics drain
+            # deep into a run (advisor r2).
+            import numpy as _np
+
+            try:
+                dt = _np.dtype(self.pull_dtype)
+            except TypeError:
+                # bfloat16 etc. are not numpy-native; probe via jax
+                import jax.numpy as _jnp
+
+                try:
+                    dt = _np.dtype(_jnp.dtype(self.pull_dtype))
+                except Exception:
+                    raise ValueError(
+                        f"DiagnosticFileConfig {self.name!r}: invalid "
+                        f"pull_dtype {self.pull_dtype!r} (not a dtype)"
+                    ) from None
+            if dt.kind not in ("f", "V"):  # V: ml_dtypes (bfloat16)
+                raise ValueError(
+                    f"DiagnosticFileConfig {self.name!r}: pull_dtype "
+                    f"{self.pull_dtype!r} must be a floating dtype"
+                )
 
 
 @dataclasses.dataclass

@@ -163,3 +163,61 @@ def test_pull_dtype_bf16_halves_transfer_and_upcasts(tmp_path):
         ds["a"].values[:, 0, 0, 0],
         expected.astype(np.float32),
     )
+
+
+def test_pull_dtype_bf16_interval_average_across_drains(tmp_path):
+    """pull_dtype with interval-average times: the bf16 cast applies to
+    the DEVICE-SIDE per-window partial sums; the host accumulates across
+    drains in f64.  With pull_buffer=3 and 900 s observations into an
+    1800 s window, the first window is split across two drains — the
+    stored mean must equal the bf16-rounded partial sums averaged in
+    higher precision (advisor r2)."""
+    import ml_dtypes
+
+    cfg = DiagnosticFileConfig(
+        name="avgbf16.zarr",
+        variables=["a"],
+        times=TimeConfig(kind="interval-average", frequency=1800.0),
+        pull_buffer=3,
+        pull_dtype="bfloat16",
+    )
+    mgr = DiagnosticsManager([cfg], T0, str(tmp_path))
+    t = T0
+    vals = [1.0 / 3.0, 2.7182818, 101325.0, 0.1]
+    for v in vals:
+        t += datetime.timedelta(seconds=900)
+        mgr.observe(t, diags_at(v))
+    mgr.close()
+    ds = zarrio.open_zarr(str(tmp_path / "avgbf16.zarr"))
+    assert ds["a"].dtype == np.float32
+
+    def bf16_sum(vs):
+        # device-side partial sum of the window's buffered observations,
+        # then the bf16 cast in the pull
+        s = np.sum(np.asarray(vs, np.float32))
+        return float(np.float32(s).astype(ml_dtypes.bfloat16))
+
+    # drain boundaries: obs 0,1,2 (drain 1: window-1 sum of [v0,v1],
+    # window-2 partial sum of [v2]), obs 3 at close (window-2 partial
+    # sum of [v3]); host averages partial sums per window
+    w1 = bf16_sum(vals[:2]) / 2.0
+    w2 = (bf16_sum(vals[2:3]) + bf16_sum(vals[3:4])) / 2.0
+    np.testing.assert_allclose(
+        ds["a"].values[:, 0, 0, 0],
+        np.asarray([w1, w2], np.float32),
+        rtol=1e-6,
+    )
+
+
+def test_pull_dtype_validated_at_config_build():
+    """An invalid or non-floating pull_dtype fails when the config is
+    BUILT, not at the first diagnostics drain (advisor r2)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pull_dtype"):
+        DiagnosticFileConfig(name="x.zarr", pull_dtype="bfoat16")
+    with pytest.raises(ValueError, match="floating"):
+        DiagnosticFileConfig(name="x.zarr", pull_dtype="int32")
+    # valid dtypes still construct
+    DiagnosticFileConfig(name="x.zarr", pull_dtype="bfloat16")
+    DiagnosticFileConfig(name="x.zarr", pull_dtype="float16")
