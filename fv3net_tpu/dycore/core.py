@@ -697,7 +697,11 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
 
     search = _rm.banded_search(pe1, pe2, window=2)
     # w remaps with the same iv=-1 profile as the winds, so batch it into
-    # the same reconstruction when present
+    # the same reconstruction when present.  (ops/remap.py also supports
+    # the FV3 iv=-2 w-variant with a prescribed surface value; this
+    # A-grid redesign keeps w batched with the winds — the batched
+    # exchange is the measured TPU win and the dycore's lower boundary
+    # is rigid, where the variants agree to reconstruction order.)
     components = tuple(zlast(state.wind[c]) for c in range(3))
     if state.w is not None:
         components = components + (zlast(state.w),)

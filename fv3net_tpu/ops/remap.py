@@ -24,7 +24,9 @@ Conventions: vertical axis last; level 0 = model top (as in FV3);
 ``pe1``/``pe2`` are layer-edge pressures, one longer than the field.
 
 Supported options (matching reference usage, regridz.py:227-245):
-``iv`` in {-1, 0, 1, 2}; ``kord`` in {1..7} -> ppm_profile path,
+``iv`` in {-2, -1, 0, 1, 2} (-2 = vertical velocity, bottom edge pinned
+to a prescribed surface value ``qs``); ``kord`` in {1..7} ->
+ppm_profile path,
 ``kord`` > 7 -> cs_profile path (with |kord|>16 = unlimited linear and
 kord=9 Huynh-constrained variants).
 """
@@ -290,55 +292,107 @@ def _shift(arr, offset: int):
 # ---------------------------------------------------------------------------
 
 
-def cs_profile(q, delp, iv: int, kord: int):
-    """Cubic-spline edge reconstruction (S.-J. Lin 2008); (al, ar, a6)."""
-    if iv == -2:
-        raise NotImplementedError("iv=-2 (vertical velocity) not supported yet")
+def cs_profile(q, delp, iv: int, kord: int, qs=None):
+    """Cubic-spline edge reconstruction (S.-J. Lin 2008); (al, ar, a6).
+
+    ``iv == -2`` is the vertical-velocity variant (reference
+    mappm.f90:153-176): the bottom edge is pinned to the prescribed
+    surface value ``qs`` (lower-boundary w; broadcastable against
+    ``q[..., 0]``; default 0 = rigid surface) and the tridiagonal edge
+    solve uses the symmetric ``3*(q[k-1]+q[k])`` right-hand side.
+    """
     km = q.shape[-1]
 
-    # tridiagonal forward sweep (reference mappm.f90:180-205), batched scan
-    grat0 = delp[..., 1] / delp[..., 0]
-    bet0 = grat0 * (grat0 + 0.5)
-    qe0 = ((grat0 + grat0) * (grat0 + 1.0) * q[..., 0] + q[..., 1]) / bet0
-    gam0 = (1.0 + grat0 * (grat0 + 1.5)) / bet0
+    if iv == -2:
+        if qs is None:
+            qs = jnp.zeros_like(q[..., 0])
+        else:
+            qs = jnp.broadcast_to(qs, q[..., 0].shape).astype(q.dtype)
+        # forward sweep (reference mappm.f90:153-165): edges j=1..km-2
+        qe0 = 1.5 * q[..., 0]
+        gam1 = jnp.full_like(qe0, 0.5)
 
-    def fwd(carry, xs):
-        q_prev, gam_prev = carry
-        qk, qkm1, d4k = xs
-        bet = 2.0 + d4k + d4k - gam_prev
-        qe = (3.0 * (qkm1 + d4k * qk) - q_prev) / bet
-        gam = d4k / bet
-        return (qe, gam), (qe, gam, d4k)
+        def fwd_w(carry, xs):
+            qe_prev, gam_j = carry
+            qsum, grat = xs
+            bet = 2.0 + grat + grat - gam_j
+            qe = (3.0 * qsum - qe_prev) / bet
+            gam_next = grat / bet
+            return (qe, gam_next), (qe, gam_next)
 
-    d4_seq = jnp.moveaxis(delp[..., :-1] / delp[..., 1:], -1, 0)
-    q_seq = jnp.moveaxis(q[..., 1:], -1, 0)
-    qm1_seq = jnp.moveaxis(q[..., :-1], -1, 0)
-    (_, _), (qe_scan, gam_scan, _) = lax.scan(
-        fwd, (qe0, gam0), (q_seq, qm1_seq, d4_seq), unroll=8
-    )
-    # edge estimates qe[k] for k=0..km-1 (Fortran q(i,1..km))
-    qe = jnp.concatenate(
-        [qe0[None], qe_scan], axis=0
-    )  # (km, ...) leading z axis
-    gam = jnp.concatenate([gam0[None], gam_scan], axis=0)
+        # grat for edge j is delp[j-1]/delp[j], j = 1..km-1
+        grat_seq = jnp.moveaxis(delp[..., :-1] / delp[..., 1:], -1, 0)
+        qsum_seq = jnp.moveaxis(q[..., :-1] + q[..., 1:], -1, 0)
+        (qe_last, gam_last), (qe_scan, gam_scan) = lax.scan(
+            fwd_w, (qe0, gam1), (qsum_seq[:-1], grat_seq[:-1]), unroll=8
+        )
+        # bottom interior edge j=km-1 closes on the surface value
+        # (reference mappm.f90:166-171)
+        grat_b = grat_seq[-1]
+        qe_bot_in = (3.0 * qsum_seq[-1] - grat_b * qs - qe_last) / (
+            2.0 + grat_b + grat_b - gam_last
+        )
+        # gam_all[j-1] = gam[j] for j = 1..km-1
+        gam_all = jnp.concatenate([gam1[None], gam_scan], axis=0)
+        qe_raw = jnp.concatenate([qe0[None], qe_scan], axis=0)
 
-    d4_last = d4_seq[-1]
-    a_bot = 1.0 + d4_last * (d4_last + 1.5)
-    qe_bot = (
-        2.0 * d4_last * (d4_last + 1.0) * q[..., km - 1]
-        + q[..., km - 2]
-        - a_bot * qe[km - 1]
-    ) / (d4_last * (d4_last + 0.5) - a_bot * gam[km - 1])
+        def bwd_w(q_next, xs):
+            qe_j, gam_jp1 = xs
+            qj = qe_j - gam_jp1 * q_next
+            return qj, qj
 
-    def bwd(q_next, xs):
-        qe_k, gam_k = xs
-        qk = qe_k - gam_k * q_next
-        return qk, qk
+        # back-substitution j = km-2..0: qe[j] -= gam[j+1]*qe[j+1]
+        _, qe_rev = lax.scan(
+            bwd_w, qe_bot_in, (qe_raw, gam_all), reverse=True, unroll=8
+        )
+        edges = jnp.concatenate(
+            [qe_rev, qe_bot_in[None], qs[None]], axis=0
+        )
+        edges = jnp.moveaxis(edges, 0, -1)  # (..., km+1)
+    else:
+        # tridiagonal forward sweep (reference mappm.f90:180-205), batched scan
+        grat0 = delp[..., 1] / delp[..., 0]
+        bet0 = grat0 * (grat0 + 0.5)
+        qe0 = ((grat0 + grat0) * (grat0 + 1.0) * q[..., 0] + q[..., 1]) / bet0
+        gam0 = (1.0 + grat0 * (grat0 + 1.5)) / bet0
 
-    _, qe_rev = lax.scan(bwd, qe_bot, (qe, gam), reverse=True, unroll=8)
-    # full edge array, (km+1, ...) then move axis back
-    edges = jnp.concatenate([qe_rev, qe_bot[None]], axis=0)
-    edges = jnp.moveaxis(edges, 0, -1)  # (..., km+1)
+        def fwd(carry, xs):
+            q_prev, gam_prev = carry
+            qk, qkm1, d4k = xs
+            bet = 2.0 + d4k + d4k - gam_prev
+            qe = (3.0 * (qkm1 + d4k * qk) - q_prev) / bet
+            gam = d4k / bet
+            return (qe, gam), (qe, gam, d4k)
+
+        d4_seq = jnp.moveaxis(delp[..., :-1] / delp[..., 1:], -1, 0)
+        q_seq = jnp.moveaxis(q[..., 1:], -1, 0)
+        qm1_seq = jnp.moveaxis(q[..., :-1], -1, 0)
+        (_, _), (qe_scan, gam_scan, _) = lax.scan(
+            fwd, (qe0, gam0), (q_seq, qm1_seq, d4_seq), unroll=8
+        )
+        # edge estimates qe[k] for k=0..km-1 (Fortran q(i,1..km))
+        qe = jnp.concatenate(
+            [qe0[None], qe_scan], axis=0
+        )  # (km, ...) leading z axis
+        gam = jnp.concatenate([gam0[None], gam_scan], axis=0)
+
+        d4_last = d4_seq[-1]
+        a_bot = 1.0 + d4_last * (d4_last + 1.5)
+        qe_bot = (
+            2.0 * d4_last * (d4_last + 1.0) * q[..., km - 1]
+            + q[..., km - 2]
+            - a_bot * qe[km - 1]
+        ) / (d4_last * (d4_last + 0.5) - a_bot * gam[km - 1])
+
+        def bwd(q_next, xs):
+            qe_k, gam_k = xs
+            qk = qe_k - gam_k * q_next
+            return qk, qk
+
+        _, qe_rev = lax.scan(bwd, qe_bot, (qe, gam), reverse=True, unroll=8)
+        # full edge array, (km+1, ...) then move axis back
+        edges = jnp.concatenate([qe_rev, qe_bot[None]], axis=0)
+        edges = jnp.moveaxis(edges, 0, -1)  # (..., km+1)
 
     if abs(kord) > 16:
         al = edges[..., :-1]
@@ -552,7 +606,7 @@ def _cs_limiters_single(extm, q, al, ar, a6, iv: int):
 
 @functools.partial(jax.jit, static_argnames=("iv", "kord", "window"))
 def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1,
-              window: int = None):
+              window: int = None, qs=None):
     """Mass-flux-preserving remap q1 on edges pe1 -> q2 on edges pe2.
 
     Equivalent of Fortran ``mappm`` (reference mappm.f90:11) via the
@@ -576,7 +630,7 @@ def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1,
     dp1 = pe1[..., 1:] - pe1[..., :-1]
 
     if kord > 7:
-        al, ar, a6 = cs_profile(q1, dp1, iv, kord)
+        al, ar, a6 = cs_profile(q1, dp1, iv, kord, qs=qs)
     else:
         al, ar, a6 = ppm_profile(q1, dp1, iv, kord)
 
@@ -768,7 +822,7 @@ def _pallas_remap_eligible(search, q1) -> bool:
 
 
 def remap_apply(search, q1, iv: int = 1, kord: int = 9,
-                use_pallas: Optional[bool] = None):
+                use_pallas: Optional[bool] = None, qs=None):
     """Remap one field (or a leading-axis stack of same-``iv`` fields)
     using coefficients from :func:`banded_search`.
 
@@ -784,7 +838,7 @@ def remap_apply(search, q1, iv: int = 1, kord: int = 9,
     """
     dp1 = search["dp1"]
     if kord > 7:
-        al, ar, a6 = cs_profile(q1, dp1, iv, kord)
+        al, ar, a6 = cs_profile(q1, dp1, iv, kord, qs=qs)
     else:
         al, ar, a6 = ppm_profile(q1, dp1, iv, kord)
 
@@ -793,23 +847,11 @@ def remap_apply(search, q1, iv: int = 1, kord: int = 9,
     if use_pallas and _pallas_remap_eligible(search, q1):
         from fv3net_tpu.ops import pallas_remap
 
-        packed = search.get("_packed")
-        if packed is not None and any(
-            isinstance(x, jax.core.Tracer)
-            for x in jax.tree_util.tree_leaves(packed)
-        ):
-            # cached pack holds tracers leaked from an earlier trace of a
-            # different jit — never reuse those, rebuild for this trace
-            packed = None
-        if packed is None:
-            packed = pallas_remap.pack_search(search)
-            if not any(
-                isinstance(x, jax.core.Tracer)
-                for x in jax.tree_util.tree_leaves(packed)
-            ):
-                # cache only concrete packs (built outside any trace);
-                # inside a trace XLA CSEs the repeated pack ops instead
-                search["_packed"] = packed
+        # pack per call, never cached on the caller's search dict: inside
+        # a trace XLA CSEs the repeated pack ops across fields, and the
+        # eager path is not perf-relevant — caching was a leaked-tracer
+        # hazard on retrace (advisor r1)
+        packed = pallas_remap.pack_search(search)
         return pallas_remap.apply_packed(packed, q1, al, ar, a6)
     m_edges = jnp.concatenate(
         [jnp.zeros_like(q1[..., :1]), jnp.cumsum(q1 * dp1, axis=-1)], axis=-1
