@@ -252,3 +252,244 @@ def build_fused_multi_step(
         return state
 
     return jax.jit(multi)
+
+
+def _rad_inputs_full(state: DycoreState, dyn_cfg: DycoreConfig,
+                     gfdl_mode: bool):
+    """Radiation column inputs from the dycore state (z-last), matching
+    what physics_step passes to radiation_fn internally (physics/driver.py
+    qc_rad: liquid + ice condensate in six-category mode)."""
+    delp = jnp.moveaxis(state.delp, 1, -1)
+    q = jnp.moveaxis(state.tracers["sphum"], 1, -1)
+    qc = jnp.moveaxis(state.tracers["cloud_water"], 1, -1)
+    if gfdl_mode and "cloud_ice" in state.tracers:
+        qc = qc + jnp.moveaxis(state.tracers["cloud_ice"], 1, -1)
+    pmid = thermo.pressure_at_midpoint_log(delp, toa_pressure=dyn_cfg.ptop)
+    pt = jnp.moveaxis(state.pt, 1, -1)
+    T = temperature_from_theta_v(pt, pmid, q)
+    o3 = (
+        jnp.moveaxis(state.tracers["o3mr"], 1, -1)
+        if "o3mr" in state.tracers
+        else None
+    )
+    return T, delp, q, qc, o3
+
+
+def apply_stepper_in_graph(stepper, st, dt: float,
+                           track_precip: bool = False):
+    """Apply one pure stepper's (tendencies, diagnostics, state_updates)
+    to a DerivedState INSIDE a traced graph — the jit-compatible core of
+    TimeLoop._apply_stepper (reference loop.py:536-554): NaN-filling,
+    tendency addition, state updates, and (for postphysics ML) the
+    precipitation_sum bookkeeping closing the surface water budget.
+
+    ``st``: DerivedState (mutated in place as DerivedState does).
+    Returns the per-call diagnostics dict (data arrays, not Quantities).
+    """
+    from fv3net_tpu.runtime import names
+    from fv3net_tpu.runtime.steppers.machine_learning import add_tendency
+    from fv3net_tpu.runtime.tendency import fillna_tendencies
+
+    from fv3net_tpu.core.constants import GRAVITY
+
+    tendencies, diagnostics, state_updates = stepper(None, st)
+    out = {k: getattr(v, "data", v) for k, v in diagnostics.items()}
+    if tendencies:
+        tendencies, filled_frac = fillna_tendencies(tendencies)
+        out.update({k: getattr(v, "data", v) for k, v in filled_frac.items()})
+    delp_before = (
+        jnp.asarray(st[names.DELP].data) if track_precip else None
+    )
+    add_tendency(st, tendencies, dt)
+    state_updates = dict(state_updates)
+    rate_update = state_updates.pop(names.TOTAL_PRECIP_RATE, None)
+    for key, value in state_updates.items():
+        st[key] = value
+    if track_precip:
+        delp_after = jnp.asarray(st[names.DELP].data)
+        net_moistening = (delp_after - delp_before).sum(axis=1) / (
+            GRAVITY * dt
+        )
+        phys_precip = st.state.surface.get(names.TOTAL_PRECIP)
+        if phys_precip is None:
+            phys_precip = jnp.zeros_like(net_moistening)
+        total = phys_precip - net_moistening * dt / 1000.0
+        if rate_update is not None:
+            total = jnp.asarray(rate_update.data) * dt / 1000.0
+        total = jnp.maximum(total, 0.0)
+        st.state.surface[names.TOTAL_PRECIP] = total
+        out["net_moistening_due_to_machine_learning"] = net_moistening
+    elif rate_update is not None:
+        st.state.surface[names.TOTAL_PRECIP] = (
+            jnp.asarray(rate_update.data) * dt / 1000.0
+        )
+    return out
+
+
+def build_fused_production_chunk(
+    g: GridArrays,
+    ak: jnp.ndarray,
+    bk: jnp.ndarray,
+    dyn_cfg: DycoreConfig,
+    phys_cfg: PhysicsConfig,
+    nml,
+    ml_stepper=None,
+    n_steps: int = 8,
+    radiation_interval: int = 1,
+    prephysics_kinds: Tuple[str, ...] = (),
+    microphysics_emulator=None,
+    gscond_emulator=None,
+    emulator_piggy_back: bool = False,
+):
+    """The PRODUCTION configuration as one jitted lax.scan chunk:
+    prephysics prescribers -> dynamics -> physics WITH the prognostic
+    surface (slab ocean / sea ice / bucket land / Noah soil) -> in-graph
+    postphysics ML correction, with interval-cached band radiation.
+
+    This is what lets `runfv3` keep the benchmark's fused throughput on
+    the flagship use case — an ML-corrected prognostic run with a real
+    surface — instead of dropping to per-step dispatch (r2 verdict #1;
+    reference per-step semantics: runtime/loop.py:633-664).
+
+    ``prephysics_kinds``: one of "set"/"tend" per prephysics stepper;
+    the jitted fn's ``prescribed`` argument then carries, per stepper, a
+    dict of [n_steps, ...] arrays (prefetched by the TimeLoop host side)
+    applied in order before dynamics each step.
+
+    Returns jitted
+    ``fn(dycore, surface, cos_zenith, prescribed) ->
+    (dycore, surface, chunk_diags)`` where ``chunk_diags`` holds the
+    final-step physics diagnostics plus the chunk-accumulated
+    TOTAL_PRECIP [m].
+    """
+    from fv3net_tpu.dycore.core import validate_acoustic_cfl
+    from fv3net_tpu.runtime import names
+    from fv3net_tpu.runtime.derived_state import DerivedState, ModelState
+    from fv3net_tpu.runtime.surface_step import (
+        physics_with_surface,
+        surface_coupling_factors,
+    )
+
+    validate_acoustic_cfl(g, dyn_cfg)
+    band_radiation = _build_radiation_fn(phys_cfg)
+    gfdl_mode = phys_cfg.microphysics_scheme == "gfdl"
+    dt = dyn_cfg.dt
+
+    def compute_radiation_cache(s: DycoreState, surface, cos_zenith):
+        """One real band-radiation call with the CURRENT surface state
+        (ice/snow albedo, land mask) — mirrors physics_step's internal
+        radiation_fn invocation (physics/driver.py:172-184)."""
+        T, delp, q, qc, o3 = _rad_inputs_full(s, dyn_cfg, gfdl_mode)
+        _, ice_frac = surface_coupling_factors(surface, nml)
+        return band_radiation(
+            T, delp, q, qc, surface[names.TSFC], cos_zenith, g.lat,
+            o3=o3, land=surface.get(names.MASK), ice=ice_frac,
+        )
+
+    def apply_prescribed(s: DycoreState, surface, updates_t, kind: str):
+        """One prephysics stepper's prefetched updates for this step."""
+        st = DerivedState(
+            ModelState(dycore=s, surface=dict(surface)), g,
+            ptop=dyn_cfg.ptop,
+        )
+        if kind == "set":
+            for key, value in updates_t.items():
+                st[key] = value
+        else:  # "tend"
+            from fv3net_tpu.runtime.steppers.machine_learning import (
+                add_tendency,
+            )
+            from fv3net_tpu.core.quantity import Quantity
+
+            add_tendency(
+                st,
+                {k: Quantity(v, ()) for k, v in updates_t.items()},
+                dt,
+            )
+        return st.state.dycore, st.state.surface
+
+    def production(dycore: DycoreState, surface, cos_zenith, prescribed):
+        surface = dict(surface)
+        if band_radiation is not None:
+            cache0 = jax.tree_util.tree_map(
+                lambda sh: jnp.zeros(sh.shape, sh.dtype),
+                jax.eval_shape(
+                    compute_radiation_cache, dycore, surface, cos_zenith
+                ),
+            )
+        else:
+            cache0 = None
+
+        precip0 = jnp.zeros_like(surface[names.TSFC])
+
+        def one_step(s, sfc, cache, i, updates):
+            for kind, upd in zip(prephysics_kinds, updates):
+                s, sfc = apply_prescribed(s, sfc, upd, kind)
+            s = dynamics_step(s, g, ak, bk, dyn_cfg)
+            if band_radiation is not None:
+                cache = jax.lax.cond(
+                    i % radiation_interval == 0,
+                    lambda _: compute_radiation_cache(s, sfc, cos_zenith),
+                    lambda _: cache,
+                    None,
+                )
+                radiation_fn = lambda *_a, **_k: cache  # noqa: E731
+            else:
+                radiation_fn = None  # gray scheme computed in-step
+            s, sfc, raw = physics_with_surface(
+                s, sfc, cos_zenith, g.lat, dt, nml, phys_cfg,
+                radiation_fn=radiation_fn,
+                microphysics_emulator=microphysics_emulator,
+                gscond_emulator=gscond_emulator,
+                emulator_piggy_back=emulator_piggy_back,
+            )
+            if ml_stepper is not None:
+                st = DerivedState(
+                    ModelState(dycore=s, surface=sfc), g,
+                    ptop=dyn_cfg.ptop,
+                )
+                apply_stepper_in_graph(
+                    ml_stepper, st, dt, track_precip=True
+                )
+                s = st.state.dycore
+                sfc = st.state.surface
+            return s, sfc, cache, raw
+
+        xs_updates = tuple(prescribed)
+        xs0 = jax.tree_util.tree_map(lambda a: a[0], xs_updates)
+
+        # the scan carry's pytree structure must be step-invariant: the
+        # physics/ML step ADDS surface keys (TOTAL_PRECIP, ML 2-D state
+        # updates) and emits a raw-diagnostics dict — discover both
+        # abstractly (no FLOPs) and zero-seed them
+        sfc_shapes, raw_shapes = jax.eval_shape(
+            lambda s, sf, c: one_step(s, sf, c, jnp.int32(0), xs0)[1::2],
+            dycore, surface, cache0,
+        )
+        for k in sfc_shapes:
+            if k not in surface:
+                surface[k] = jnp.zeros(
+                    sfc_shapes[k].shape, sfc_shapes[k].dtype
+                )
+        raw0 = {
+            k: jnp.zeros(v.shape, v.dtype) for k, v in raw_shapes.items()
+        }
+
+        def body(carry, xs):
+            s, sfc, cache, precip_acc, _ = carry
+            i, updates = xs
+            s, sfc, cache, raw = one_step(s, sfc, cache, i, updates)
+            precip_acc = precip_acc + sfc[names.TOTAL_PRECIP]
+            return (s, sfc, cache, precip_acc, raw), None
+
+        (dycore, surface, _, precip_acc, raw_last), _ = jax.lax.scan(
+            body,
+            (dycore, surface, cache0, precip0, raw0),
+            (jnp.arange(n_steps), xs_updates),
+        )
+        # final-step physics diagnostics + chunk-accumulated precip
+        raw_last = dict(raw_last)
+        raw_last[names.TOTAL_PRECIP] = precip_acc
+        return dycore, surface, raw_last
+
+    return jax.jit(production)

@@ -60,7 +60,11 @@ def test_fused_matches_perstep_statistically():
     assert np.abs(Tf - Ts).max() / np.abs(Ts).max() < 5e-3
 
 
-def test_steppers_disable_fusion():
+def test_host_bound_steppers_disable_fusion():
+    """Non-PureMLStepper postphysics steppers (nudging, stubs) still
+    force the per-step path; pure-JAX ML and the prognostic surface now
+    FUSE (r2 verdict #1)."""
+
     class _Stub:
         label = "machine_learning"
 
@@ -70,10 +74,141 @@ def test_steppers_disable_fusion():
     cfg = _cfg(fused_chunk_steps=4)
     loop = TimeLoop(cfg, postphysics_stepper=_Stub())
     assert not loop.fusable()
-    # surface prognostics also force the per-step path
+    # surface prognostics fuse now
     cfg2 = _cfg(fused_chunk_steps=4)
     cfg2.namelist.slab_ocean = True
-    assert not TimeLoop(cfg2).fusable()
+    assert TimeLoop(cfg2).fusable()
+
+
+def _ml_stepper(timestep, npz, diagnostic_only=False):
+    import numpy as np
+
+    from fv3net_tpu.fit.testing import ConstantOutputPredictor
+    from fv3net_tpu.runtime.steppers.machine_learning import PureMLStepper
+
+    model = ConstantOutputPredictor(
+        input_variables=["air_temperature", "specific_humidity"],
+        output_variables=["dQ1", "dQ2"],
+        outputs={
+            "dQ1": 1e-5 * np.ones(npz, np.float32),
+            "dQ2": -1e-9 * np.ones(npz, np.float32),
+        },
+    )
+    return PureMLStepper(
+        model, timestep, diagnostic_only=diagnostic_only
+    )
+
+
+def test_fused_production_ml_surface_matches_perstep():
+    """The FLAGSHIP production configuration — ML-corrected run with
+    slab ocean + sea ice + bucket land — executes on the fused path and
+    stays close to the per-step loop (bitwise equality is impossible:
+    the fused path holds cos-zenith fixed per chunk)."""
+    import dataclasses
+
+    def make(fused):
+        cfg = _cfg(
+            fused_chunk_steps=4 if fused else 0,
+            duration_seconds=3600.0,
+        )
+        cfg.namelist.slab_ocean = True
+        cfg.namelist.sea_ice = True
+        cfg.namelist.bucket_land = True
+        loop = TimeLoop(
+            cfg, postphysics_stepper=_ml_stepper(cfg.namelist.dt_atmos, 8)
+        )
+        # put some land in so the bucket does something
+        mask = np.zeros_like(np.asarray(loop.state.surface[names.MASK]))
+        mask[0] = 1.0
+        loop.state.surface[names.MASK] = jnp.asarray(mask)
+        return loop
+
+    lf, ls = make(True), make(False)
+    assert lf.fusable() and not ls.fusable()
+    fused_diags = [d for _t, d in lf]
+    for _ in ls:
+        pass
+    assert len(fused_diags) == 1  # one 4-step chunk
+    Tf = np.asarray(lf.state.dycore.pt)
+    Ts = np.asarray(ls.state.dycore.pt)
+    assert np.abs(Tf - Ts).max() / np.abs(Ts).max() < 5e-3
+    # the prognostic surface advanced inside the fused chunk, and stayed
+    # close to the per-step result
+    for key in ("surface_temperature", "ice_thickness", "soil_moisture"):
+        a = np.asarray(lf.state.surface[key])
+        b = np.asarray(ls.state.surface[key])
+        assert np.isfinite(a).all()
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-6)
+    # ML actually applied: uniform dQ1 of 1e-5 K/s over an hour ≈ 0.036 K
+    # of extra warming vs a no-ML fused run
+    cfg0 = _cfg(fused_chunk_steps=4)
+    cfg0.namelist.slab_ocean = True
+    cfg0.namelist.sea_ice = True
+    cfg0.namelist.bucket_land = True
+    l0 = TimeLoop(cfg0)
+    for _ in l0:
+        pass
+    dT = (np.asarray(lf.state.dycore.pt) - np.asarray(l0.state.dycore.pt))
+    assert dT.mean() > 0.01
+    # chunk diagnostics carry the accumulated precip + physics diags
+    d = fused_diags[0]
+    assert names.TOTAL_PRECIP in d
+    assert "PRATEsfc" in d
+
+
+def test_fused_production_prescriber_matches_perstep():
+    """Prephysics prescribers prefetch per chunk and apply in-graph."""
+    import datetime
+
+    from fv3net_tpu.core.quantity import Quantity
+    from fv3net_tpu.runtime.steppers.prescriber import Prescriber
+
+    def getter(time):
+        # time-dependent SST override: warm pulse scaling with minutes
+        scale = 300.0 + 0.01 * (time.minute + 60 * time.hour)
+        return {
+            "surface_temperature": Quantity(
+                jnp.full((6, 6, 6), scale, jnp.float32), ("tile", "y", "x")
+            )
+        }
+
+    def make(fused):
+        cfg = _cfg(
+            fused_chunk_steps=4 if fused else 0,
+            duration_seconds=3600.0,
+        )
+        return TimeLoop(
+            cfg,
+            prephysics_steppers=[
+                Prescriber(getter, ["surface_temperature"])
+            ],
+        )
+
+    lf, ls = make(True), make(False)
+    assert lf.fusable()
+    for _ in lf:
+        pass
+    for _ in ls:
+        pass
+    np.testing.assert_allclose(
+        np.asarray(lf.state.surface["surface_temperature"]),
+        np.asarray(ls.state.surface["surface_temperature"]),
+        rtol=1e-6,
+    )
+    Tf = np.asarray(lf.state.dycore.pt)
+    Ts = np.asarray(ls.state.dycore.pt)
+    assert np.abs(Tf - Ts).max() / np.abs(Ts).max() < 5e-3
+
+
+def test_diagnostic_only_ml_stays_perstep():
+    cfg = _cfg(fused_chunk_steps=4)
+    loop = TimeLoop(
+        cfg,
+        postphysics_stepper=_ml_stepper(
+            cfg.namelist.dt_atmos, 8, diagnostic_only=True
+        ),
+    )
+    assert not loop.fusable()
 
 
 def test_fused_segment_through_run_segment(tmp_path):

@@ -122,3 +122,42 @@ def test_driver_runs_on_loaded_tables(tmp_path):
     ):
         assert name in out
         assert bool(jnp.isfinite(out[name]).all()), name
+
+
+def test_validate_lookup_dir_accepts_roundtrip_and_rejects_corruption(
+    tmp_path,
+):
+    """validate-lookup-dir (r2 verdict #4): a dumped synthetic table dir
+    validates clean; shape corruption, negative absorption coefficients,
+    and missing files are each reported."""
+    from fv3net_tpu.physics.radiation.rrtmg import validate as rval
+
+    d = str(tmp_path)
+    rio.dump_lw(rtables.make_lw_tables(seed=0), d)
+    rio.dump_sw(rtables.make_sw_tables(seed=1), d)
+    assert rval.validate_lookup_dir(d) == []
+    assert rval.main([d]) == 0
+
+    # corrupt: negative absorption coefficients in one band file
+    lw_bad = rtables.make_lw_tables(seed=0)
+    lw_bad["radlw_kgb03"]["absa"] = -np.abs(
+        np.asarray(lw_bad["radlw_kgb03"]["absa"])
+    )
+    rio.dump_lw(lw_bad, d)
+    probs = rval.validate_lookup_dir(d)
+    assert any("negative" in p and "kgb03" in p for p in probs)
+
+    # corrupt: wrong shape
+    lw_shp = rtables.make_lw_tables(seed=0)
+    lw_shp["radlw_kgb01"]["selfref"] = np.zeros((3, 3))
+    rio.dump_lw(lw_shp, d)
+    probs = rval.validate_lookup_dir(d)
+    assert any("shape" in p and "kgb01" in p for p in probs)
+
+    # missing file
+    import os
+
+    os.remove(os.path.join(d, "radsw_ref_data.nc"))
+    probs = rval.validate_lookup_dir(d)
+    assert any("missing file" in p for p in probs)
+    assert rval.main([d]) == 1
