@@ -297,6 +297,69 @@ def halo_append_concat(field: jnp.ndarray, h: int) -> jnp.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# active-mesh registry: the multi-device halo backend
+# ---------------------------------------------------------------------------
+# ``parallel.sharded.make_mesh`` registers the mesh it builds so that
+# halo_append — called deep inside jitted dycore graphs where no mesh
+# handle is in scope — can route the exchange through the explicit
+# shard_map+ppermute path (shardmap_halo.halo_append_shardmap) instead of
+# leaving the gather formulation to the XLA auto-SPMD partitioner
+# (r2 verdict #5: the partitioner once miscompiled a halo formulation
+# silently; explicit point-to-point transfers retire that class).
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh multi-device halo
+    exchanges should run on."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_mesh():
+    return _ACTIVE_MESH
+
+
+class no_explicit_halo:
+    """Context manager: temporarily clear the active mesh so graphs
+    traced inside fall back to the gather/concat halo — needed for
+    single-device reference computations in a process that also runs a
+    multi-device mesh (a shard_map committed to the mesh cannot consume
+    single-device-committed operands)."""
+
+    def __enter__(self):
+        global _ACTIVE_MESH
+        self._saved = _ACTIVE_MESH
+        _ACTIVE_MESH = None
+        return self
+
+    def __exit__(self, *exc):
+        global _ACTIVE_MESH
+        _ACTIVE_MESH = self._saved
+        return False
+
+
+def _shardmap_eligible(field, h: int, mesh) -> bool:
+    import os
+
+    if os.environ.get("FV3NET_HALO_EXPLICIT", "on").lower() in (
+        "off", "0", "false",
+    ):
+        return False
+    if mesh is None or field.ndim < 3 or field.shape[0] != NUM_TILES:
+        return False
+    try:
+        py = mesh.shape["fv"]
+        px = mesh.shape["fv_x"]
+    except Exception:
+        return False
+    n = field.shape[-1]
+    if field.shape[-2] != n or n % py or n % px:
+        return False
+    return h <= min(n // py, n // px)
+
+
 def halo_append(field: jnp.ndarray, h: int, tables=None,
                 impl: str = None) -> jnp.ndarray:
     """Append an ``h``-deep halo to ``field`` of shape [6, ..., ny, nx].
@@ -321,10 +384,28 @@ def halo_append(field: jnp.ndarray, h: int, tables=None,
       formulation partitions correctly and is exact vs f64 there —
       sharded equivalence tests guard this).
 
-    Default: concat on a single-device process, gather otherwise.
+    - ``"shardmap"``: the explicit shard_map+ppermute exchange
+      (parallel/shardmap_halo.py) over the registered active mesh —
+      point-to-point transfers the partitioner cannot reinterpret.  The
+      default on multi-device processes once a mesh is registered
+      (``set_active_mesh``, done by ``sharded.make_mesh``) and the grid
+      divides the layout; env ``FV3NET_HALO_EXPLICIT=off`` reverts to
+      the gather path.
+
+    Default: concat on a single-device process; shardmap when an active
+    mesh is registered and eligible; gather otherwise.
     """
     if impl is None:
-        impl = "concat" if len(jax.devices()) == 1 else "gather"
+        if len(jax.devices()) == 1:
+            impl = "concat"
+        elif _shardmap_eligible(field, h, _ACTIVE_MESH):
+            impl = "shardmap"
+        else:
+            impl = "gather"
+    if impl == "shardmap":
+        from fv3net_tpu.parallel.shardmap_halo import halo_append_shardmap
+
+        return halo_append_shardmap(field, h, _ACTIVE_MESH)
     if impl == "gather":
         return halo_append_gather(field, h, tables)
     if impl == "concat":

@@ -60,7 +60,13 @@ def make_mesh(
     py, px = layout
     if py * px != devices.size:
         raise ValueError(f"layout {layout} != {devices.size} devices")
-    return Mesh(devices.reshape(py, px), (FV_AXIS, FV_X_AXIS))
+    mesh = Mesh(devices.reshape(py, px), (FV_AXIS, FV_X_AXIS))
+    # register as the halo-exchange mesh: halo_append then routes
+    # multi-device exchanges through the explicit ppermute path
+    from fv3net_tpu.parallel import halo as _halo
+
+    _halo.set_active_mesh(mesh)
+    return mesh
 
 
 def state_sharding(mesh: Mesh):

@@ -2,9 +2,12 @@
 run_segment (the runfv3-append code path) with the fused chunked
 TimeLoop — the VERDICT r1 #4 measurement.
 
-Usage: python scripts/segment_bench.py [radiation] [chunk] [pull_dtype]
-(radiation: gray|rrtmg, default gray; chunk default 12; pull_dtype
-e.g. bfloat16 enables half-width diagnostic pulls)
+Usage: python scripts/segment_bench.py [mode] [chunk] [pull_dtype]
+- mode: gray | rrtmg | production (default gray).  "production" is the
+  flagship use case (r2 verdict #1): real RRTMG radiation + slab ocean +
+  sea ice + an in-config scikit_learn dense ML corrector, all fused.
+- chunk default 12; pull_dtype e.g. bfloat16 enables half-width
+  diagnostic pulls.
 """
 import json
 import shutil
@@ -20,39 +23,91 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, "/root/repo")
 
 
+def _train_tiny_ml(npz: int, model_dir: str):
+    """Train + dump a small dense dQ1/dQ2 corrector for the production
+    config (the scikit_learn path through factories -> fit.load)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from fv3net_tpu.core.dataset import Dataset
+    from fv3net_tpu.core.quantity import Quantity
+    from fv3net_tpu.fit.dense import DenseHyperparameters, train_dense_model
+
+    rng = np.random.RandomState(0)
+    n = 256
+    batch = Dataset(
+        {
+            "air_temperature": Quantity(
+                jnp.asarray(260 + 30 * rng.rand(n, npz), jnp.float32),
+                ("sample", "z"),
+            ),
+            "specific_humidity": Quantity(
+                jnp.asarray(0.01 * rng.rand(n, npz), jnp.float32),
+                ("sample", "z"),
+            ),
+            "dQ1": Quantity(
+                jnp.asarray(1e-5 * rng.randn(n, npz), jnp.float32),
+                ("sample", "z"),
+            ),
+            "dQ2": Quantity(
+                jnp.asarray(1e-8 * rng.randn(n, npz), jnp.float32),
+                ("sample", "z"),
+            ),
+        }
+    )
+    hp = DenseHyperparameters(
+        input_variables=["air_temperature", "specific_humidity"],
+        output_variables=["dQ1", "dQ2"],
+        hidden_layers=2,
+        width=128,
+        epochs=1,
+    )
+    from fv3net_tpu import fit
+
+    model = train_dense_model(hp, [batch])
+    fit.dump(model, model_dir)  # registry dump: writes the 'name' tag
+
+
 def main():
-    radiation = sys.argv[1] if len(sys.argv) > 1 else "gray"
+    mode = sys.argv[1] if len(sys.argv) > 1 else "gray"
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     pull_dtype = sys.argv[3] if len(sys.argv) > 3 else None
     from fv3net_tpu.runtime.config import get_config
     from fv3net_tpu.runtime.segmented_run.api import run_segment
 
+    production = mode == "production"
+    radiation = "rrtmg" if production else mode
     hours = 120.0  # a 5-day segment, amortizing per-segment setup/restart IO
-    cfg = get_config(
-        {
-            "namelist": {
-                "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
-                "radiation": radiation,
-            },
-            "duration_seconds": hours * 3600.0,
-            "fused_chunk_steps": chunk,
-            "radiation_interval_steps": 4,
-            "diagnostics": [
-                {
-                    "name": "state_after_timestep.zarr",
-                    "variables": [
-                        "air_temperature", "specific_humidity",
-                        "surface_pressure", "eastward_wind",
-                    ],
-                    # 3-hourly instantaneous output — the reference's
-                    # standard prognostic-run cadence (its every-timestep
-                    # state output is reserved for training-data runs)
-                    "times": {"kind": "interval", "frequency": 10800},
-                    **({"pull_dtype": pull_dtype} if pull_dtype else {}),
-                }
-            ],
-        }
-    )
+    config_dict = {
+        "namelist": {
+            "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
+            "radiation": radiation,
+        },
+        "duration_seconds": hours * 3600.0,
+        "fused_chunk_steps": chunk,
+        "radiation_interval_steps": 4,
+        "diagnostics": [
+            {
+                "name": "state_after_timestep.zarr",
+                "variables": [
+                    "air_temperature", "specific_humidity",
+                    "surface_pressure", "eastward_wind",
+                ],
+                # 3-hourly instantaneous output — the reference's
+                # standard prognostic-run cadence (its every-timestep
+                # state output is reserved for training-data runs)
+                "times": {"kind": "interval", "frequency": 10800},
+                **({"pull_dtype": pull_dtype} if pull_dtype else {}),
+            }
+        ],
+    }
+    if production:
+        model_dir = tempfile.mkdtemp(prefix="seg_bench_ml_")
+        _train_tiny_ml(32, model_dir)
+        config_dict["namelist"]["slab_ocean"] = True
+        config_dict["namelist"]["sea_ice"] = True
+        config_dict["scikit_learn"] = {"model": [model_dir]}
+    cfg = get_config(config_dict)
     out = tempfile.mkdtemp(prefix="seg_bench_")
     # warm: run one short segment first so compiles don't count.  It must
     # be IDENTICAL to the timed config apart from duration — the
@@ -74,7 +129,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"c48_segment_throughput_{radiation}",
+                "metric": f"c48_segment_throughput_{mode}",
                 "value": round(sypd, 2),
                 "unit": "SYPD",
                 "fused": loop.fusable(),
