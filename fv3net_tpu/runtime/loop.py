@@ -730,6 +730,13 @@ class TimeLoop:
             k: jnp.asarray(v) for k, v in self.state.surface.items()
         }
         production = self._production_features()
+        if production and names.TOTAL_PRECIP not in self.state.surface:
+            # the chunk adds per-step TOTAL_PRECIP to the surface state;
+            # seed it so chunk 2 doesn't retrace on a new pytree
+            # structure (a full second compile, observed ~26 s)
+            self.state.surface[names.TOTAL_PRECIP] = jnp.zeros_like(
+                self.state.surface[names.TSFC]
+            )
         while done < n_total:
             this = min(self._fused_chunk, n_total - done)
             mid = self.time + datetime.timedelta(

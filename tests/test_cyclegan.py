@@ -7,7 +7,12 @@ import jax.numpy as jnp
 from fv3net_tpu import fit
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity
-from fv3net_tpu.fit.cyclegan import CycleGANHyperparameters, train_cyclegan
+from fv3net_tpu.fit.cyclegan import (
+    CycleGANHyperparameters,
+    DiscriminatorConfig,
+    GeneratorConfig,
+    train_cyclegan,
+)
 
 DIMS = ("time", "tile", "z", "y", "x")
 
@@ -28,10 +33,13 @@ def test_cyclegan_learns_distribution_shift(tmp_path):
     ds_a, ds_b = make_domains()
     hp = CycleGANHyperparameters(
         state_variables=["T"],
-        generator_filters=16,
-        generator_depth=2,
-        discriminator_filters=16,
-        discriminator_depth=2,
+        generator=GeneratorConfig(
+            n_convolutions=2, n_resnet=1, max_filters=32
+        ),
+        discriminator=DiscriminatorConfig(
+            n_convolutions=2, max_filters=32
+        ),
+        image_pool_size=4,
         epochs=30,
     )
     model = train_cyclegan(hp, [(ds_a, ds_b)])
@@ -56,3 +64,71 @@ def test_cyclegan_registered():
     from fv3net_tpu.fit.train import training_function_names
 
     assert "cyclegan" in training_function_names()
+
+
+def test_image_pool_semantics():
+    """In-graph replay pool follows the reference rule (image_pool.py):
+    fill-then-return while filling; once full, ~50% return a stored
+    image and swap the current one in."""
+    import jax
+    from fv3net_tpu.fit.cyclegan import pool_query
+
+    P = 4
+    pool = jnp.zeros((P, 2))
+    count = jnp.int32(0)
+    key = jax.random.PRNGKey(0)
+    # filling phase: every query returns the current image and inserts
+    for i in range(P):
+        key, k = jax.random.split(key)
+        img = jnp.full((2,), float(i + 1))
+        pool, count, ret = pool_query(pool, count, k, img)
+        np.testing.assert_array_equal(np.asarray(ret), np.asarray(img))
+    assert int(count) == P
+    np.testing.assert_array_equal(
+        np.asarray(pool[:, 0]), [1.0, 2.0, 3.0, 4.0]
+    )
+    # full phase: returns are either the current image or a pool member,
+    # and both branches occur over many draws
+    used_old = used_new = 0
+    for i in range(64):
+        key, k = jax.random.split(key)
+        img = jnp.full((2,), 100.0 + i)
+        before = np.asarray(pool).copy()
+        pool, count, ret = pool_query(pool, count, k, img)
+        r = float(np.asarray(ret)[0])
+        if r == 100.0 + i:
+            used_new += 1
+            np.testing.assert_array_equal(np.asarray(pool), before)
+        else:
+            used_old += 1
+            assert r in before[:, 0]  # returned a stored image
+            assert 100.0 + i in np.asarray(pool)[:, 0]  # swapped in
+    assert used_old > 10 and used_new > 10
+    assert int(count) == P
+
+
+def test_generator_shapes_and_resolution_pyramid():
+    """The ResNet encoder/decoder halves and restores resolution through
+    the strided pyramid, with cube-seam-consistent convs at every
+    level."""
+    import jax
+    from fv3net_tpu.fit.cyclegan import (
+        apply_generator,
+        apply_discriminator,
+        init_discriminator,
+        init_generator,
+        _geo_features,
+    )
+
+    n, C = 8, 3
+    gcfg = GeneratorConfig(n_convolutions=2, n_resnet=2, max_filters=16)
+    dcfg = DiscriminatorConfig(n_convolutions=2, max_filters=16)
+    geo = _geo_features(n)
+    gp = init_generator(jax.random.PRNGKey(0), gcfg, C, n)
+    dp = init_discriminator(jax.random.PRNGKey(1), dcfg, C)
+    x = jnp.asarray(np.random.RandomState(0).randn(6, n, n, C), jnp.float32)
+    y = apply_generator(gp, gcfg, geo, x)
+    assert y.shape == (6, n, n, C)
+    # PatchGAN: a per-patch score MAP, not a scalar
+    d = apply_discriminator(dp, dcfg, geo, x)
+    assert d.shape == (6, n // 4, n // 4, 1)
