@@ -77,7 +77,9 @@ def main():
 
     production = mode == "production"
     radiation = "rrtmg" if production else mode
-    hours = 120.0  # a 5-day segment, amortizing per-segment setup/restart IO
+    # segment length (hours): default a 5-day segment; production runs
+    # commonly append month-long segments
+    hours = float(sys.argv[4]) if len(sys.argv) > 4 else 120.0
     config_dict = {
         "namelist": {
             "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
