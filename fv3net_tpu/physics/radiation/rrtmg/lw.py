@@ -223,7 +223,39 @@ def prep_lw_tables(lwdict: Dict, dtype=jnp.float64) -> Dict:
                 # [ng, ...] -> [..., ng] rows-leading for take(axis=0)
                 bt[name] = jnp.asarray(np.moveaxis(a, 0, -1), dtype)
         bands.append(bt)
+    # stratospheric co2 cooling-rate adjustment g-point weights for
+    # bands 4 and 7 (reference radlw_main taugb4/taugb7 literals) —
+    # carried in the table dict so the Pallas taumol megakernel sees
+    # them as inputs, not captured constants
+    adj4 = np.ones(P.NG_LW[3])
+    adj4[7:14] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.88, 0.943]
+    adj7 = np.ones(P.NG_LW[6])
+    adj7[5:11] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.855]
+    bands[3]["co2adj"] = jnp.asarray(adj4, dtype)
+    bands[6]["co2adj"] = jnp.asarray(adj7, dtype)
     out["bands"] = bands
+    # pre-merged group tables (pure functions of the k-tables): the
+    # Pallas taumol megakernel consumes these flat 2-D forms — table
+    # reshapes/concats do not lower inside Mosaic kernels — and they
+    # also save per-trace work on the XLA path
+    def _flat_group(key, idx, nspa, nbase):
+        parts = [_reshape_base(bands[i][key], nspa, nbase) for i in idx]
+        merged = jnp.concatenate(parts, axis=-1)  # [nbase, nspa, Gsum]
+        return merged.reshape(nbase, -1)
+
+    out["mtab_lo9"] = _flat_group("absa", _SPEC_LO, 9, NBASE_LO)
+    out["mtab_hi5"] = _flat_group("absb", _SPEC_HI, 5, NBASE_HI)
+    out["mtab_lo1"] = _flat_group("absa", _SINGLE_LO, 1, NBASE_LO)
+    out["mtab_hi1"] = _flat_group("absb", _SINGLE_HI, 1, NBASE_HI)
+    out["selfref_all"] = jnp.concatenate(
+        [bands[i]["selfref"] for i in range(16)], axis=-1
+    )
+    out["forref_all"] = jnp.concatenate(
+        [bands[i]["forref"] for i in range(16)], axis=-1
+    )
+    out["minor1_all"] = jnp.concatenate(
+        [bands[i][k] for i, k in _MINOR1_KEYS], axis=-1
+    )
     return out
 
 
@@ -378,11 +410,16 @@ def _take(tabT, ids):
         oh = (ids[..., None] == jnp.arange(rows, dtype=ids.dtype)).astype(
             st
         )
-        return jnp.einsum(
-            "...r,rg->...g", oh, tabT.astype(st),
-            precision=_mm_precision(st),
-        )
+        return _dot2(oh, tabT.astype(st))
     return jnp.take(tabT, ids, axis=0)
+
+
+def _chirow(tab1d, ids):
+    """chi_mls reference-amount row by [C, L] pressure index, as a
+    one-hot selection (gathers do not lower inside the Pallas taumol
+    megakernel; the selection is exact in f64 and rounds like the other
+    bf16-storage selections on TPU)."""
+    return _take(tab1d[:, None], ids)[..., 0]
 
 
 def _self_for_all(c, selfref_all, forref_all):
@@ -462,6 +499,20 @@ def _minor2(tab, jm, fm, c):
 # apply the small data-dependent species stencil to the [C, L, nspa, g]
 # result.  Selected rows and weights are identical to the flat form;
 # only the summation association differs (f64 oracle rtol 1e-9 holds).
+# taumol band groupings (shared by taumol_lw and the table pre-merge in
+# prep_lw_tables / the Pallas megakernel)
+_SPEC_LO = (2, 3, 4, 6, 8, 11, 12, 14, 15)  # nspa=9 lower bands
+_SINGLE_LO = (0, 1, 5, 7, 9, 10, 13)
+_SPEC_HI = (2, 3, 4)  # nspb=5 upper bands
+_SINGLE_HI = (0, 1, 6, 7, 8, 9, 10, 13)
+# 1-D minor-gas (band, table) pairs sharing indminor/minorfrac
+_MINOR1_KEYS = [
+    (0, "ka_mn2"), (5, "ka_mco2"), (6, "kb_mco2"),
+    (7, "ka_mco2"), (7, "ka_mo3"), (7, "ka_mn2o"),
+    (7, "kb_mco2"), (7, "kb_mn2o"), (8, "kb_mn2o"),
+    (10, "ka_mo2"), (10, "kb_mo2"), (12, "kb_mo3"),
+]
+
 NBASE_LO = 70  # 13 ref pressures x 5 temps, + the jp+1 path's rows 65-68
                # and their +1 temperature offset (row 69)
 NBASE_HI = 236  # 47 x 5 for absb + the jp-12 path's +1 offset
@@ -490,16 +541,53 @@ def _fac_weights(base, fac_a, fac_b, nbase, dtype):
     )
 
 
+def _dot2(W, tab):
+    """[..., b] x [b, G] -> [..., G] as a rank-2 MXU dot (the leading
+    dims flattened): identical HLO under XLA, and the only dot form the
+    Mosaic (Pallas) lowering accepts inside the taumol megakernel.
+
+    Inside a Pallas kernel the contracting dim must be tile-aligned
+    (16 sublanes for bf16, 8 for f32); zero-padding it is exact."""
+    lead = W.shape[:-1]
+    tab = tab.astype(W.dtype)
+    if _IN_PALLAS:
+        mult = 16 if W.dtype == jnp.bfloat16 else 8
+        k = W.shape[-1]
+        kp = -(-k // mult) * mult
+        if kp != k:
+            W = jnp.pad(
+                W, ((0, 0),) * (W.ndim - 1) + ((0, kp - k),)
+            )
+            tab = jnp.pad(tab, ((0, kp - k), (0, 0)))
+    if _IN_PALLAS and W.dtype == jnp.bfloat16:
+        # Mosaic requires a 32-bit accumulator for bf16 matmuls
+        out = jax.lax.dot_general(
+            W.reshape((-1, W.shape[-1])), tab,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(W.dtype)
+    else:
+        out = jax.lax.dot_general(
+            W.reshape((-1, W.shape[-1])), tab,
+            (((1,), (0,)), ((), ())),
+            precision=_mm_precision(W.dtype),
+        )
+    return out.reshape(lead + (tab.shape[-1],))
+
+
+# set True while tracing the Pallas taumol megakernel body
+# (pallas_taumol.py) so the shared helpers emit tile-aligned dots
+_IN_PALLAS = False
+
+
 def _merged_A(W, tabs, nspa, nbase):
     """[C,L,nbase] x [nbase, nspa, sum_ng] -> [C,L,nspa,sum_ng]: the
     pressure/temperature-interpolated table rows for a group of bands."""
     tab = jnp.concatenate(
         [_reshape_base(t, nspa, nbase) for t in tabs], axis=-1
     )
-    return jnp.einsum(
-        "clb,bsg->clsg", W, tab.astype(W.dtype),
-        precision=_mm_precision(W.dtype),
-    )
+    flat = _dot2(W, tab.reshape(nbase, -1))
+    return flat.reshape(W.shape[:-1] + (nspa, tab.shape[-1]))
 
 
 def _merged_single(Wsum, tabs, nbase):
@@ -507,10 +595,7 @@ def _merged_single(Wsum, tabs, nbase):
     tab = jnp.concatenate(
         [_reshape_base(t, 1, nbase)[:, 0] for t in tabs], axis=-1
     )
-    return jnp.einsum(
-        "clb,bg->clg", Wsum, tab.astype(Wsum.dtype),
-        precision=_mm_precision(Wsum.dtype),
-    )
+    return _dot2(Wsum, tab)
 
 
 def _stencil3_terms(specparm, fs, js, dtype):
@@ -632,9 +717,7 @@ def _weighted_rows(tabT, terms):
         ).astype(st)
         contrib = oh if w is None else oh * w[..., None].astype(st)
         W = contrib if W is None else W + contrib
-    return jnp.einsum(
-        "clr,rg->clg", W, tabT.astype(st), precision=_mm_precision(st)
-    )
+    return _dot2(W, tabT.astype(st))
 
 
 def _frac2(fracT, jpl, fpl):
@@ -660,7 +743,9 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     [C,L,nbands].  Returns (fracs, tautot) each [C, L, ngptlw]."""
     chi = T["chi_mls"]
     B = T["bands"]
-    tropo = c["tropo"][..., None]
+    # expand in int then compare: Mosaic cannot reshape i1 vectors, and
+    # this form is fusion-free under XLA too
+    tropo = c["tropo"].astype(jnp.int32)[..., None] != 0
     taus = []
     fracs_all = []
     jp = c["jp"]  # 1-based
@@ -685,10 +770,10 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     Whi0 = _fac_weights(baseU0, c["fac00"], c["fac10"], NBASE_HI, dtype)
     Whi1 = _fac_weights(baseU1, c["fac01"], c["fac11"], NBASE_HI, dtype)
 
-    SPEC_LO = (2, 3, 4, 6, 8, 11, 12, 14, 15)  # nspa=9 lower bands
-    SINGLE_LO = (0, 1, 5, 7, 9, 10, 13)
-    SPEC_HI = (2, 3, 4)  # nspb=5 upper bands
-    SINGLE_HI = (0, 1, 6, 7, 8, 9, 10, 13)
+    SPEC_LO = _SPEC_LO
+    SINGLE_LO = _SINGLE_LO
+    SPEC_HI = _SPEC_HI
+    SINGLE_HI = _SINGLE_HI
     # band 16's nspb is 0, so the reference's flat upper index collapses
     # to rows 0/1 regardless of jp/jt — handled inline at band 16
 
@@ -698,17 +783,23 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     sh1 = g_offsets(SINGLE_HI, P.NG_LW)
 
     pallas_mode = _pallas_ktable_mode()
-    if pallas_mode == "off":
+    G9 = sum(P.NG_LW[i] for i in SPEC_LO)
+    G5 = sum(P.NG_LW[i] for i in SPEC_HI)
+    if _IN_PALLAS:
+        # megakernel route: FLAT interpolated-table planes ([.., nspa*G],
+        # no >2-D reshapes — Mosaic cannot lower them); consumed by the
+        # sliced flat contraction in tau_spec_lo/hi below
+        A9f_0 = _dot2(Wlo0, T["mtab_lo9"])
+        A9f_1 = _dot2(Wlo1, T["mtab_lo9"])
+        A5f_0 = _dot2(Whi0, T["mtab_hi5"])
+        A5f_1 = _dot2(Whi1, T["mtab_hi5"])
+    elif pallas_mode == "off":
         A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
         A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
         A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
         A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
-    A1_lo = _merged_single(
-        Wlo0 + Wlo1, [B[i]["absa"] for i in SINGLE_LO], NBASE_LO
-    )
-    A1_hi = _merged_single(
-        Whi0 + Whi1, [B[i]["absb"] for i in SINGLE_HI], NBASE_HI
-    )
+    A1_lo = _dot2(Wlo0 + Wlo1, T["mtab_lo1"].astype(_sdt(dtype)))
+    A1_hi = _dot2(Whi0 + Whi1, T["mtab_hi1"].astype(_sdt(dtype)))
 
     # raw pressure/temperature selection pairs for the Pallas route
     # (same clipping as _fac_weights)
@@ -741,10 +832,23 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
             interpret=(pallas_mode == "interpret"),
         )
 
+    def _contract_flat(S, Af, nspa, Gsum, sl):
+        """Sliced flat contraction: Σ_s S[.., s] * Af[.., s*Gsum + sl]
+        — the reshape-free (Mosaic-compatible) form of
+        ``_contract(S, A[..., sl])``; f32 accumulation, reassociation
+        roundoff only."""
+        acc_dt = _acc(Af.dtype)
+        acc = None
+        for s in range(nspa):
+            chunk = Af[..., s * Gsum + sl.start : s * Gsum + sl.stop]
+            term = (
+                S[..., s : s + 1].astype(acc_dt) * chunk.astype(acc_dt)
+            )
+            acc = term if acc is None else acc + term
+        return acc
+
     tauself_all, taufor_all = _self_for_all(
-        c,
-        jnp.concatenate([B[i]["selfref"] for i in range(16)], axis=-1),
-        jnp.concatenate([B[i]["forref"] for i in range(16)], axis=-1),
+        c, T["selfref_all"], T["forref_all"]
     )
 
     def self_for(b):
@@ -756,18 +860,10 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     # selections over the concatenated tables replaces 12 separate
     # _minor1 fetches (bit-exact: identical per-row selections and the
     # identical m0 + mf*(m1-m0) lerp, just sliced from a wider plane)
-    _MINOR1 = [
-        (0, "ka_mn2"), (5, "ka_mco2"), (6, "kb_mco2"),
-        (7, "ka_mco2"), (7, "ka_mo3"), (7, "ka_mn2o"),
-        (7, "kb_mco2"), (7, "kb_mn2o"), (8, "kb_mn2o"),
-        (10, "ka_mo2"), (10, "kb_mo2"), (12, "kb_mo3"),
-    ]
-    minor1_all = _minor1(
-        jnp.concatenate([B[i][k] for i, k in _MINOR1], axis=-1), c
-    )
+    minor1_all = _minor1(T["minor1_all"], c)
     _m1_sl = {}
     off = 0
-    for i, k in _MINOR1:
+    for i, k in _MINOR1_KEYS:
         _m1_sl[(i, k)] = slice(off, off + P.NG_LW[i])
         off += P.NG_LW[i]
 
@@ -781,6 +877,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         return col[..., None] * A1_hi[..., sh1[i]]
 
     def tau_spec_lo(i, sc, sp, fs, js, sc1, sp1, fs1, js1):
+        if _IN_PALLAS:
+            return sc[..., None] * _contract_flat(
+                _stencil3(sp, fs, js, dtype), A9f_0, 9, G9, sl9[i]
+            ) + sc1[..., None] * _contract_flat(
+                _stencil3(sp1, fs1, js1, dtype), A9f_1, 9, G9, sl9[i]
+            )
         if pallas_mode != "off":
             return _tau_spec_pallas(
                 _flat_tab(B[i]["absa"], 9, NBASE_LO), 9,
@@ -794,6 +896,12 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         )
 
     def tau_spec_hi(i, scU, fsU, jsU, scU1, fsU1, jsU1):
+        if _IN_PALLAS:
+            return scU[..., None] * _contract_flat(
+                _stencil2(fsU, jsU, 5, dtype), A5f_0, 5, G5, sl5[i]
+            ) + scU1[..., None] * _contract_flat(
+                _stencil2(fsU1, jsU1, 5, dtype), A5f_1, 5, G5, sl5[i]
+            )
         if pallas_mode != "off":
             return _tau_spec_pallas(
                 _flat_tab(B[i]["absb"], 5, NBASE_HI), 5,
@@ -853,11 +961,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     sc1, sp1, js1, fs1 = _spec(h2o, co2, c["rfrate"][..., 0, 1])
     jmn2o, fmn2o = _jpl(h2o, co2, refrat_m_a)
     jpl_, fpl = _jpl(h2o, co2, refrat_pl_a)
-    ratn2o = n2o / (coldry * jnp.take(chi[3], jp))
+    ratn2o = n2o / (coldry * _chirow(chi[3], jp))
     adjcoln2o = jnp.where(
         ratn2o > 1.5,
         (0.5 + (ratn2o - 0.5) ** 0.65)
-        * (coldry * jnp.take(chi[3], jp)),
+        * (coldry * _chirow(chi[3], jp)),
         n2o,
     )
     tauself, taufor = self_for(2)
@@ -900,9 +1008,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     jplU, fplU = _jpl(o3, co2, refrat_pl_b, mult=4.0)
     upper = tau_spec_hi(3, scU, fsU, jsU, scU1, fsU1, jsU1)
     # stratospheric co2 cooling-rate adjustment (g-point weights)
-    adj = np.ones(P.NG_LW[3])
-    adj[7:14] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.88, 0.943]
-    upper = upper * jnp.asarray(adj, upper.dtype)
+    upper = upper * bt["co2adj"].astype(upper.dtype)
     fr_hi = _frac2(bt["fracrefb"], jplU, fplU)
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, fr_hi))
@@ -939,11 +1045,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     # ---- band 6: h2o lower (minor co2, cfc11/12); cfc-only upper -----
     bt = B[5]
     tauself, taufor = self_for(5)
-    ratco2 = co2 / (coldry * jnp.take(chi[1], jp + 1))
+    ratco2 = co2 / (coldry * _chirow(chi[1], jp + 1))
     adjcolco2 = jnp.where(
         ratco2 > 3.0,
         (2.0 + (ratco2 - 2.0) ** 0.77)
-        * (coldry * jnp.take(chi[1], jp + 1)),
+        * (coldry * _chirow(chi[1], jp + 1)),
         co2,
     )
     absco2 = minor1(5, "ka_mco2")
@@ -966,11 +1072,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     sc1, sp1, js1, fs1 = _spec(h2o, o3, c["rfrate"][..., 1, 1])
     jmco2, fmco2 = _jpl(h2o, o3, refrat_m_a)
     jpl_, fpl = _jpl(h2o, o3, refrat_pl_a)
-    ratco2_lo = co2 / (coldry * jnp.take(chi[1], jp))
+    ratco2_lo = co2 / (coldry * _chirow(chi[1], jp))
     adjco2_lo = jnp.where(
         ratco2_lo > 3.0,
         (3.0 + (ratco2_lo - 3.0) ** 0.79)
-        * (coldry * jnp.take(chi[1], jp)),
+        * (coldry * _chirow(chi[1], jp)),
         co2,
     )
     tauself, taufor = self_for(6)
@@ -983,7 +1089,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     adjco2_hi = jnp.where(
         ratco2_lo > 3.0,
         (2.0 + (ratco2_lo - 2.0) ** 0.79)
-        * (coldry * jnp.take(chi[1], jp)),
+        * (coldry * _chirow(chi[1], jp)),
         co2,
     )
     absco2_hi = minor1(6, "kb_mco2")
@@ -991,20 +1097,18 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
         tau_single_hi(6, o3)
         + adjco2_hi[..., None] * absco2_hi
     )
-    adj = np.ones(P.NG_LW[6])
-    adj[5:11] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.855]
-    upper = upper * jnp.asarray(adj, upper.dtype)
+    upper = upper * bt["co2adj"].astype(upper.dtype)
     taus.append(combine(lower, upper))
     fracs_all.append(combine(fr_lo, bcast1(bt["fracrefb"])))
 
     # ---- band 8: h2o lower (minors co2,o3,n2o,cfc) / o3 upper --------
     bt = B[7]
     tauself, taufor = self_for(7)
-    ratco2 = co2 / (coldry * jnp.take(chi[1], jp))
+    ratco2 = co2 / (coldry * _chirow(chi[1], jp))
     adjcolco2 = jnp.where(
         ratco2 > 3.0,
         (2.0 + (ratco2 - 2.0) ** 0.65)
-        * (coldry * jnp.take(chi[1], jp)),
+        * (coldry * _chirow(chi[1], jp)),
         co2,
     )
     cfc = wx[..., 2:3] * bt["cfc12"] + wx[..., 3:4] * bt["cfc22adj"]
@@ -1036,11 +1140,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     sc1, sp1, js1, fs1 = _spec(h2o, ch4, c["rfrate"][..., 3, 1])
     jmn2o, fmn2o = _jpl(h2o, ch4, refrat_m_a)
     jpl_, fpl = _jpl(h2o, ch4, refrat_pl_a)
-    ratn2o = n2o / (coldry * jnp.take(chi[3], jp))
+    ratn2o = n2o / (coldry * _chirow(chi[3], jp))
     adjcoln2o = jnp.where(
         ratn2o > 1.5,
         (0.5 + (ratn2o - 0.5) ** 0.65)
-        * (coldry * jnp.take(chi[3], jp)),
+        * (coldry * _chirow(chi[3], jp)),
         n2o,
     )
     tauself, taufor = self_for(8)
@@ -1595,9 +1699,19 @@ def lwrad(
         cldfrc, clwp, relw, ciwp, reiw, cda1, cda2, cda3, cda4,
         rand2d, T, iovrlw=iovrlw, ilwcliq=ilwcliq,
     )
-    fracs, tautot = taumol_lw(
-        c, colamt, coldry, colbrd, wx, tauaer, T
-    )
+    import os as _os
+
+    _mega = int(_os.environ.get("FV3NET_RRTMG_TAUMOL_MEGA", "0") or 0)
+    if _mega:
+        from fv3net_tpu.physics.radiation.rrtmg import pallas_taumol
+
+        fracs, tautot = pallas_taumol.taumol_lw_megakernel(
+            c, colamt, coldry, colbrd, wx, tauaer, T, block=_mega,
+        )
+    else:
+        fracs, tautot = taumol_lw(
+            c, colamt, coldry, colbrd, wx, tauaer, T
+        )
     totuflux, totdflux, htr, totuclfl, totdclfl, htrcl = rtrnmc_lw(
         semiss, delpin, cldfmc, taucld, tautot,
         c["pklay"], c["pklev"], fracs, secdif, fast_exp=fast_exp,
