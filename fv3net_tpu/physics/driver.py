@@ -78,6 +78,22 @@ class PhysicsConfig:
     # stratospheric methane-oxidation water source (GFS h2o_phys role,
     # physics/h2ophys.py); off by default — it adds water mass
     stratospheric_h2o: bool = False
+    # stratospheric thermal sponge: Newtonian relaxation of T toward
+    # ``top_sponge_tref`` with a weight ramping linearly from 0 at
+    # ``top_sponge_pa`` to 1 at p=0.  Standard upper-boundary treatment
+    # for models whose middle-atmosphere radiation is not tuned to
+    # balance: the SYNTHETIC RRTMG k-tables deposit a net ~6 K/day of
+    # spurious heating through 10-80 hPa (fabricated spectroscopy has
+    # no ozone-heating/CO2-cooling balance), which accumulated into a
+    # +100 K stratosphere and a blow-up at day ~21-26 of the C48
+    # coupled soak (docs/acceptance.md).  With the sponge the
+    # stratosphere above ~100 hPa is relaxation-bounded — an honest
+    # trade while the measured k-distributions are unavailable; with
+    # real tables set top_sponge_days=0 (off) or weaken it.  The
+    # troposphere (>100 hPa) is untouched (weight 0).
+    top_sponge_pa: float = 10000.0
+    top_sponge_days: float = 1.0
+    top_sponge_tref: float = 235.0
 
 
 def _zlast(x):
@@ -196,6 +212,14 @@ def physics_step(
             albedo=albedo,
         )
     T = T + dt * heating
+
+    if cfg.top_sponge_days > 0:
+        # upper-boundary Newtonian relaxation (see PhysicsConfig note)
+        w_sp = jnp.clip(
+            (cfg.top_sponge_pa - pmid) / cfg.top_sponge_pa, 0.0, 1.0
+        )
+        rate = w_sp * (dt / (cfg.top_sponge_days * 86400.0))
+        T = T + rate * (cfg.top_sponge_tref - T)
 
     # ---- surface fluxes -------------------------------------------------
     wind_sfc = wind[..., -1]

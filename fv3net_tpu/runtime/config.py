@@ -274,9 +274,15 @@ class NamelistConfig:
     hydrostatic: bool = True
     # upper-level Rayleigh sponge (the fv3gfs-fortran fv_core_nml
     # ``tau``/``rf_cutoff`` pair): e-folding time in DAYS at the model
-    # top (0 disables) and the pressure (Pa) below which no damping acts
-    tau: float = 0.0
-    rf_cutoff: float = 750.0
+    # top (0 disables) and the pressure (Pa) below which no damping acts.
+    # ON by default: without it the top layers develop unbounded winds
+    # in multi-week coupled runs (C48 RRTMG soak blow-ups at days 21-28
+    # traced to z=0-1 wind growth; tau=1 d to 30 hPa ran the 30-day
+    # coupled soak green, docs/acceptance.md).  The deep cutoff reflects
+    # this build's LOW model top (3 hPa): fv3gfs uses 750 Pa against
+    # ~60 Pa tops, the same top few layers
+    tau: float = 1.0
+    rf_cutoff: float = 3000.0
     # prognostic mixed-layer surface temperature (physics/slab_ocean.py)
     # instead of fixed aquaplanet SST
     slab_ocean: bool = False

@@ -1,0 +1,301 @@
+"""Scientific acceptance battery -> docs/acceptance.md (r2 verdict #9).
+
+Runs the dycore/physics validation cases and records the QUANTITATIVE
+norms next to their expected ranges, so dycore validity is an auditable
+table rather than a pytest boolean.  Cases (BASELINE.md parity framing):
+
+1. JW06 balanced jet steadiness (10 days, hydrostatic): the analytic
+   initial state is a steady solution; wind drift is pure core error.
+2. JW06 perturbed baroclinic wave: the 1 m/s bump must grow into the
+   canonical wave train (surface-pressure deepening by day 10).
+3. Mountain at rest: topography + balanced stratification must produce
+   no flow (tests the pressure-gradient/orography discretization).
+4. Held-Suarez forcing: a midlatitude westerly jet of the expected
+   strength must spin up from rest.
+5. 30-day coupled soak at C48: hourly RRTMG + slab ocean + sea ice +
+   bucket land; conservation/boundedness norms over the full month.
+
+Usage: python scripts/acceptance.py [outfile]  (runs on the attached
+TPU; ~15 min total incl. compiles).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _chunked(step, state, n_steps, chunk=96):
+    """Run n_steps of `step` as chunked lax.fori dispatches."""
+    @jax.jit
+    def run_chunk(s, n):
+        return lax.fori_loop(0, n, lambda _, x: step(x), s)
+
+    done = 0
+    while done < n_steps:
+        this = min(chunk, n_steps - done)
+        state = run_chunk(state, this)
+        done += this
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    return state
+
+
+def _wind_max(state, g):
+    speed = jnp.sqrt((jnp.stack(
+        [state.wind[c] for c in range(3)]) ** 2).sum(0))
+    return float(jnp.max(speed))
+
+
+def case_jw06_balanced(npx=48, npz=26, days=10):
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import DycoreConfig, dynamics_step
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.dycore.testcases import baroclinic_wave_state
+
+    grid = make_grid(npx)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = baroclinic_wave_state(grid, npz, perturb=False)
+    akj, bkj = jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32)
+    cfg = DycoreConfig(dt=900.0, n_split=4, advection_order=4,
+                       diff_coef=0.001, divergence_damp_coef=0.06,
+                       remap_te=True, kord=9)
+    u0 = _wind_max(state, g)
+    out = _chunked(lambda s: dynamics_step(s, g, akj, bkj, cfg),
+                   state, days * 96)
+    return {
+        "initial_jet_max_ms": round(u0, 2),
+        "jet_max_after_days_ms": round(_wind_max(out, g), 2),
+        "jet_drift_ms": round(abs(_wind_max(out, g) - u0), 2),
+    }
+
+
+def case_jw06_wave(npx=48, npz=26, days=10):
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import DycoreConfig, dynamics_step
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.dycore.testcases import baroclinic_wave_state
+
+    grid = make_grid(npx)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = baroclinic_wave_state(grid, npz, perturb=True)
+    akj, bkj = jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32)
+    cfg = DycoreConfig(dt=900.0, n_split=4, advection_order=4,
+                       diff_coef=0.001, divergence_damp_coef=0.06,
+                       remap_te=True, kord=9)
+
+    def ps_minmax(s):
+        ps = s.delp.sum(axis=1) + cfg.ptop
+        return float(ps.min()) / 100.0, float(ps.max()) / 100.0
+
+    p0_min, p0_max = ps_minmax(state)
+    out = _chunked(lambda s: dynamics_step(s, g, akj, bkj, cfg),
+                   state, days * 96)
+    p1_min, p1_max = ps_minmax(out)
+    return {
+        "ps_min_day0_hPa": round(p0_min, 2),
+        "ps_min_day10_hPa": round(p1_min, 2),
+        "deepening_hPa": round(p0_min - p1_min, 2),
+        "ps_max_day10_hPa": round(p1_max, 2),
+    }
+
+
+def case_mountain(npx=24, npz=20, days=5):
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import DycoreConfig, dynamics_step
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.dycore.testcases import mountain_rest_state
+
+    grid = make_grid(npx)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = mountain_rest_state(grid, npz)
+    akj, bkj = jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32)
+    cfg = DycoreConfig(dt=900.0, n_split=4, advection_order=4,
+                       diff_coef=0.001, divergence_damp_coef=0.06,
+                       remap_te=True, kord=9)
+    mid = _chunked(lambda s: dynamics_step(s, g, akj, bkj, cfg),
+                   state, 24)  # 6 hours: the discrete-balance regime
+    w6h = float(_wind_max(mid, g))
+    out = _chunked(lambda s: dynamics_step(s, g, akj, bkj, cfg),
+                   mid, days * 96 - 24)
+    return {"max_spurious_wind_6h_ms": w6h,
+            "max_spurious_wind_5d_ms": float(_wind_max(out, g))}
+
+
+def case_held_suarez(npx=24, npz=20, days=60):
+    import dataclasses as dc
+
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.dycore import DycoreConfig, dynamics_step, init_state
+    from fv3net_tpu.dycore.core import GridArrays
+    from fv3net_tpu.dycore.state import (
+        temperature_from_theta_v,
+        theta_v_from_temperature,
+    )
+    from fv3net_tpu.ops import thermo
+    from fv3net_tpu.physics.held_suarez import held_suarez_forcing
+
+    grid = make_grid(npx)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = init_state(grid, npz, perturbation=1.0)
+    akj, bkj = jnp.asarray(ak, jnp.float32), jnp.asarray(bk, jnp.float32)
+    cfg = DycoreConfig(dt=900.0, n_split=2, advection_order=4,
+                       diff_coef=0.004, divergence_damp_coef=0.06,
+                       kord=9)
+
+    def step(s):
+        s = dynamics_step(s, g, akj, bkj, cfg)
+        delp = jnp.moveaxis(s.delp, 1, -1)
+        pmid = jnp.moveaxis(
+            thermo.pressure_at_midpoint_log(delp, toa_pressure=cfg.ptop),
+            -1, 1,
+        )
+        T = temperature_from_theta_v(s.pt, pmid, s.tracers["sphum"])
+        Tz = jnp.moveaxis(T, 1, -1)
+        wz = jnp.stack(
+            [jnp.moveaxis(s.wind[c], 1, -1) for c in range(3)]
+        )
+        ps = s.delp.sum(axis=1) + cfg.ptop
+        T2, w2 = held_suarez_forcing(
+            Tz, wz, jnp.moveaxis(pmid, 1, -1), ps, g.lat, cfg.dt
+        )
+        return dc.replace(
+            s,
+            pt=theta_v_from_temperature(
+                jnp.moveaxis(T2, -1, 1), pmid, s.tracers["sphum"]
+            ),
+            wind=jnp.stack(
+                [jnp.moveaxis(w2[c], -1, 1) for c in range(3)]
+            ),
+        )
+
+    out = _chunked(step, state, days * 96)
+    east = jnp.asarray(np.moveaxis(grid.east, -1, 0))
+    u = (out.wind * east[:, :, None]).sum(axis=0)  # [6, nz, ny, nx]
+    return {"max_westerly_ms": round(float(jnp.max(u)), 1)}
+
+
+def case_coupled_soak(npx=48, npz=32, days=30):
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime import TimeLoop, names
+
+    cfg = get_config({
+        "namelist": {
+            "npx": npx, "npz": npz, "dt_atmos": 900.0, "n_split": 2,
+            "radiation": "rrtmg", "slab_ocean": True, "sea_ice": True,
+            "bucket_land": True,
+        },
+        "duration_seconds": days * 86400.0,
+        "fused_chunk_steps": 24,
+        "radiation_interval_steps": 4,
+    })
+    loop = TimeLoop(cfg)
+    g = loop._g
+    area = jnp.asarray(g.area)
+
+    def total_air_mass(state):
+        # total column mass: exactly conserved by the dycore+physics
+        # (water phase changes adjust q at fixed delp; the delp-adjusting
+        # path is the ML sphum setter, not used here)
+        return float((state.dycore.delp * area[:, None]).sum())
+
+    def mean_T(state):
+        from fv3net_tpu.runtime.derived_state import DerivedState
+        st = DerivedState(state, g)
+        T = jnp.asarray(st["air_temperature"].data)
+        w = state.dycore.delp * area[:, None]
+        return float((T * w).sum() / w.sum())
+
+    m0 = total_air_mass(loop.state)
+    T0 = mean_T(loop.state)
+    t0 = time.perf_counter()
+    for _ in loop:
+        pass
+    wall = time.perf_counter() - t0
+    m1 = total_air_mass(loop.state)
+    T1 = mean_T(loop.state)
+    tsfc = np.asarray(loop.state.surface[names.TSFC])
+    ice = np.asarray(loop.state.surface["ice_thickness"])
+    soil = np.asarray(loop.state.surface["soil_moisture"])
+    return {
+        "air_mass_rel_drift": float(abs(m1 - m0) / m0),
+        "mean_T_day0_K": round(T0, 2),
+        "mean_T_day30_K": round(T1, 2),
+        "mean_T_drift_K": round(T1 - T0, 2),
+        "tsfc_range_K": [round(float(tsfc.min()), 1),
+                         round(float(tsfc.max()), 1)],
+        "ice_thickness_max_m": round(float(ice.max()), 2),
+        "soil_moisture_range_m": [round(float(soil.min()), 3),
+                                  round(float(soil.max()), 3)],
+        "all_finite": bool(np.isfinite(np.asarray(
+            loop.state.dycore.pt)).all()),
+        "wall_seconds": round(wall, 1),
+    }
+
+
+ROWS = [
+    ("JW06 balanced jet (C48, 10 d)", case_jw06_balanced,
+     "jet drift < 2 m/s (steady analytic state; resolution-limited "
+     "truncation error, JW06 sec. 4a)"),
+    ("JW06 baroclinic wave (C48, 10 d)", case_jw06_wave,
+     "surface low deepens > 8 hPa by day 10 (canonical wave train)"),
+    ("Mountain at rest (C24, 5 d)", case_mountain,
+     "< 0.1 m/s at 6 h and < 0.5 m/s at 5 d under the production "
+     "config (kord=9 cs-remap; the exact-balance configuration of the "
+     "pytest gate, remap_te+nz10, is machine-zero at 6 h)"),
+    ("Held-Suarez spin-up (C24, 60 d)", case_held_suarez,
+     "midlatitude westerlies exceed 15 m/s and keep growing toward the "
+     "HS94 climatology (full equilibration needs ~200 d)"),
+    ("Coupled 30-day soak (C48, RRTMG+ocean+ice+land)",
+     case_coupled_soak,
+     "air-mass drift < 1e-5, |mean-T drift| < 3 K/month, "
+     "Tsfc within [200, 350] K, all fields finite"),
+]
+
+
+def main(outfile="docs/acceptance.md"):
+    results = []
+    for name, fn, expected in ROWS:
+        t0 = time.perf_counter()
+        try:
+            res = fn()
+        except Exception as e:  # noqa: BLE001
+            res = {"error": str(e)}
+        el = time.perf_counter() - t0
+        print(json.dumps({"case": name, "result": res,
+                          "seconds": round(el, 1)}), flush=True)
+        results.append((name, expected, res))
+
+    lines = [
+        "# Scientific acceptance table",
+        "",
+        "Measured norms of the dycore/physics validation battery vs the",
+        "expected ranges (r2 verdict #9; produced by",
+        "`python scripts/acceptance.py` on the attached TPU).  The same",
+        "cases run as pytest gates in `tests/test_dycore.py`,",
+        "`tests/test_held_suarez.py`, `tests/test_nonhydro.py`; this",
+        "table records the NUMBERS so the claims are auditable.",
+        "",
+        "| case | expected | measured |",
+        "|---|---|---|",
+    ]
+    for name, expected, res in results:
+        meas = "; ".join(f"{k} = {v}" for k, v in res.items())
+        lines.append(f"| {name} | {expected} | {meas} |")
+    lines.append("")
+    with open(outfile, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {outfile}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
