@@ -166,6 +166,23 @@ def main(argv=None) -> int:
     )
     p.add_argument("logfile")
 
+    p = sub.add_parser(
+        "log-viewer-web",
+        help="streamlit webapp plotting the statistics series of a "
+        "(segmented) run (reference apps/log_viewer.py)",
+    )
+    p.add_argument("url")
+
+    p = sub.add_parser(
+        "plot",
+        help="render one variable's cube map inline in the terminal "
+        "(iTerm2/WezTerm inline-image protocol; falls back to a PNG "
+        "file)",
+    )
+    p.add_argument("url")
+    p.add_argument("variable")
+    p.add_argument("--time", type=int, default=-1, help="time index")
+
     args = parser.parse_args(argv)
     if args.command == "compute":
         compute_cmd(args.url, args.output, args.verification)
@@ -185,7 +202,44 @@ def main(argv=None) -> int:
         shell_cmd(args.url)
     elif args.command == "log-viewer":
         log_viewer_cmd(args.logfile)
+    elif args.command == "log-viewer-web":
+        from fv3net_tpu.diagnostics.prognostic.apps.log_viewer import (
+            run_app,
+        )
+
+        run_app(args.url)
+    elif args.command == "plot":
+        plot_cmd(args.url, args.variable, args.time)
     return 0
+
+
+def plot_cmd(url: str, variable: str, time_index: int = -1) -> None:
+    """Cube-map plot of one variable, rendered inline when the terminal
+    supports the iTerm2 image protocol (reference iterm.py role)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from fv3net_tpu.core.zarrio import open_zarr
+    from fv3net_tpu.diagnostics.prognostic.iterm import imgcat
+    from fv3net_tpu.grid.geometry import make_grid
+    from fv3net_tpu.viz import plot_cube
+
+    ds = open_zarr(_find_state_zarr(url))
+    q = ds[variable]
+    data = np.asarray(q.data)
+    dims = list(q.dims)
+    if "time" in dims:
+        data = np.take(data, time_index, axis=dims.index("time"))
+        dims.remove("time")
+    if "z" in dims:  # surface level (z is ordered top-down)
+        data = np.take(data, -1, axis=dims.index("z"))
+        dims.remove("z")
+    n = data.shape[-1]
+    fig, _ax, _mesh = plot_cube(make_grid(n), data, title=variable)
+    print(imgcat(fig, filename=f"{variable}.png"))
+    plt.close(fig)
 
 
 def movies_cmd(url: str, output_dir: str, names=None) -> None:
