@@ -20,8 +20,41 @@ import numpy as np
 
 from fv3net_tpu.core.dataset import Dataset
 from fv3net_tpu.core.quantity import Quantity
+from fv3net_tpu.diagnostics import transform
 from fv3net_tpu.diagnostics.registry import Registry
 from fv3net_tpu.ops import statistics as stats
+
+# ---------------------------------------------------------------------------
+# Transform-chain configuration (reference compute.py:252-481 composes
+# every time-series diagnostic from resample_time / daily_mean /
+# subset_variables chains; the frequencies here are config-side and
+# re-read at call time via transform.Deferred).  Times are HOURS since
+# segment start.  ``daily_mean_split_hours``: after this long, the time
+# series collapse to daily means (reference timedelta(days=10)).
+# ``time_slice``: applied after resampling; the reference drops the
+# final time (crashed-segment tolerance) — this runtime only writes
+# completed diagnostics windows, so the default keeps all times.
+TRANSFORM_CHAIN = {
+    "resample_freq_hours": 3.0,
+    "daily_mean_split_hours": 240.0,
+    "time_slice": slice(None),
+}
+
+
+def set_transform_chain(**kwargs) -> None:
+    """Reconfigure the diagnostic input-transform chains (keys of
+    TRANSFORM_CHAIN); takes effect on the next compute_all call."""
+    for key, val in kwargs.items():
+        if key not in TRANSFORM_CHAIN:
+            raise KeyError(f"unknown transform-chain key {key!r}")
+        TRANSFORM_CHAIN[key] = val
+
+
+_FREQ = transform.Deferred(lambda: TRANSFORM_CHAIN["resample_freq_hours"])
+_SPLIT = transform.Deferred(
+    lambda: TRANSFORM_CHAIN["daily_mean_split_hours"]
+)
+_TSLICE = transform.Deferred(lambda: TRANSFORM_CHAIN["time_slice"])
 
 
 @dataclasses.dataclass
@@ -46,6 +79,9 @@ registry_2d = Registry(merge_diags)
 registry_3d = Registry(merge_diags)
 
 
+_HORIZ = {"tile", "y", "x"}  # spatial diagnostics need the cube dims
+
+
 def _d(q):
     return jnp.asarray(q.data)
 
@@ -55,11 +91,13 @@ def _time_mean(arr, axis=0):
 
 
 @registry_2d.register("spatial_mean_global")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
+@transform.apply("daily_mean", _SPLIT)
 def spatial_mean_global(arg: DiagArg):
     out = {}
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         out[var] = Quantity(
             stats.weighted_mean(_d(q), area, axis=tuple(range(1, q.ndim))),
@@ -71,12 +109,14 @@ def spatial_mean_global(arg: DiagArg):
 
 def _register_masked(mask_type: str):
     @registry_2d.register(f"spatial_mean_{mask_type}")
+    @transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
+    @transform.apply("daily_mean", _SPLIT)
     def spatial_mean_masked(arg: DiagArg, _mask=mask_type):
         out = {}
         area = jnp.asarray(arg.grid["area"])
         mask = jnp.asarray(arg.grid["land_sea_mask"])
         for var, q in arg.prediction.items():
-            if "z" in q.dims:
+            if "z" in q.dims or not _HORIZ.issubset(q.dims):
                 continue
             field = stats.mask_to_surface_type(_d(q), mask, _mask)
             w = jnp.where(jnp.isnan(field), 0.0, area)
@@ -96,7 +136,7 @@ for _mask_type in ("land", "sea"):
 def time_mean_maps(arg: DiagArg):
     out = {}
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         out[var] = Quantity(_time_mean(_d(q)), q.dims[1:], q.units)
     return out
@@ -108,7 +148,7 @@ def zonal_and_time_mean(arg: DiagArg):
     lat = jnp.asarray(arg.grid["lat"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         zm, centers = stats.zonal_average_approximate(
             _time_mean(_d(q)), lat, area
@@ -119,12 +159,14 @@ def zonal_and_time_mean(arg: DiagArg):
 
 
 @registry_2d.register("zonal_mean_value")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
+@transform.apply("daily_mean", _SPLIT)
 def zonal_mean_hovmoller(arg: DiagArg):
     out = {}
     lat = jnp.asarray(arg.grid["lat"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         zm, centers = stats.zonal_average_approximate(_d(q), lat, area)
         out[var] = Quantity(zm, ("time", "latitude"), q.units,
@@ -133,13 +175,17 @@ def zonal_mean_hovmoller(arg: DiagArg):
 
 
 @registry_2d.register("rms_global")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE,
+                 inner_join=True)
+@transform.apply("daily_mean", _SPLIT)
 def rms_global(arg: DiagArg):
     out = {}
     if arg.verification is None:
         return out
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         truth = _d(arg.verification[var])
         rms = stats.root_mean_squared_error(
@@ -150,13 +196,17 @@ def rms_global(arg: DiagArg):
 
 
 @registry_2d.register("mean_bias_global")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE,
+                 inner_join=True)
+@transform.apply("daily_mean", _SPLIT)
 def mean_bias_global(arg: DiagArg):
     out = {}
     if arg.verification is None:
         return out
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         b = stats.bias(
             _d(arg.verification[var]), _d(q),
@@ -172,7 +222,7 @@ def zonal_means_3d(arg: DiagArg):
     lat = jnp.asarray(arg.grid["lat"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" not in q.dims:
+        if "z" not in q.dims or not _HORIZ.issubset(q.dims):
             continue
         # (time, tile, z, y, x) -> time mean -> (tile, z, y, x); move z
         # in front of the spatial axes for binning
@@ -220,7 +270,8 @@ def time_mean_bias_maps(arg: DiagArg):
     if arg.verification is None:
         return out
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         b = _time_mean(_d(q)) - _time_mean(_d(arg.verification[var]))
         out[var] = Quantity(b, q.dims[1:], q.units)
@@ -241,7 +292,7 @@ def diurnal_cycle(arg: DiagArg):
     lon_deg = np.asarray(arg.grid["lon"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         arr = _d(q)  # (time, tile, y, x)
         solar_hour = (
@@ -270,7 +321,8 @@ def zonal_and_time_mean_bias(arg: DiagArg):
     lat = jnp.asarray(arg.grid["lat"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         diff = _time_mean(_d(q)) - _time_mean(_d(arg.verification[var]))
         zm, centers = stats.zonal_average_approximate(diff, lat, area)
@@ -280,6 +332,9 @@ def zonal_and_time_mean_bias(arg: DiagArg):
 
 
 @registry_2d.register("zonal_mean_bias_value")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE,
+                 inner_join=True)
+@transform.apply("daily_mean", _SPLIT)
 def zonal_mean_bias_hovmoller(arg: DiagArg):
     """(reference compute.py zonal_mean_bias_hovmoller)"""
     out = {}
@@ -288,7 +343,8 @@ def zonal_mean_bias_hovmoller(arg: DiagArg):
     lat = jnp.asarray(arg.grid["lat"])
     area = jnp.asarray(arg.grid["area"])
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         diff = _d(q) - _d(arg.verification[var])
         zm, centers = stats.zonal_average_approximate(diff, lat, area)
@@ -339,10 +395,11 @@ def _deep_tropical_hovmoller(field, lat_deg, lon_deg, area):
 
 
 @registry_2d.register("deep_tropical_mean_hovmoller_value")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
 def deep_tropical_hovmoller_value(arg: DiagArg):
     out = {}
     for var, q in arg.prediction.items():
-        if "z" in q.dims:
+        if "z" in q.dims or not _HORIZ.issubset(q.dims):
             continue
         hm, centers = _deep_tropical_hovmoller(
             _d(q), arg.grid["lat"], arg.grid["lon"], arg.grid["area"]
@@ -353,12 +410,15 @@ def deep_tropical_hovmoller_value(arg: DiagArg):
 
 
 @registry_2d.register("deep_tropical_mean_hovmoller_bias")
+@transform.apply("resample_time", _FREQ, time_slice=_TSLICE,
+                 inner_join=True)
 def deep_tropical_hovmoller_bias(arg: DiagArg):
     out = {}
     if arg.verification is None:
         return out
     for var, q in arg.prediction.items():
-        if "z" in q.dims or var not in arg.verification:
+        if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
             continue
         hm, centers = _deep_tropical_hovmoller(
             _d(q) - _d(arg.verification[var]),
@@ -381,10 +441,12 @@ def _register_extrema(mask_type: str):
         return field
 
     @registry_2d.register(f"spatial_min_{mask_type}")
+    @transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
+    @transform.apply("daily_mean", _SPLIT)
     def spatial_min(arg: DiagArg):
         out = {}
         for var, q in arg.prediction.items():
-            if "z" in q.dims:
+            if "z" in q.dims or not _HORIZ.issubset(q.dims):
                 continue
             out[var] = Quantity(
                 jnp.nanmin(masked(arg, q), axis=tuple(range(1, q.ndim))),
@@ -393,10 +455,12 @@ def _register_extrema(mask_type: str):
         return out
 
     @registry_2d.register(f"spatial_max_{mask_type}")
+    @transform.apply("resample_time", _FREQ, time_slice=_TSLICE)
+    @transform.apply("daily_mean", _SPLIT)
     def spatial_max(arg: DiagArg):
         out = {}
         for var, q in arg.prediction.items():
-            if "z" in q.dims:
+            if "z" in q.dims or not _HORIZ.issubset(q.dims):
                 continue
             out[var] = Quantity(
                 jnp.nanmax(masked(arg, q), axis=tuple(range(1, q.ndim))),
@@ -413,6 +477,9 @@ def _register_masked_bias(mask_type: str):
     """(reference compute.py global_biases_2d over mask types)"""
 
     @registry_2d.register(f"mean_bias_{mask_type}")
+    @transform.apply("resample_time", _FREQ, time_slice=_TSLICE,
+                     inner_join=True)
+    @transform.apply("daily_mean", _SPLIT)
     def mean_bias_masked(arg: DiagArg):
         out = {}
         if arg.verification is None:
@@ -420,7 +487,8 @@ def _register_masked_bias(mask_type: str):
         area = jnp.asarray(arg.grid["area"])
         mask = jnp.asarray(arg.grid["land_sea_mask"])
         for var, q in arg.prediction.items():
-            if "z" in q.dims or var not in arg.verification:
+            if ("z" in q.dims or not _HORIZ.issubset(q.dims)
+                or var not in arg.verification):
                 continue
             diff = stats.mask_to_surface_type(
                 _d(q) - _d(arg.verification[var]), mask, mask_type
@@ -559,7 +627,7 @@ def mass_streamfunction_value(arg: DiagArg):
     if "northward_wind" not in arg.prediction:
         return out
     q = arg.prediction["northward_wind"]
-    if "z" in q.dims:
+    if "z" in q.dims or not _HORIZ.issubset(q.dims):
         out["northward_wind"] = _streamfunction(arg, q)
     return out
 
@@ -576,7 +644,7 @@ def mass_streamfunction_bias(arg: DiagArg):
         return out
     q = arg.prediction["northward_wind"]
     qv = arg.verification["northward_wind"]
-    if "z" not in q.dims:
+    if "z" not in q.dims or not _HORIZ.issubset(q.dims):
         return out
     a = _streamfunction(arg, q)
     b = _streamfunction(
@@ -605,7 +673,7 @@ def _register_masked_diurnal(mask_type: str):
         area = jnp.asarray(arg.grid["area"])
         mask = jnp.asarray(arg.grid["land_sea_mask"])
         for var, q in arg.prediction.items():
-            if "z" in q.dims:
+            if "z" in q.dims or not _HORIZ.issubset(q.dims):
                 continue
             arr = stats.mask_to_surface_type(_d(q), mask, mask_type)
             w0 = jnp.where(jnp.isnan(arr), 0.0, area[None])

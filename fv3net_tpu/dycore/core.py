@@ -40,6 +40,7 @@ from fv3net_tpu.core.constants import (
 from fv3net_tpu.grid.geometry import Grid
 from fv3net_tpu.parallel.halo import halo_append
 from fv3net_tpu.dycore import vertical
+from fv3net_tpu.ops import zscan
 from fv3net_tpu.dycore.state import DycoreState
 
 
@@ -441,7 +442,7 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     pe = jnp.concatenate(
         [
             jnp.full_like(delp_new[:, :1], cfg.ptop),
-            cfg.ptop + jnp.cumsum(delp_new, axis=1),
+            cfg.ptop + zscan.cumsum(delp_new, axis=1),
         ],
         axis=1,
     )
@@ -452,14 +453,7 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
         tv = pt_new * (pmid / REFERENCE_SURFACE_PRESSURE) ** KAPPA
         # geopotential: integrate hydrostatically from the surface upward
         dphi = RDGAS * tv * dlnp  # interface-to-interface increment
-        phi_iface_rev = jnp.cumsum(jnp.flip(dphi, axis=1), axis=1)
-        phi_below = jnp.concatenate(
-            [
-                jnp.flip(phi_iface_rev, axis=1)[:, 1:],
-                jnp.zeros_like(delp_new[:, :1]),
-            ],
-            axis=1,
-        ) + state.phis[:, None]
+        phi_below = zscan.suffix_sum_strict(dphi, axis=1) + state.phis[:, None]
         phi_mid = phi_below + RDGAS * tv * (lnpe[:, 1:] - jnp.log(pmid))
         p_for_pgf = pmid
     else:
@@ -471,14 +465,7 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
 
         p_full = nonhydro.full_pressure(delp_new, pt_new, delz_adv)
         dphi = GRAVITY * delz_adv
-        phi_above_rev = jnp.cumsum(jnp.flip(dphi, axis=1), axis=1)
-        phi_below = jnp.concatenate(
-            [
-                jnp.flip(phi_above_rev, axis=1)[:, 1:],
-                jnp.zeros_like(delp_new[:, :1]),
-            ],
-            axis=1,
-        ) + state.phis[:, None]
+        phi_below = zscan.suffix_sum_strict(dphi, axis=1) + state.phis[:, None]
         # midpoint at the hydrostatic log-pressure fraction (NOT 0.5):
         # the PGF pairs grad(phi_mid) with grad(ln pmid_full), so the two
         # must be evaluated at the same sub-layer position or a resting
@@ -578,12 +565,7 @@ def _column_te(pe, tv, ke, phis):
     dlnp = lnpe[..., 1:] - lnpe[..., :-1]
     pmid = (pe[..., 1:] - pe[..., :-1]) / dlnp
     dphi = RDGAS * tv * dlnp
-    phi_above_rev = jnp.cumsum(jnp.flip(dphi, axis=-1), axis=-1)
-    phi_below = jnp.concatenate(
-        [jnp.flip(phi_above_rev, axis=-1)[..., 1:],
-         jnp.zeros_like(tv[..., :1])],
-        axis=-1,
-    ) + phis[..., None]
+    phi_below = zscan.suffix_sum_strict(dphi, axis=-1) + phis[..., None]
     # same midpoint convention as the recovery sweep (exact round-trip
     # when the target coordinate equals the source)
     phi_mid = phi_below + 0.5 * RDGAS * tv * dlnp
@@ -612,12 +594,7 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None,
     if nonhydro:
         dz1 = zlast(state.delz)
         dphi1 = GRAVITY * dz1
-        phi_above_rev = jnp.cumsum(jnp.flip(dphi1, axis=-1), axis=-1)
-        phi_below1 = jnp.concatenate(
-            [jnp.flip(phi_above_rev, axis=-1)[..., 1:],
-             jnp.zeros_like(dz1[..., :1])],
-            axis=-1,
-        ) + state.phis[..., None]
+        phi_below1 = zscan.suffix_sum_strict(dphi1, axis=-1) + state.phis[..., None]
         # same hydrostatic-fraction midpoint as the NH PGF (see _substep)
         f1 = (lnpe1[..., 1:] - jnp.log(pmid1)) / dlnp1
         te1 = CP_AIR * tv1 + phi_below1 + dphi1 * f1 + ke1
@@ -637,12 +614,7 @@ def _remap_total_energy(state, pe1, pe2, wind2, cfg, zlast, search=None,
 
     if nonhydro:
         dphi2 = GRAVITY * delz2
-        phi_above_rev2 = jnp.cumsum(jnp.flip(dphi2, axis=-1), axis=-1)
-        phi_below2 = jnp.concatenate(
-            [jnp.flip(phi_above_rev2, axis=-1)[..., 1:],
-             jnp.zeros_like(delz2[..., :1])],
-            axis=-1,
-        ) + state.phis[..., None]
+        phi_below2 = zscan.suffix_sum_strict(dphi2, axis=-1) + state.phis[..., None]
         f2 = (lnpe2[..., 1:] - jnp.log(pmid2)) / dlnp2
         tv2 = (te2 - ke2 - phi_below2 - dphi2 * f2) / CP_AIR
         return tv2 / (pmid2 / REFERENCE_SURFACE_PRESSURE) ** KAPPA
@@ -685,7 +657,7 @@ def _remap_to_hybrid(state: DycoreState, ak, bk, cfg: DycoreConfig):
     pe1 = jnp.concatenate(
         [
             jnp.full_like(zlast(state.delp)[..., :1], cfg.ptop),
-            cfg.ptop + jnp.cumsum(zlast(state.delp), axis=-1),
+            cfg.ptop + zscan.cumsum(zlast(state.delp), axis=-1),
         ],
         axis=-1,
     )
@@ -772,7 +744,7 @@ def _rayleigh_damp(state: DycoreState, cfg: DycoreConfig, dt: float):
             f"spans ptop..rf_cutoff); got rf_cutoff={cfg.rf_cutoff} Pa "
             f"<= ptop={cfg.ptop} Pa — raise rf_cutoff or disable tau"
         )
-    pe_below = cfg.ptop + jnp.cumsum(state.delp, axis=1)
+    pe_below = cfg.ptop + zscan.cumsum(state.delp, axis=1)
     pmid = pe_below - 0.5 * state.delp  # [6, nz, ny, nx]
     # NOTE: float() keeps the np scalar weak-typed — a bare np.float64
     # here upcasts the whole sponge (and everything downstream) to f64

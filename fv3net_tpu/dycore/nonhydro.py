@@ -45,6 +45,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from fv3net_tpu.ops import zscan
+
 from fv3net_tpu.core.constants import (
     CP_AIR,
     CV_AIR,
@@ -65,7 +67,7 @@ def hydrostatic_delz(delp, pt, ptop: float):
     pe = jnp.concatenate(
         [
             jnp.full_like(delp[:, :1], ptop),
-            ptop + jnp.cumsum(delp, axis=1),
+            ptop + zscan.cumsum(delp, axis=1),
         ],
         axis=1,
     )

@@ -48,6 +48,8 @@ from fv3net_tpu.fit.jacobian import (  # noqa: F401
 from fv3net_tpu.fit.config import (  # noqa: F401
     LearningRateScheduleConfig,
     OptimizerConfig,
+    OutputLimit,
+    OutputLimitConfig,
     RegularizerConfig,
 )
 from fv3net_tpu.fit.networks import (  # noqa: F401

@@ -18,6 +18,8 @@ import optax
 __all__ = [
     "LearningRateScheduleConfig",
     "OptimizerConfig",
+    "OutputLimit",
+    "OutputLimitConfig",
     "RegularizerConfig",
 ]
 
@@ -62,6 +64,108 @@ class OptimizerConfig:
         if self.learning_rate_schedule is not None:
             kwargs["learning_rate"] = self.learning_rate_schedule.instance
         return factory(**kwargs)
+
+
+@dataclasses.dataclass
+class OutputLimit:
+    """Optional min/max bounds for one output variable (reference:
+    fv3fit/keras/_models/shared/output_limit.py:11 ``OutputLimit``).
+
+    ``limit_array`` applies a zero-slope clamp: values below ``min``
+    become ``min``, values at or above ``max`` become ``max`` — the
+    piecewise activation the reference builds from nested tf.where
+    calls, which is exactly a clip."""
+
+    min: Optional[float] = None
+    max: Optional[float] = None
+
+    def __post_init__(self):
+        if self.min is not None and self.max is not None:
+            if self.max <= self.min:
+                raise ValueError(
+                    f"max value ({self.max}) must be greater than min "
+                    f"value ({self.min})."
+                )
+
+    def limit_array(self, x):
+        if self.min is None and self.max is None:
+            return x
+        return jnp.clip(
+            x,
+            None if self.min is None else self.min,
+            None if self.max is None else self.max,
+        )
+
+
+@dataclasses.dataclass
+class OutputLimitConfig:
+    """Per-output-variable range limiting applied to trainer predictions
+    (reference: fv3fit/keras/_models/shared/output_limit.py:51
+    ``OutputLimitConfig``, wired into the dense/convolutional/
+    precipitative configs).  ``limits`` maps output variable names to
+    ``OutputLimit`` bounds; unlisted outputs pass through.
+
+    The TPU build applies the clamp in two jit-friendly forms:
+    ``apply_limits`` on a dict of per-variable arrays, or
+    ``packed_bounds``/``limit_packed`` building per-feature min/max
+    vectors from a ``PackingInfo`` so the clamp runs as one fused
+    ``jnp.clip`` on the packed [sample, feature] output inside the
+    prognostic step."""
+
+    limits: Mapping[str, OutputLimit] = dataclasses.field(
+        default_factory=dict
+    )
+
+    def __post_init__(self):
+        self.limits = {
+            k: v if isinstance(v, OutputLimit) else OutputLimit(**dict(v))
+            for k, v in dict(self.limits).items()
+        }
+
+    def __bool__(self) -> bool:
+        return any(
+            v.min is not None or v.max is not None
+            for v in self.limits.values()
+        )
+
+    def apply_limits(self, outputs: Mapping[str, Any]) -> dict:
+        return {
+            name: (
+                self.limits[name].limit_array(arr)
+                if name in self.limits
+                else arr
+            )
+            for name, arr in outputs.items()
+        }
+
+    def packed_bounds(self, names, features):
+        """(min_vec, max_vec) float32 [total_features] with +-inf where
+        unbounded, aligned with the packed feature layout."""
+        import numpy as np
+
+        lo, hi = [], []
+        for name, nf in zip(names, features):
+            lim = self.limits.get(name, OutputLimit())
+            lo += [(-np.inf if lim.min is None else lim.min)] * nf
+            hi += [(np.inf if lim.max is None else lim.max)] * nf
+        return np.asarray(lo, np.float32), np.asarray(hi, np.float32)
+
+    def limit_packed(self, Y, info) -> Any:
+        """Clamp a packed [sample, feature] prediction (one fused clip)."""
+        if not self:
+            return Y
+        lo, hi = self.packed_bounds(info.names, info.features)
+        return jnp.clip(Y, jnp.asarray(lo, Y.dtype), jnp.asarray(hi, Y.dtype))
+
+    def to_dict(self) -> dict:
+        return {
+            name: {"min": lim.min, "max": lim.max}
+            for name, lim in self.limits.items()
+        }
+
+    @classmethod
+    def from_dict(cls, d: Optional[dict]) -> "OutputLimitConfig":
+        return cls(limits=dict(d or {}))
 
 
 @dataclasses.dataclass

@@ -17,7 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,9 @@ class ConvolutionalHyperparameters:
     learning_rate: float = 1e-3
     epochs: int = 10
     seed: int = 0
+    # {name: {min, max}} prediction clamp (reference
+    # output_limit.py:51, convolutional.py config field)
+    output_limit_config: Optional[dict] = None
 
 
 def halos_required(depth: int, kernel_size: int) -> int:
@@ -137,6 +140,7 @@ class ConvolutionalModel(Predictor):
         y_scaler: StandardScaler,
         kernel_size: int,
         output_z_names=None,
+        output_limits=None,
     ):
         super().__init__(list(input_variables), list(output_variables))
         self.params = params
@@ -148,6 +152,7 @@ class ConvolutionalModel(Predictor):
         self.output_z_names = (
             tuple(output_z_names) if output_z_names is not None else None
         )
+        self.output_limits = output_limits
         self._jit_apply = None
 
     @property
@@ -157,7 +162,10 @@ class ConvolutionalModel(Predictor):
     def apply_channels(self, params, x):
         xn = self.x_scaler.normalize(x)
         yn = conv_apply(params, xn, self.halo)
-        return self.y_scaler.denormalize(yn)
+        Y = self.y_scaler.denormalize(yn)
+        if self.output_limits:
+            Y = self.output_limits.limit_packed(Y, self.output_info)
+        return Y
 
     def predict(self, X: Dataset) -> Dataset:
         arr, _ = _fields_to_channels(X, self.input_variables)
@@ -208,6 +216,10 @@ class ConvolutionalModel(Predictor):
                         list(self.output_z_names)
                         if self.output_z_names is not None else None
                     ),
+                    "output_limits": (
+                        self.output_limits.to_dict()
+                        if self.output_limits else None
+                    ),
                 },
                 f,
             )
@@ -231,7 +243,16 @@ class ConvolutionalModel(Predictor):
             StandardScaler(jnp.asarray(z["y_mean"]), jnp.asarray(z["y_std"])),
             meta["kernel_size"],
             output_z_names=meta.get("output_z_names"),
+            output_limits=_limits_from_meta(meta),
         )
+
+
+def _limits_from_meta(meta: dict):
+    if meta.get("output_limits"):
+        from fv3net_tpu.fit.config import OutputLimitConfig
+
+        return OutputLimitConfig.from_dict(meta["output_limits"])
+    return None
 
 
 @register_training_function("convolutional", ConvolutionalHyperparameters)
@@ -301,4 +322,7 @@ def train_convolutional_model(
         y_scaler,
         hp.kernel_size,
         output_z_names=out_z_names,
+        output_limits=_limits_from_meta(
+            {"output_limits": hp.output_limit_config}
+        ),
     )

@@ -47,6 +47,10 @@ class DenseHyperparameters:
     dense_network: Optional[dict] = None
     optimizer_config: Optional[dict] = None
     loss: Optional[dict] = None
+    # per-output-variable {name: {min, max}} clamp applied to
+    # predictions (reference output_limit.py:51 OutputLimitConfig,
+    # wired at keras/_models/dense.py:36 ``output_limit_config``)
+    output_limit_config: Optional[dict] = None
 
 
 def init_mlp_params(key, sizes: Sequence[int]):
@@ -79,6 +83,7 @@ class DenseModel(Predictor):
         output_info: packer.PackingInfo,
         x_scaler: StandardScaler,
         y_scaler: StandardScaler,
+        output_limits=None,
     ):
         super().__init__(input_variables, output_variables)
         self.params = params
@@ -86,12 +91,16 @@ class DenseModel(Predictor):
         self.output_info = output_info
         self.x_scaler = x_scaler
         self.y_scaler = y_scaler
+        self.output_limits = output_limits
 
     # -- pure apply path (usable inside jit) ------------------------------
     def apply_packed(self, params, X: jnp.ndarray) -> jnp.ndarray:
         xn = self.x_scaler.normalize(X)
         yn = mlp_apply(params, xn)
-        return self.y_scaler.denormalize(yn)
+        Y = self.y_scaler.denormalize(yn)
+        if self.output_limits:
+            Y = self.output_limits.limit_packed(Y, self.output_info)
+        return Y
 
     def predict_arrays(
         self, data: Dict[str, jnp.ndarray]
@@ -124,6 +133,8 @@ class DenseModel(Predictor):
             "output_info": self.output_info.to_dict(),
             "n_layers": len(self.params),
         }
+        if self.output_limits:
+            meta["output_limits"] = self.output_limits.to_dict()
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
 
@@ -146,7 +157,16 @@ class DenseModel(Predictor):
                                     jnp.asarray(z["x_std"])),
             y_scaler=StandardScaler(jnp.asarray(z["y_mean"]),
                                     jnp.asarray(z["y_std"])),
+            output_limits=_load_output_limits(meta),
         )
+
+
+def _load_output_limits(meta: dict):
+    if meta.get("output_limits"):
+        from fv3net_tpu.fit.config import OutputLimitConfig
+
+        return OutputLimitConfig.from_dict(meta["output_limits"])
+    return None
 
 
 def _collect(batches, input_variables, output_variables):
@@ -269,6 +289,12 @@ def train_dense_model(
         lambda c, i: jax.lax.scan(step, c, i)
     )((params, opt_state), jnp.asarray(idx_all))
 
+    output_limits = None
+    if hp.output_limit_config:
+        from fv3net_tpu.fit.config import OutputLimitConfig
+
+        output_limits = OutputLimitConfig.from_dict(hp.output_limit_config)
+
     return DenseModel(
         input_variables=list(hp.input_variables),
         output_variables=list(hp.output_variables),
@@ -277,4 +303,5 @@ def train_dense_model(
         output_info=y_info,
         x_scaler=x_scaler,
         y_scaler=y_scaler,
+        output_limits=output_limits,
     )

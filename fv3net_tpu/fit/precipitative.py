@@ -30,7 +30,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +72,9 @@ class PrecipitativeHyperparameters:
     batch_size: int = 512
     couple_precip_to_dQ1_dQ2: bool = True
     seed: int = 0
+    # {name: {min, max}} prediction clamp (reference output_limit.py:51;
+    # precipitative config carries it like dense/convolutional do)
+    output_limit_config: Optional[dict] = None
 
     @property
     def input_variables(self) -> Sequence[str]:
@@ -109,6 +112,7 @@ class PrecipitativeModel(Predictor):
         x_scaler: StandardScaler,
         scalers: Dict[str, StandardScaler],
         couple: bool,
+        output_limits=None,
     ):
         super().__init__(
             list(input_variables),
@@ -119,6 +123,7 @@ class PrecipitativeModel(Predictor):
         self.x_scaler = x_scaler
         self.scalers = scalers  # per-output denormalization
         self.couple = couple
+        self.output_limits = output_limits
 
     def apply_packed(self, params, X: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         sl = self.input_info.slices()
@@ -140,11 +145,14 @@ class PrecipitativeModel(Predictor):
         surface_precip = phys_precip - (
             (col_precip * delp).sum(axis=-1) / GRAVITY
         )
-        return {
+        out = {
             T_TENDENCY_NAME: dQ1,
             Q_TENDENCY_NAME: dQ2,
             PRECIP_NAME: surface_precip[..., None],
         }
+        if self.output_limits:
+            out = self.output_limits.apply_limits(out)
+        return out
 
     def predict_arrays(
         self, data: Dict[str, jnp.ndarray]
@@ -179,6 +187,9 @@ class PrecipitativeModel(Predictor):
             "n_trunk": len(self.params["trunk"]),
             "scaler_names": list(self.scalers),
             "couple": self.couple,
+            "output_limits": (
+                self.output_limits.to_dict() if self.output_limits else None
+            ),
         }
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(meta, f)
@@ -218,7 +229,16 @@ class PrecipitativeModel(Predictor):
             ),
             scalers=scalers,
             couple=meta["couple"],
+            output_limits=_limits_from_meta(meta),
         )
+
+
+def _limits_from_meta(meta: dict):
+    if meta.get("output_limits"):
+        from fv3net_tpu.fit.config import OutputLimitConfig
+
+        return OutputLimitConfig.from_dict(meta["output_limits"])
+    return None
 
 
 @register_training_function("precipitative", PrecipitativeHyperparameters)
@@ -271,6 +291,9 @@ def train_precipitative_model(
         x_scaler=x_scaler,
         scalers=scalers,
         couple=hp.couple_precip_to_dQ1_dQ2,
+        output_limits=_limits_from_meta(
+            {"output_limits": hp.output_limit_config}
+        ),
     )
 
     Xd = jnp.asarray(X)

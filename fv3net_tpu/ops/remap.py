@@ -38,6 +38,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from fv3net_tpu.ops import zscan
 from jax import lax
 
 R3 = 1.0 / 3.0
@@ -636,7 +638,7 @@ def remap_ppm(pe1, q1, pe2, iv: int = 1, kord: int = 1,
 
     # cumulative mass at source edges: M1[L] = sum_{l<L} q1_l dp1_l
     m_edges = jnp.concatenate(
-        [jnp.zeros_like(q1[..., :1]), jnp.cumsum(q1 * dp1, axis=-1)], axis=-1
+        [jnp.zeros_like(q1[..., :1]), zscan.cumsum(q1 * dp1, axis=-1)], axis=-1
     )
 
     tables = jnp.stack(
@@ -854,7 +856,7 @@ def remap_apply(search, q1, iv: int = 1, kord: int = 9,
         packed = pallas_remap.pack_search(search)
         return pallas_remap.apply_packed(packed, q1, al, ar, a6)
     m_edges = jnp.concatenate(
-        [jnp.zeros_like(q1[..., :1]), jnp.cumsum(q1 * dp1, axis=-1)], axis=-1
+        [jnp.zeros_like(q1[..., :1]), zscan.cumsum(q1 * dp1, axis=-1)], axis=-1
     )
     m_lay = m_edges[..., :-1]
 

@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
+from fv3net_tpu.ops import zscan
+
 from fv3net_tpu.core.constants import (
     CP_AIR,
     CV_AIR,
@@ -211,7 +213,7 @@ def pressure_at_interface(delp, toa_pressure: float = TOA_PRESSURE, axis: int = 
     ax = axis % delp.ndim
     ptop_shape[ax] = 1
     top = jnp.full(ptop_shape, toa_pressure, dtype=delp.dtype)
-    return jnp.cumsum(jnp.concatenate([top, delp], axis=ax), axis=ax)
+    return zscan.cumsum(jnp.concatenate([top, delp], axis=ax), axis=ax)
 
 
 def pressure_at_midpoint(delp, toa_pressure: float = TOA_PRESSURE, axis: int = -1):

@@ -25,6 +25,8 @@ import dataclasses
 from typing import Tuple
 
 import jax.numpy as jnp
+
+from fv3net_tpu.ops import zscan
 from jax import lax
 
 from fv3net_tpu.core.constants import (
@@ -110,7 +112,7 @@ def mass_flux_convection(
     # surface-first views (ascent direction = increasing index)
     rev = lambda x: x[..., ::-1]
     T_s, q_s, dz_s, dm_s, qs_s = map(rev, (T, q, dz, dm, qsat))
-    z_s = jnp.cumsum(dz_s, axis=-1) - 0.5 * dz_s
+    z_s = zscan.cumsum(dz_s, axis=-1) - 0.5 * dz_s
 
     h = CP_AIR * T_s + GRAVITY * z_s + LV * q_s
     hsat = CP_AIR * T_s + GRAVITY * z_s + LV * qs_s

@@ -10,6 +10,8 @@ from __future__ import annotations
 import dataclasses
 
 import jax.numpy as jnp
+
+from fv3net_tpu.ops import zscan
 from jax import lax
 
 
@@ -138,8 +140,9 @@ def kprofile_diffusivity(
     thv_s = thv[..., ::-1]
     spd_s = speed[..., ::-1]
     dz_s = dz[..., ::-1]
-    zmid = jnp.cumsum(dz_s, axis=-1) - 0.5 * dz_s  # midpoint heights
-    zif = jnp.cumsum(dz_s, axis=-1)[..., :-1]  # interior interface heights
+    zsum = zscan.cumsum(dz_s, axis=-1)
+    zmid = zsum - 0.5 * dz_s  # midpoint heights
+    zif = zsum[..., :-1]  # interior interface heights
 
     # thermal excess for the parcel under unstable conditions
     unstable = wthv > 0.0

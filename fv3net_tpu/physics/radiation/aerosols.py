@@ -36,6 +36,8 @@ import dataclasses
 from typing import Dict, Tuple
 
 import jax.numpy as jnp
+
+from fv3net_tpu.ops import zscan
 import numpy as np
 
 from fv3net_tpu.physics.radiation.rrtmg.lw import _acc, _sdt
@@ -243,7 +245,7 @@ def setaer(
     # never degraded (_sdt returns the compute dtype there)
     st = _sdt(dtype)
     acc = _acc(st)
-    z_agl = jnp.cumsum(delz_km, axis=-1) - 0.5 * delz_km  # [C, L] km
+    z_agl = zscan.cumsum(delz_km, axis=-1) - 0.5 * delz_km  # [C, L] km
 
     # vertical domains (reference aer_property's idmaer)
     in_mix = z_agl <= clim.mixing_layer_km

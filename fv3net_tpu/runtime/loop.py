@@ -15,6 +15,8 @@ import logging
 from typing import Callable, Dict, Iterator, List, Optional, Tuple
 
 import jax.numpy as jnp
+
+from fv3net_tpu.ops import zscan
 import numpy as np
 
 from fv3net_tpu.core.constants import GRAVITY
@@ -140,7 +142,7 @@ class TimeLoop:
 
             pe = jnp.concatenate(
                 [jnp.full_like(d.delp[:, :1], _PTOP),
-                 _PTOP + jnp.cumsum(d.delp, axis=1)], axis=1)
+                 _PTOP + zscan.cumsum(d.delp, axis=1)], axis=1)
             pmid = d.delp / (jnp.log(pe[:, 1:]) - jnp.log(pe[:, :-1]))
             o3 = _gases.ozone_profile(
                 jnp.moveaxis(pmid, 1, -1), self._g.lat
