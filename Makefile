@@ -2,9 +2,16 @@
 # test_regression / typecheck / coverage role, reference Makefile:204-364,
 # minus docker/k8s which are out of scope here).
 
-.PHONY: test test_quick test_regression typecheck bench dryrun long_run docs_check
+.PHONY: test test_single test_quick test_regression typecheck bench dryrun long_run docs_check
 
-test:            ## full suite on the virtual 8-device CPU mesh (~20 min)
+test:            ## full suite, per-batch pytest processes (~60 min; the
+	## single-process whole-suite run segfaults XLA's CPU backend_compile
+	## ~60% through on this 1-core host — docs/testing.md has the analysis)
+	python scripts/run_suite.py
+
+test_single:     ## legacy single-process run (NOT the gate: XLA CPU
+	## backend_compile segfaults after a few hundred compiles; kept for
+	## debugging single files)
 	python -m pytest tests/ -q
 
 test_quick:      ## skip the jit-heavy dycore/runtime suites

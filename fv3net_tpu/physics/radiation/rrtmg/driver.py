@@ -112,6 +112,19 @@ class RRTMGConfig:
     # max flux delta 1.5e-3 W/m2); the SW daylight compression packs
     # within each block
     column_block: Optional[int] = None
+    # lower bound on layer pressures (mb): shrinks the upper-atmosphere
+    # one-hot weight planes to the rows the jp index can actually reach
+    # (lw.nbase_hi_for — a 3 hPa model top cuts [C, L, 236] -> 96-row
+    # planes with IDENTICAL results, since rows beyond the bound carry
+    # zero selection weight).  Default = this build's fixed model-top
+    # interface pressure (core.constants.TOA_PRESSURE); None disables
+    min_pressure_mb: Optional[float] = None
+
+
+def _default_min_pressure_mb() -> float:
+    from fv3net_tpu.core.constants import TOA_PRESSURE
+
+    return TOA_PRESSURE / 100.0
 
 
 def _column_block_default(ncol: int) -> int:
@@ -178,11 +191,19 @@ class RRTMGDriver:
         dtype=jnp.float32,
     ):
         self.config = config
+        min_p = (
+            config.min_pressure_mb
+            if config.min_pressure_mb is not None
+            else _default_min_pressure_mb()
+        )
+        nbase_hi = rlw.nbase_hi_for(min_p)
         self.Tlw = rlw.prep_lw_tables(
-            lw_tables or rtables.make_lw_tables(), dtype
+            lw_tables or rtables.make_lw_tables(), dtype,
+            nbase_hi=nbase_hi,
         )
         self.Tsw = rsw.prep_sw_tables(
-            sw_tables or rtables.make_sw_tables(), dtype
+            sw_tables or rtables.make_sw_tables(), dtype,
+            nbase_hi=nbase_hi,
         )
         # OPAC-style climatological aerosol optics (iaer=1 default;
         # reference radiation_aerosols.py machinery, synthetic tables)

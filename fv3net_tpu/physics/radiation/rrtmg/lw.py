@@ -197,9 +197,14 @@ def set_matmul_precision(name: str) -> None:
 
 
 # ------------------------------------------------------------------ tables
-def prep_lw_tables(lwdict: Dict, dtype=jnp.float64) -> Dict:
+def prep_lw_tables(lwdict: Dict, dtype=jnp.float64,
+                   nbase_hi: int = None) -> Dict:
     """Convert a reference-layout lwdict into the gather-friendly device
-    layout: every [ng, rows...] table transposed to rows-leading."""
+    layout: every [ng, rows...] table transposed to rows-leading.
+
+    ``nbase_hi``: optional reachable upper-atmosphere row bound
+    (``nbase_hi_for``); shrinks the merged upper tables and, via the
+    stored ``nbase_hi`` key, the taumol weight planes."""
     out: Dict = {
         "totplnk": jnp.asarray(lwdict["totplnk"], dtype),
         "preflog": jnp.asarray(lwdict["preflog"], dtype),
@@ -243,10 +248,12 @@ def prep_lw_tables(lwdict: Dict, dtype=jnp.float64) -> Dict:
         merged = jnp.concatenate(parts, axis=-1)  # [nbase, nspa, Gsum]
         return merged.reshape(nbase, -1)
 
+    nb_hi = int(nbase_hi) if nbase_hi else NBASE_HI
+    out["nbase_hi"] = nb_hi
     out["mtab_lo9"] = _flat_group("absa", _SPEC_LO, 9, NBASE_LO)
-    out["mtab_hi5"] = _flat_group("absb", _SPEC_HI, 5, NBASE_HI)
+    out["mtab_hi5"] = _flat_group("absb", _SPEC_HI, 5, nb_hi)
     out["mtab_lo1"] = _flat_group("absa", _SINGLE_LO, 1, NBASE_LO)
-    out["mtab_hi1"] = _flat_group("absb", _SINGLE_HI, 1, NBASE_HI)
+    out["mtab_hi1"] = _flat_group("absb", _SINGLE_HI, 1, nb_hi)
     out["selfref_all"] = jnp.concatenate(
         [bands[i]["selfref"] for i in range(16)], axis=-1
     )
@@ -518,6 +525,29 @@ NBASE_LO = 70  # 13 ref pressures x 5 temps, + the jp+1 path's rows 65-68
 NBASE_HI = 236  # 47 x 5 for absb + the jp-12 path's +1 offset
 
 
+def nbase_hi_for(min_pressure_mb) -> int:
+    """Upper-atmosphere base-row count actually reachable when layer
+    pressures are bounded below by ``min_pressure_mb`` (the model-top
+    interface pressure): jp is monotone decreasing in pressure, so a
+    3 hPa top caps jp at 30 and the one-hot weight planes shrink from
+    [C, L, 236] to [C, L, 96] -- a pure-bandwidth saving on the taumol
+    contractions.  ``None`` (or a very low top) keeps the full table
+    range; unreachable rows were never selected, so results are
+    IDENTICAL (the selection weights at rows >= the bound are all
+    zero)."""
+    import numpy as np
+
+    if min_pressure_mb is None or min_pressure_mb <= 0:
+        return NBASE_HI
+    jp_max = int(
+        np.clip(
+            np.floor(36.0 - 5.0 * (np.log(min_pressure_mb) + 0.04)),
+            13, 58,
+        )
+    )
+    return int(min(NBASE_HI, (jp_max - 12) * 5 + 6))
+
+
 def _reshape_base(tab, nspa, nbase):
     """Flat [rows, ng] k-table -> [nbase, nspa, ng] (zero-padded past the
     stencil slack; padded rows are only addressed by opposite-atmosphere
@@ -765,10 +795,11 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     base1 = jp * 5 + (c["jt1"] - 1)
     Wlo0 = _fac_weights(base0, c["fac00"], c["fac10"], NBASE_LO, dtype)
     Wlo1 = _fac_weights(base1, c["fac01"], c["fac11"], NBASE_LO, dtype)
+    NBH = int(T.get("nbase_hi", NBASE_HI))
     baseU0 = (jp - 13) * 5 + (c["jt"] - 1)
     baseU1 = (jp - 12) * 5 + (c["jt1"] - 1)
-    Whi0 = _fac_weights(baseU0, c["fac00"], c["fac10"], NBASE_HI, dtype)
-    Whi1 = _fac_weights(baseU1, c["fac01"], c["fac11"], NBASE_HI, dtype)
+    Whi0 = _fac_weights(baseU0, c["fac00"], c["fac10"], NBH, dtype)
+    Whi1 = _fac_weights(baseU1, c["fac01"], c["fac11"], NBH, dtype)
 
     SPEC_LO = _SPEC_LO
     SINGLE_LO = _SINGLE_LO
@@ -796,8 +827,8 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
     elif pallas_mode == "off":
         A9_0 = _merged_A(Wlo0, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
         A9_1 = _merged_A(Wlo1, [B[i]["absa"] for i in SPEC_LO], 9, NBASE_LO)
-        A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
-        A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBASE_HI)
+        A5_0 = _merged_A(Whi0, [B[i]["absb"] for i in SPEC_HI], 5, NBH)
+        A5_1 = _merged_A(Whi1, [B[i]["absb"] for i in SPEC_HI], 5, NBH)
     A1_lo = _dot2(Wlo0 + Wlo1, T["mtab_lo1"].astype(_sdt(dtype)))
     A1_hi = _dot2(Whi0 + Whi1, T["mtab_hi1"].astype(_sdt(dtype)))
 
@@ -811,8 +842,8 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
 
     PBL0 = _base_pairs(base0, c["fac00"], c["fac10"], NBASE_LO)
     PBL1 = _base_pairs(base1, c["fac01"], c["fac11"], NBASE_LO)
-    PBH0 = _base_pairs(baseU0, c["fac00"], c["fac10"], NBASE_HI)
-    PBH1 = _base_pairs(baseU1, c["fac01"], c["fac11"], NBASE_HI)
+    PBH0 = _base_pairs(baseU0, c["fac00"], c["fac10"], NBH)
+    PBH1 = _base_pairs(baseU1, c["fac01"], c["fac11"], NBH)
 
     def _flat_tab(tab, nspa, nbase):
         t = _reshape_base(tab, nspa, nbase)  # [nbase, nspa, ng]
@@ -904,7 +935,7 @@ def taumol_lw(c, colamt, coldry, colbrd, wx, tauaer, T):
             )
         if pallas_mode != "off":
             return _tau_spec_pallas(
-                _flat_tab(B[i]["absb"], 5, NBASE_HI), 5,
+                _flat_tab(B[i]["absb"], 5, NBH), 5,
                 [(PBH0, _stencil2_terms(fsU, jsU, 5, dtype), scU),
                  (PBH1, _stencil2_terms(fsU1, jsU1, 5, dtype), scU1)],
             )

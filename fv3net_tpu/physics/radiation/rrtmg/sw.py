@@ -34,9 +34,13 @@ _EPS1 = 1.0e-8
 _ZCRIT = 0.9999995
 
 
-def prep_sw_tables(swdict: Dict, dtype=jnp.float32) -> Dict:
-    """Device copy of a reference-layout swdict (already rows-leading)."""
-    out: Dict = {}
+def prep_sw_tables(swdict: Dict, dtype=jnp.float32,
+                   nbase_hi: int = None) -> Dict:
+    """Device copy of a reference-layout swdict (already rows-leading).
+
+    ``nbase_hi``: reachable upper-atmosphere row bound
+    (rlw.nbase_hi_for) consumed by taumol_sw's weight planes."""
+    out: Dict = {"nbase_hi": int(nbase_hi) if nbase_hi else rlw.NBASE_HI}
     for key, val in swdict.items():
         if isinstance(val, dict):
             out[key] = {
@@ -234,11 +238,12 @@ def taumol_sw(c, colamt, colmol, T):
     Wlo = rlw._fac_weights(
         base0, c["fac00"], c["fac10"], rlw.NBASE_LO, dtype
     ) + rlw._fac_weights(base1, c["fac01"], c["fac11"], rlw.NBASE_LO, dtype)
+    NBH = int(T.get("nbase_hi", rlw.NBASE_HI))
     baseU0 = (jp - 13) * 5 + (jt - 1)
     baseU1 = (jp - 12) * 5 + (jt1 - 1)
     Whi = rlw._fac_weights(
-        baseU0, c["fac00"], c["fac10"], rlw.NBASE_HI, dtype
-    ) + rlw._fac_weights(baseU1, c["fac01"], c["fac11"], rlw.NBASE_HI, dtype)
+        baseU0, c["fac00"], c["fac10"], NBH, dtype
+    ) + rlw._fac_weights(baseU1, c["fac01"], c["fac11"], NBH, dtype)
 
     SPEC_LO = (0, 1, 2, 3, 5, 6, 8, 12)  # nspa=9 lower bands
     SINGLE_LO = (4, 7, 9, 11, 13)
@@ -256,13 +261,13 @@ def taumol_sw(c, colamt, colmol, T):
             Wlo, [B[i]["absa"] for i in SPEC_LO], 9, rlw.NBASE_LO
         )
         A5 = rlw._merged_A(
-            Whi, [B[i]["absb"] for i in SPEC_HI], 5, rlw.NBASE_HI
+            Whi, [B[i]["absb"] for i in SPEC_HI], 5, NBH
         )
     A1_lo = rlw._merged_single(
         Wlo, [B[i]["absa"] for i in SINGLE_LO], rlw.NBASE_LO
     )
     A1_hi = rlw._merged_single(
-        Whi, [B[i]["absb"] for i in SINGLE_HI], rlw.NBASE_HI
+        Whi, [B[i]["absb"] for i in SINGLE_HI], NBH
     )
 
     # raw pressure/temperature selection pairs for the Pallas route
@@ -277,7 +282,7 @@ def taumol_sw(c, colamt, colmol, T):
         ]
 
     PBL = _pairs(base0, base1, rlw.NBASE_LO)
-    PBH = _pairs(baseU0, baseU1, rlw.NBASE_HI)
+    PBH = _pairs(baseU0, baseU1, NBH)
 
     def _flat_tab(tab, nspa, nbase):
         t = rlw._reshape_base(tab, nspa, nbase)  # [nbase, nspa, ng]

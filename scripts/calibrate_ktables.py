@@ -1,0 +1,251 @@
+"""Calibrate the synthetic RRTMG k-tables for stratospheric balance.
+
+The fabricated k-distributions (rrtmg/tables.py) have no physical
+ozone/CO2 spectroscopy, so the clear-sky net heating above ~100 hPa was
+whatever the random draw produced (~+6 K/day at r3 — the cause of the
+day-21 coupled blow-up that the PhysicsConfig thermal sponge papered
+over; docs/acceptance.md).  This script tunes a small set of
+upper-atmosphere table scale factors so the clear-sky net radiative
+heating in the stratosphere is ~0 around a 235 K radiative-equilibrium
+stratosphere — the property the real tables have — and prints the
+scales that rrtmg/tables.py then bakes in (r3 verdict #7).
+
+Method: the solvers are differentiable JAX programs, so the calibration
+is a direct gradient optimization (optax adam on log-scales) of
+
+    loss = mean_k w_k * (86400 * (hlw0 + <hsw0>_diurnal))^2   [K/day]^2
+
+over the layers above 100 hPa of a 3-profile battery (tropical /
+midlatitude / subarctic), with the diurnal-mean SW from a 2-point
+cosz quadrature.  Parameters: per-LW-band absb scales, one shared LW
+upper-minor (kb_*) scale, per-SW-band absb scales, and SW abso3a/abso3b
+scales.  Run on CPU in f64:
+
+    python scripts/calibrate_ktables.py [iters]
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fv3net_tpu.physics.radiation.rrtmg import lw as rlw
+from fv3net_tpu.physics.radiation.rrtmg import sw as rsw
+from fv3net_tpu.physics.radiation.rrtmg import params as P
+from fv3net_tpu.physics.radiation.rrtmg.tables import (
+    LW_NO_UPPER_TABLE,
+    SW_BAND_TABLES,
+    make_lw_tables,
+    make_sw_tables,
+)
+
+L = 32
+F = jnp.float64
+
+LW_B_BANDS = [b for b in range(P.NBANDS_LW) if b not in LW_NO_UPPER_TABLE]
+SW_B_BANDS = [b for b in range(P.NBANDS_SW)
+              if "absb" in SW_BAND_TABLES[b]]
+LW_UPPER_MINORS = [
+    (6, "kb_mco2"), (7, "kb_mco2"), (7, "kb_mn2o"), (8, "kb_mn2o"),
+    (10, "kb_mo2"), (12, "kb_mo3"),
+]
+
+
+def profiles():
+    """3 canonical columns (bottom-up, k=0 at the surface)."""
+    plvl1 = np.geomspace(1013.0, 3.0, L + 1)
+    cols = []
+    for tsfc, trop_lapse, t_strat in [
+        (300.0, 5.8, 200.0),   # tropical
+        (288.0, 6.5, 218.0),   # midlatitude
+        (257.0, 7.0, 228.0),   # subarctic
+    ]:
+        plyr = 0.5 * (plvl1[:-1] + plvl1[1:])
+        z = 16.0 * np.log(1013.0 / plyr)  # ~km
+        t = np.maximum(tsfc - trop_lapse * z, t_strat)
+        # 235 K radiative-equilibrium target in the upper stratosphere
+        t = np.where(plyr < 30.0, 235.0 - (235.0 - t_strat) * 0.0, t)
+        q = 0.015 * (plyr / 1013.0) ** 3 + 3e-6
+        o3 = 1e-6 * np.exp(-((np.log(plyr) - np.log(20.0)) / 0.8) ** 2)
+        cols.append((plyr, t, q, o3, tsfc))
+    C = len(cols)
+    plyr = jnp.asarray([c[0] for c in cols], F)
+    plvl = jnp.asarray(np.broadcast_to(plvl1, (C, L + 1)), F)
+    tlyr = jnp.asarray([c[1] for c in cols], F)
+    tlvl = jnp.concatenate(
+        [tlyr[:, :1], 0.5 * (tlyr[:, :-1] + tlyr[:, 1:]), tlyr[:, -1:]], 1
+    )
+    qlyr = jnp.asarray([c[2] for c in cols], F)
+    olyr = jnp.asarray([c[3] for c in cols], F)
+    tsfc = jnp.asarray([c[4] for c in cols], F)
+    delp = plvl[:, :-1] - plvl[:, 1:]
+    gasvmr = jnp.zeros((C, L, 10), F).at[..., 0].set(3.55e-4).at[
+        ..., 1
+    ].set(3.2e-7).at[..., 2].set(1.7e-6).at[..., 3].set(0.209)
+    clouds = jnp.zeros((C, L, 9), F)  # clear sky
+    aer_lw = jnp.zeros((C, L, P.NBANDS_LW, 3), F)
+    aer_sw = jnp.zeros((C, L, P.NBANDS_SW, 3), F)
+    return dict(
+        plyr=plyr, plvl=plvl, tlyr=tlyr, tlvl=tlvl, qlyr=qlyr,
+        olyr=olyr, tsfc=tsfc, delp=delp, gasvmr=gasvmr, clouds=clouds,
+        aer_lw=aer_lw, aer_sw=aer_sw, C=C,
+    )
+
+
+def scaled_tables(params, Tlw, Tsw):
+    """Apply exp(log-scale) multipliers to the upper-atmosphere tables."""
+    lwb = [dict(b) for b in Tlw["bands"]]
+    for i, b in enumerate(LW_B_BANDS):
+        if "absb" in lwb[b]:
+            lwb[b]["absb"] = lwb[b]["absb"] * jnp.exp(params["lw_b"][i])
+    for j, (b, key) in enumerate(LW_UPPER_MINORS):
+        if key in lwb[b]:
+            lwb[b][key] = lwb[b][key] * jnp.exp(params["lw_minor"])
+    Tlw2 = dict(Tlw)
+    Tlw2["bands"] = lwb
+    # rebuild the pre-merged group tables that taumol actually contracts
+    from fv3net_tpu.physics.radiation.rrtmg.lw import (
+        NBASE_HI,
+        _MINOR1_KEYS,
+        _SINGLE_HI,
+        _SPEC_HI,
+        _reshape_base,
+    )
+
+    def _flat_group(key, idx, nspa, nbase):
+        parts = [_reshape_base(lwb[i][key], nspa, nbase) for i in idx]
+        merged = jnp.concatenate(parts, axis=-1)
+        return merged.reshape(nbase, -1)
+
+    Tlw2["mtab_hi5"] = _flat_group("absb", _SPEC_HI, 5, NBASE_HI)
+    Tlw2["mtab_hi1"] = _flat_group("absb", _SINGLE_HI, 1, NBASE_HI)
+    Tlw2["minor1_all"] = jnp.concatenate(
+        [lwb[i][k] for i, k in _MINOR1_KEYS], axis=-1
+    )
+
+    swb = dict(Tsw)
+    bands = [dict(b) for b in Tsw["bands"]]
+    for i, b in enumerate(SW_B_BANDS):
+        if "absb" in bands[b]:
+            bands[b]["absb"] = bands[b]["absb"] * jnp.exp(
+                params["sw_b"][i]
+            )
+    for b in range(P.NBANDS_SW):
+        for j, key in enumerate(("abso3a", "abso3b")):
+            if key in bands[b]:
+                bands[b][key] = bands[b][key] * jnp.exp(
+                    params["sw_o3"][j]
+                )
+    swb["bands"] = bands
+    return Tlw2, Tsw2_fix(swb)
+
+
+def Tsw2_fix(swb):
+    return swb
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    pr = profiles()
+    C = pr["C"]
+    Tlw = rlw.prep_lw_tables(make_lw_tables(), F)
+    Tsw = rsw.prep_sw_tables(make_sw_tables(), F)
+
+    rng = np.random.default_rng(0)
+    rand_lw = jnp.asarray(rng.random((C, P.NGPT_LW * L)), F)
+    rand_sw = jnp.asarray(rng.random((C, P.NGPT_SW * L)), F)
+    sfemis = jnp.ones((C,), F)
+    sfcalb = jnp.full((C, 4), 0.15, F)
+    # 2-point diurnal quadrature of cosz (daylit half-day)
+    cosz_pts = [(0.25, jnp.full((C,), 0.35, F)),
+                (0.25, jnp.full((C,), 0.75, F))]
+    strat = pr["plyr"] < 100.0  # [C, L] layers above 100 hPa
+
+    def net_heating(params):
+        Tlw2, Tsw2 = scaled_tables(params, Tlw, Tsw)
+        out_lw = rlw.lwrad(
+            pr["plyr"], pr["plvl"], pr["tlyr"], pr["tlvl"], pr["qlyr"],
+            pr["olyr"], pr["gasvmr"], pr["clouds"], pr["aer_lw"],
+            sfemis, pr["tsfc"], pr["delp"], rand_lw, Tlw2,
+        )
+        h = out_lw["hlw0"]
+        for w, cz in cosz_pts:
+            out_sw = rsw.swrad(
+                pr["plyr"], pr["plvl"], pr["tlyr"], pr["tlvl"],
+                pr["qlyr"], pr["olyr"], pr["gasvmr"], pr["clouds"],
+                pr["aer_sw"], sfcalb, pr["delp"], cz, 1.0, rand_sw,
+                Tsw2, compress_daylight=False,
+            )
+            h = h + w * out_sw["hsw0"]
+        return h * 86400.0  # K/day
+
+    def loss(params):
+        h = net_heating(params)
+        strat_term = jnp.mean(jnp.where(strat, h, 0.0) ** 2)
+        reg = 1e-3 * (
+            jnp.mean(params["lw_b"] ** 2)
+            + jnp.mean(params["sw_b"] ** 2)
+            + jnp.mean(params["sw_o3"] ** 2)
+            + params["lw_minor"] ** 2
+        )
+        return strat_term + reg
+
+    params = {
+        "lw_b": jnp.zeros(len(LW_B_BANDS), F),
+        "lw_minor": jnp.asarray(0.0, F),
+        "sw_b": jnp.zeros(len(SW_B_BANDS), F),
+        "sw_o3": jnp.zeros(2, F),
+    }
+    h0 = net_heating(params)
+    print(
+        "initial strat net heating K/day: "
+        f"mean {float(jnp.where(strat, h0, jnp.nan)[jnp.isfinite(jnp.where(strat, h0, jnp.nan))].mean() if True else 0):.3f} "
+        f"max|.| {float(jnp.max(jnp.abs(jnp.where(strat, h0, 0.0)))):.3f}",
+        flush=True,
+    )
+
+    tx = optax.adam(0.05)
+    opt = tx.init(params)
+    vg = jax.jit(jax.value_and_grad(loss))
+    for i in range(iters):
+        val, grads = vg(params)
+        updates, opt = tx.update(grads, opt)
+        params = optax.apply_updates(params, updates)
+        if i % 25 == 0 or i == iters - 1:
+            print(f"iter {i:4d} loss {float(val):10.4f}", flush=True)
+
+    h1 = net_heating(params)
+    print(
+        "final strat net heating K/day: "
+        f"max|.| {float(jnp.max(jnp.abs(jnp.where(strat, h1, 0.0)))):.3f}"
+    )
+    out = {
+        "LW_ABSB_SCALE": {
+            b: round(float(np.exp(params["lw_b"][i])), 4)
+            for i, b in enumerate(LW_B_BANDS)
+        },
+        "LW_UPPER_MINOR_SCALE": round(
+            float(np.exp(params["lw_minor"])), 4
+        ),
+        "SW_ABSB_SCALE": {
+            b: round(float(np.exp(params["sw_b"][i])), 4)
+            for i, b in enumerate(SW_B_BANDS)
+        },
+        "SW_O3_SCALE": [
+            round(float(np.exp(params["sw_o3"][j])), 4) for j in (0, 1)
+        ],
+    }
+    import json
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -295,3 +295,170 @@ def test_gfdl_microphysics_matches_under_sharding():
             np.asarray(out_single.tracers[k]),
             rtol=2e-6, atol=1e-8,
         )
+
+
+@requires_devices
+def test_production_chunk_matches_under_sharding(tmp_path):
+    """The PRODUCTION fused chunk — prognostic surface (slab ocean +
+    sea ice), a prephysics prescriber, the interval radiation cache and
+    an in-graph ML corrector — run as a 4-step chunk on a rectangular
+    (2, 4) mesh vs one device, plus a write_sharded diagnostics drain
+    (r3 verdict #2; reference parallel-IO semantics:
+    runtime/diagnostics/manager.py:58-60)."""
+    from fv3net_tpu.core import zarrio
+    from fv3net_tpu.core.dataset import Dataset
+    from fv3net_tpu.core.quantity import Quantity
+    from fv3net_tpu.core.sharded_io import write_sharded
+    from fv3net_tpu.fit.dense import DenseHyperparameters, train_dense_model
+    from fv3net_tpu.parallel.halo import no_explicit_halo
+    from fv3net_tpu.runtime import names
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime.fused import build_fused_production_chunk
+    from fv3net_tpu.runtime.steppers.machine_learning import PureMLStepper
+
+    npx, npz, n_steps = 8, 8, 4
+    cfg = get_config(
+        {
+            "namelist": {
+                "npx": npx, "npz": npz, "dt_atmos": 900.0, "n_split": 2,
+                "radiation": "rrtmg", "slab_ocean": True,
+                "sea_ice": True,
+            },
+            "duration_seconds": n_steps * 900.0,
+        }
+    )
+    dyn_cfg = DycoreConfig(
+        dt=900.0, n_split=2, kord=9, advection_order=4,
+        diff_coef=0.004, divergence_damp_coef=0.06,
+    )
+    phys_cfg = PhysicsConfig(radiation_scheme="rrtmg")
+
+    rng = np.random.RandomState(0)
+    n = 32
+    batch = Dataset(
+        {
+            "air_temperature": Quantity(
+                jnp.asarray(
+                    np.asarray(260 + 30 * rng.rand(n, npz), np.float32)
+                ),
+                ("sample", "z"),
+            ),
+            "specific_humidity": Quantity(
+                jnp.asarray(
+                    np.asarray(0.01 * rng.rand(n, npz), np.float32)
+                ),
+                ("sample", "z"),
+            ),
+            "dQ1": Quantity(
+                jnp.asarray(
+                    np.asarray(1e-6 * rng.randn(n, npz), np.float32)
+                ),
+                ("sample", "z"),
+            ),
+            "dQ2": Quantity(
+                jnp.asarray(
+                    np.asarray(1e-9 * rng.randn(n, npz), np.float32)
+                ),
+                ("sample", "z"),
+            ),
+        }
+    )
+    ml = train_dense_model(
+        DenseHyperparameters(
+            input_variables=["air_temperature", "specific_humidity"],
+            output_variables=["dQ1", "dQ2"],
+            hidden_layers=1, width=8, epochs=1,
+        ),
+        [batch],
+    )
+    ml_stepper = PureMLStepper(ml, timestep=900.0)
+
+    grid = make_grid(npx)
+    g = GridArrays.from_grid(grid)
+    state, ak, bk = init_state(grid, npz, perturbation=1.0)
+    sst = aquaplanet_sst(g.lat).astype(jnp.float32)
+    surface = {
+        names.TSFC: sst,
+        names.SST: sst,
+        names.MASK: jnp.zeros_like(sst),
+        "ice_thickness": jnp.zeros_like(sst),
+        names.TOTAL_PRECIP: jnp.zeros_like(sst),
+    }
+    cosz = jnp.clip(jnp.cos(g.lat) * jnp.cos(g.lon), 0.0, 1.0).astype(
+        jnp.float32
+    )
+    prescribed = (
+        {
+            names.SST: jnp.broadcast_to(sst, (n_steps, *sst.shape))
+            + jnp.zeros((n_steps, *sst.shape), jnp.float32)
+        },
+    )
+    akj = jnp.asarray(ak, jnp.float32)
+    bkj = jnp.asarray(bk, jnp.float32)
+
+    with no_explicit_halo():
+        chunk1 = build_fused_production_chunk(
+            g, akj, bkj, dyn_cfg, phys_cfg, cfg.namelist,
+            ml_stepper=ml_stepper, n_steps=n_steps,
+            radiation_interval=2, prephysics_kinds=("set",),
+        )
+        d1, s1, raw1 = chunk1(state, surface, cosz, prescribed)
+        d1 = jax.tree_util.tree_map(np.asarray, d1)
+        s1 = {k: np.asarray(v) for k, v in s1.items()}
+        raw1 = {k: np.asarray(v) for k, v in raw1.items()}
+
+    mesh = sharded.make_mesh(8, layout=(2, 4))
+    from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+    state_s = sharded.shard_state(state, mesh)
+    surface_s = {
+        k: sharded.shard_field2d(v, mesh) for k, v in surface.items()
+    }
+    presc_s = (
+        {
+            k: jax.device_put(
+                v,
+                NamedSharding(
+                    mesh,
+                    Pspec(None, None, sharded.FV_AXIS,
+                          sharded.FV_X_AXIS),
+                ),
+            )
+            for k, v in prescribed[0].items()
+        },
+    )
+    chunk_s = build_fused_production_chunk(
+        sharded.replicate(g, mesh),
+        sharded.replicate(akj, mesh),
+        sharded.replicate(bkj, mesh),
+        dyn_cfg, phys_cfg, cfg.namelist,
+        ml_stepper=ml_stepper, n_steps=n_steps,
+        radiation_interval=2, prephysics_kinds=("set",),
+    )
+    d_s, s_s, raw_s = chunk_s(
+        state_s, surface_s, sharded.shard_field2d(cosz, mesh), presc_s
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(d_s.pt), d1.pt, rtol=2e-6, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_s.delp), d1.delp, rtol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_s.wind), d1.wind, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_s[names.TSFC]), s1[names.TSFC], atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(raw_s[names.TOTAL_PRECIP]),
+        raw1[names.TOTAL_PRECIP], atol=1e-7,
+    )
+
+    # sharded parallel-IO drain: per-shard zarr writes, global readback
+    grp = zarrio.ZarrGroup(str(tmp_path / "diag.zarr"))
+    write_sharded(grp, "air_temperature", d_s.pt,
+                  dims=("tile", "z", "y", "x"))
+    back = grp["air_temperature"].read()
+    np.testing.assert_array_equal(back, np.asarray(d_s.pt))
