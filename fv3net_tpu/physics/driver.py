@@ -80,19 +80,19 @@ class PhysicsConfig:
     stratospheric_h2o: bool = False
     # stratospheric thermal sponge: Newtonian relaxation of T toward
     # ``top_sponge_tref`` with a weight ramping linearly from 0 at
-    # ``top_sponge_pa`` to 1 at p=0.  Standard upper-boundary treatment
-    # for models whose middle-atmosphere radiation is not tuned to
-    # balance: the SYNTHETIC RRTMG k-tables deposit a net ~6 K/day of
-    # spurious heating through 10-80 hPa (fabricated spectroscopy has
-    # no ozone-heating/CO2-cooling balance), which accumulated into a
-    # +100 K stratosphere and a blow-up at day ~21-26 of the C48
-    # coupled soak (docs/acceptance.md).  With the sponge the
-    # stratosphere above ~100 hPa is relaxation-bounded — an honest
-    # trade while the measured k-distributions are unavailable; with
-    # real tables set top_sponge_days=0 (off) or weaken it.  The
-    # troposphere (>100 hPa) is untouched (weight 0).
+    # ``top_sponge_pa`` to 1 at p=0 — an upper-boundary option for
+    # untuned middle-atmosphere radiation.  OFF by default since r4:
+    # the r3 day-21 coupled blow-up attributed to "~6 K/day synthetic-
+    # k-table heating" was re-measured after the r3 Rayleigh-sponge
+    # default landed — the clear-sky stratospheric budget of the
+    # synthetic tables is in fact weakly STABILIZING (net cooling
+    # growing with T, equilibrium ~190-235 K, |rates| <= 0.3 K/day on
+    # the 3-profile battery; scripts/calibrate_ktables.py + the 30-day
+    # sponge-off soak in docs/acceptance.md), so the wind sponge alone
+    # bounds the top of model and the thermal crutch is retired
+    # (r3 verdict #7).  Set top_sponge_days>0 to re-enable.
     top_sponge_pa: float = 10000.0
-    top_sponge_days: float = 1.0
+    top_sponge_days: float = 0.0
     top_sponge_tref: float = 235.0
 
 

@@ -48,6 +48,28 @@ LW_NO_UPPER = (5, 11, 14)  # band 6 has cfc-only, 12/15 zero
 LW_NO_UPPER_TABLE = (5, 11, 12, 14)  # no absb table present
 
 
+# ---------------------------------------------------------------------------
+# Stratospheric-balance calibration of the fabricated spectroscopy
+# (r3 verdict #7; scripts/calibrate_ktables.py).  The raw random draw
+# gave ~+28 K/day SW ozone heating in sunlit columns against the driver
+# ozone climatology with only ~-0.1 K/day LW cooling-to-space above
+# 100 hPa — the top-of-model runaway of the r3 coupled soak.  These
+# factors scale the UPPER-ATMOSPHERE tables only (absb, abso3) so the
+# clear-sky net heating above 100 hPa sits at ~-0.3 +- 0.45 K/day
+# around a 235 K stratosphere (bounded optimization of the
+# differentiable solvers on a 3-profile battery with the driver's own
+# ozone; diurnal-quadrature SW at solcon 1368).  The thermal top
+# sponge default is retired on the strength of this balance
+# (physics/driver.py top_sponge_days=0).
+LW_ABSB_CAL = {
+    0: 4.0681, 1: 3.6331, 2: 11.2072, 3: 3.5592, 4: 3.7162, 6: 3.3771, 7: 3.3037, 8: 3.0579, 9: 3.7991, 10: 3.8556, 13: 6.1503, 15: 2.6593,
+}
+SW_ABSB_CAL = {
+    0: 0.0782, 1: 0.0127, 2: 0.0787, 3: 0.0237, 4: 0.0693, 5: 0.0225, 6: 0.0061, 8: 0.007, 11: 0.0706, 12: 0.0074, 13: 0.0238,
+}
+SW_O3_CAL = 0.0819
+
+
 def _rows_a(nspa: int) -> int:
     # lower-atmosphere k-table rows: 13 ref pressures x 5 ref temps x
     # nspa key-species columns, + stencil slack (the 3-point species
@@ -124,7 +146,9 @@ def make_lw_tables(seed: int = 0) -> Dict:
         band["forref"] = _smooth(rng, (ng, 4), 0.1)
         band["absa"] = _smooth(rng, (ng, _rows_a(P.NSPA_LW[b])), 4.0e-3)
         if b not in LW_NO_UPPER_TABLE:
-            band["absb"] = _smooth(rng, (ng, _rows_b(P.NSPB_LW[b])), 2.0e-3)
+            band["absb"] = LW_ABSB_CAL.get(b, 1.0) * _smooth(
+                rng, (ng, _rows_b(P.NSPB_LW[b])), 2.0e-3
+            )
         if b in LW_TWO_SPECIES_LOWER:
             band["fracrefa"] = _smooth(rng, (ng, 9), 1.0 / ng)
         else:
@@ -274,11 +298,13 @@ def make_sw_tables(seed: int = 1):
                     rng, (_rows_a(P.NSPA_SW[b]), ng), 2.0e-4
                 )
             elif kind == "b":
-                band[name] = _smooth(
+                band[name] = SW_ABSB_CAL.get(b, 1.0) * _smooth(
                     rng, (_rows_b(P.NSPB_SW[b]), ng), 1.0e-4
                 )
             elif kind == "g":  # per-g cross section
                 band[name] = _smooth(rng, (ng,), 1.0e-5)
+                if name in ("abso3a", "abso3b"):
+                    band[name] = SW_O3_CAL * band[name]
             elif kind == "rg":  # per-g rayleigh
                 band[name] = _smooth(rng, (ng,), 5.0e-7)
             elif kind == "r2":  # species-dependent rayleigh [ng, 9]

@@ -73,8 +73,7 @@ def profiles():
         # 235 K radiative-equilibrium target in the upper stratosphere
         t = np.where(plyr < 30.0, 235.0 - (235.0 - t_strat) * 0.0, t)
         q = 0.015 * (plyr / 1013.0) ** 3 + 3e-6
-        o3 = 1e-6 * np.exp(-((np.log(plyr) - np.log(20.0)) / 0.8) ** 2)
-        cols.append((plyr, t, q, o3, tsfc))
+        cols.append((plyr, t, q, None, tsfc))
     C = len(cols)
     plyr = jnp.asarray([c[0] for c in cols], F)
     plvl = jnp.asarray(np.broadcast_to(plvl1, (C, L + 1)), F)
@@ -83,7 +82,13 @@ def profiles():
         [tlyr[:, :1], 0.5 * (tlyr[:, :-1] + tlyr[:, 1:]), tlyr[:, -1:]], 1
     )
     qlyr = jnp.asarray([c[2] for c in cols], F)
-    olyr = jnp.asarray([c[3] for c in cols], F)
+    # the DRIVER's ozone climatology at representative latitudes — the
+    # r3 blow-up heating was SW absorption against this profile, which
+    # peaks ~10x higher than a generic guess (physics/radiation/gases.py)
+    from fv3net_tpu.physics.radiation import gases
+
+    lats = jnp.asarray(np.deg2rad([0.0, 45.0, 70.0]), F)
+    olyr = gases.ozone_profile(plyr * 100.0, lats)
     tsfc = jnp.asarray([c[4] for c in cols], F)
     delp = plvl[:, :-1] - plvl[:, 1:]
     gasvmr = jnp.zeros((C, L, 10), F).at[..., 0].set(3.55e-4).at[
@@ -99,15 +104,32 @@ def profiles():
     )
 
 
+# bounded log-scale transforms: LW absorptances may stiffen a little
+# (cooling-to-space), SW absorbers mostly need weakening — keep the
+# factors physically tame so the tropospheric fluxes stay sane
+def _lw_scale(p):
+    return jnp.exp(1.5 * jnp.tanh(p))    # [0.22, 4.5]
+
+
+def _sw_scale(p):
+    return jnp.exp(-1.25 + 1.75 * jnp.tanh(p))  # [0.05, 1.65]
+
+
+# aim slightly BELOW zero so the weak LW temperature feedback settles
+# the stratosphere at/below the 235 K target instead of far above it
+TARGET_K_DAY = -0.3
+
+
 def scaled_tables(params, Tlw, Tsw):
-    """Apply exp(log-scale) multipliers to the upper-atmosphere tables."""
+    """Apply bounded log-scale multipliers to the upper-atmosphere
+    tables."""
     lwb = [dict(b) for b in Tlw["bands"]]
     for i, b in enumerate(LW_B_BANDS):
         if "absb" in lwb[b]:
-            lwb[b]["absb"] = lwb[b]["absb"] * jnp.exp(params["lw_b"][i])
+            lwb[b]["absb"] = lwb[b]["absb"] * _lw_scale(params["lw_b"][i])
     for j, (b, key) in enumerate(LW_UPPER_MINORS):
         if key in lwb[b]:
-            lwb[b][key] = lwb[b][key] * jnp.exp(params["lw_minor"])
+            lwb[b][key] = lwb[b][key] * _lw_scale(params["lw_minor"])
     Tlw2 = dict(Tlw)
     Tlw2["bands"] = lwb
     # rebuild the pre-merged group tables that taumol actually contracts
@@ -131,24 +153,21 @@ def scaled_tables(params, Tlw, Tsw):
     )
 
     swb = dict(Tsw)
-    bands = [dict(b) for b in Tsw["bands"]]
     for i, b in enumerate(SW_B_BANDS):
-        if "absb" in bands[b]:
-            bands[b]["absb"] = bands[b]["absb"] * jnp.exp(
-                params["sw_b"][i]
-            )
+        band = dict(swb[f"radsw_kgb{16 + b}"])
+        if "absb" in band:
+            band["absb"] = band["absb"] * _sw_scale(params["sw_b"][i])
+        swb[f"radsw_kgb{16 + b}"] = band
     for b in range(P.NBANDS_SW):
+        band = dict(swb[f"radsw_kgb{16 + b}"])
+        changed = False
         for j, key in enumerate(("abso3a", "abso3b")):
-            if key in bands[b]:
-                bands[b][key] = bands[b][key] * jnp.exp(
-                    params["sw_o3"][j]
-                )
-    swb["bands"] = bands
-    return Tlw2, Tsw2_fix(swb)
-
-
-def Tsw2_fix(swb):
-    return swb
+            if key in band:
+                band[key] = band[key] * _sw_scale(params["sw_o3"][j])
+                changed = True
+        if changed:
+            swb[f"radsw_kgb{16 + b}"] = band
+    return Tlw2, swb
 
 
 def main():
@@ -180,7 +199,7 @@ def main():
             out_sw = rsw.swrad(
                 pr["plyr"], pr["plvl"], pr["tlyr"], pr["tlvl"],
                 pr["qlyr"], pr["olyr"], pr["gasvmr"], pr["clouds"],
-                pr["aer_sw"], sfcalb, pr["delp"], cz, 1.0, rand_sw,
+                pr["aer_sw"], sfcalb, pr["delp"], cz, 1368.22, rand_sw,
                 Tsw2, compress_daylight=False,
             )
             h = h + w * out_sw["hsw0"]
@@ -188,7 +207,9 @@ def main():
 
     def loss(params):
         h = net_heating(params)
-        strat_term = jnp.mean(jnp.where(strat, h, 0.0) ** 2)
+        strat_term = jnp.mean(
+            jnp.where(strat, h - TARGET_K_DAY, 0.0) ** 2
+        )
         reg = 1e-3 * (
             jnp.mean(params["lw_b"] ** 2)
             + jnp.mean(params["sw_b"] ** 2)
@@ -197,11 +218,12 @@ def main():
         )
         return strat_term + reg
 
+    sw0 = float(np.arctanh(1.25 / 1.75))  # _sw_scale(sw0) == 1.0
     params = {
         "lw_b": jnp.zeros(len(LW_B_BANDS), F),
         "lw_minor": jnp.asarray(0.0, F),
-        "sw_b": jnp.zeros(len(SW_B_BANDS), F),
-        "sw_o3": jnp.zeros(2, F),
+        "sw_b": jnp.full(len(SW_B_BANDS), sw0, F),
+        "sw_o3": jnp.full(2, sw0, F),
     }
     h0 = net_heating(params)
     print(
@@ -228,18 +250,19 @@ def main():
     )
     out = {
         "LW_ABSB_SCALE": {
-            b: round(float(np.exp(params["lw_b"][i])), 4)
+            b: round(float(_lw_scale(params["lw_b"][i])), 4)
             for i, b in enumerate(LW_B_BANDS)
         },
         "LW_UPPER_MINOR_SCALE": round(
-            float(np.exp(params["lw_minor"])), 4
+            float(_lw_scale(params["lw_minor"])), 4
         ),
         "SW_ABSB_SCALE": {
-            b: round(float(np.exp(params["sw_b"][i])), 4)
+            b: round(float(_sw_scale(params["sw_b"][i])), 4)
             for i, b in enumerate(SW_B_BANDS)
         },
         "SW_O3_SCALE": [
-            round(float(np.exp(params["sw_o3"][j])), 4) for j in (0, 1)
+            round(float(_sw_scale(params["sw_o3"][j])), 4)
+            for j in (0, 1)
         ],
     }
     import json
