@@ -25,6 +25,7 @@ TRACE_DIR = "/tmp/fv3net_profile"
 
 def main():
     top_n = int(sys.argv[1]) if len(sys.argv) > 1 else 25
+    npx = int(sys.argv[2]) if len(sys.argv) > 2 else 48
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -33,7 +34,7 @@ def main():
 
     from __graft_entry__ import _flagship
 
-    multi_step, args = _flagship(npx=48, npz=32, chunk=8, radiation_interval=4)
+    multi_step, args = _flagship(npx=npx, npz=32, chunk=8, radiation_interval=4)
     state, ml_params, sst, cosz = args
 
     def sync(st):

@@ -803,7 +803,16 @@ def dynamics_step(
     def body(_, s):
         return _substep(s, g, cfg, dt_sub)
 
-    state = jax.lax.fori_loop(0, cfg.n_split, body, state)
+    # FV3NET_DYCORE_UNROLL=1 python-unrolls the substep loop (measured
+    # 9 ms/chunk SLOWER at C48 — CLAUDE.md — but re-testable per grid;
+    # the loop-form's dynamic-update-slice carries may scale differently)
+    import os as _os
+
+    if _os.environ.get("FV3NET_DYCORE_UNROLL", "0") == "1":
+        for _ in range(cfg.n_split):
+            state = body(0, state)
+    else:
+        state = jax.lax.fori_loop(0, cfg.n_split, body, state)
     if cfg.tau_rayleigh > 0.0:
         state = _rayleigh_damp(state, cfg, cfg.dt)
     if cfg.remap:

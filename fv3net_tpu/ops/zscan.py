@@ -99,9 +99,11 @@ def suffix_sum_strict(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     contraction (zero at the last index)."""
     k = x.shape[axis]
     if not _use_matmul(x, axis) or k > _MAX_MATMUL_K:
-        rev = jnp.flip(
-            jnp.cumsum(jnp.flip(x, axis=axis), axis=axis), axis=axis
-        )
+        # native reverse cumsum: the flip/cumsum/flip chain without the
+        # two materialized `rev` copies it cost per call in the
+        # acoustic-loop trace at C192 (the lowered scan associates
+        # 1-2 ulp differently from the flipped forward scan)
+        rev = jax.lax.cumsum(x, axis=axis % x.ndim, reverse=True)
         # strict: drop self, append zero
         sl_tail = [slice(None)] * x.ndim
         sl_tail[axis] = slice(1, None)

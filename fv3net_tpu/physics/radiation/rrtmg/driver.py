@@ -147,10 +147,18 @@ def _column_block_default(ncol: int) -> int:
         return 0
     if ncol <= 16384:
         return 0
-    # even the blocks out (lane-aligned) so the padded tail is tiny:
-    # e.g. C96 (55296 cols) -> 4 exact 13824-col blocks; C192 (221184)
-    # -> 14 blocks of 15800 with 16 pad columns, not a 16384-grid tail
+    # prefer an EXACT divisor of the column count: the padded path must
+    # pad + reshape EVERY [C, ...] radiation input into [nblk, blk, ...]
+    # (a full copy per plane — measured ~135 ms/call of pure data
+    # rearrangement at C192), while an exact leading-axis split is a
+    # free reshape.  Cube grids (6 n^2) always have a divisor near the
+    # 16384 working-set target: C96 -> 4 x 13824, C192 -> 16 x 13824
     nblk = -(-ncol // 16384)
+    for k in range(nblk, 4 * nblk + 1):
+        if ncol % k == 0:
+            return ncol // k
+    # no clean divisor: even the blocks out (lane-aligned) so the
+    # padded tail is tiny
     return -(-(-(-ncol // nblk)) // 8) * 8
 
 
