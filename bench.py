@@ -109,7 +109,76 @@ def main():
         peak = _peak_for(jax.devices()[0])
         result["mfu"] = round(achieved / peak, 4)
         result["tflops"] = round(achieved / 1e12, 2)
+
+    # PRODUCTION path (r3 verdict #1): the runfv3/run_segment code path —
+    # ML-corrected run with prognostic surface, 3-hourly zarr
+    # diagnostics, scalar statistics and restart writes — measured
+    # end-to-end on a 5-day segment (chunk 24, bf16 pulls).  Through the
+    # tunnel-attached chip the diagnostic pulls serialize with compute
+    # (transfer RPCs share the stream; async writers measured slower),
+    # so this number carries real IO, not just the fused chunk.
+    # Skippable via FV3NET_BENCH_NO_PRODUCTION=1 if time-constrained.
+    if os.environ.get("FV3NET_BENCH_NO_PRODUCTION", "0") != "1":
+        try:
+            result["production_sypd"] = round(_production_sypd(), 2)
+        except Exception as e:  # noqa: BLE001
+            result["production_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def _production_sypd(hours: float = 120.0, chunk: int = 24) -> float:
+    """SYPD of run_segment on the production config (the
+    scripts/segment_bench.py 'production' mode, inlined so the driver's
+    single bench.py invocation records both numbers)."""
+    import dataclasses
+    import shutil
+    import tempfile
+    import time as _time
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scripts")
+    )
+    from segment_bench import _train_tiny_ml
+
+    from fv3net_tpu.runtime.config import get_config
+    from fv3net_tpu.runtime.segmented_run.api import run_segment
+
+    model_dir = tempfile.mkdtemp(prefix="bench_ml_")
+    _train_tiny_ml(32, model_dir)
+    config_dict = {
+        "namelist": {
+            "npx": 48, "npz": 32, "dt_atmos": 900.0, "n_split": 2,
+            "radiation": "rrtmg", "slab_ocean": True, "sea_ice": True,
+        },
+        "duration_seconds": hours * 3600.0,
+        "fused_chunk_steps": chunk,
+        "radiation_interval_steps": 4,
+        "scikit_learn": {"model": [model_dir]},
+        "diagnostics": [
+            {
+                "name": "state_after_timestep.zarr",
+                "variables": [
+                    "air_temperature", "specific_humidity",
+                    "surface_pressure", "eastward_wind",
+                ],
+                "times": {"kind": "interval", "frequency": 10800},
+                "pull_dtype": "bfloat16",
+            }
+        ],
+    }
+    cfg = get_config(config_dict)
+    out = tempfile.mkdtemp(prefix="bench_seg_")
+    warm_cfg = dataclasses.replace(cfg, duration_seconds=chunk * 900.0)
+    run_segment(warm_cfg, out + "_warm")
+    t0 = _time.perf_counter()
+    run_segment(cfg, out)
+    elapsed = _time.perf_counter() - t0
+    n_steps = int(cfg.duration_seconds // 900.0)
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(out + "_warm", ignore_errors=True)
+    shutil.rmtree(model_dir, ignore_errors=True)
+    return (n_steps * 900.0 / elapsed) * 86400.0 / (365.0 * 86400.0)
 
 
 if __name__ == "__main__":
