@@ -168,7 +168,10 @@ def _leaky(x):
 
 
 def _conv_init(key, k: int, cin: int, cout: int):
-    w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * (
+    # scale as a PYTHON float: an np.float64 scalar would promote the
+    # f32 weights to f64 under jax_enable_x64 (weak-typed python floats
+    # do not), breaking mixed-dtype convs in x64 test processes
+    w = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * float(
         1.0 / np.sqrt(k * k * cin)
     )
     return {"w": w, "b": jnp.zeros((cout,), jnp.float32)}
