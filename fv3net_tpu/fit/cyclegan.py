@@ -357,6 +357,8 @@ class CycleGAN(Predictor):
         """One jitted vmap over samples (a per-sample eager loop costs
         one dispatch each, CLAUDE.md tunnel rule)."""
         arr, _ = _fields_to_channels(X, self.state_variables)
+        # f32 network: inputs may arrive f64 in x64 processes
+        arr = jnp.asarray(arr, jnp.float32)
         lead = arr.shape[:-4]
         flat = arr.reshape((-1,) + arr.shape[-4:]) if lead else arr[None]
         if self._jit_translate is None:
@@ -493,10 +495,15 @@ def train_cyclegan(
             f"C{n} not divisible by 2^{hp.generator.n_convolutions} "
             "(generator.n_convolutions strided halvings)"
         )
+    # the network is f32 by design: pin the training arrays/scalers so
+    # x64 processes (tests enable it module-wide) don't promote the
+    # conv inputs to f64
+    A = A.astype(np.float32)
+    B = B.astype(np.float32)
     scaler_a = StandardScaler.fit(jnp.asarray(A.reshape(-1, C)))
     scaler_b = StandardScaler.fit(jnp.asarray(B.reshape(-1, C)))
-    An = np.asarray(scaler_a.normalize(jnp.asarray(A)))
-    Bn = np.asarray(scaler_b.normalize(jnp.asarray(B)))
+    An = np.asarray(scaler_a.normalize(jnp.asarray(A)), np.float32)
+    Bn = np.asarray(scaler_b.normalize(jnp.asarray(B)), np.float32)
 
     key = jax.random.PRNGKey(hp.seed)
     keys = jax.random.split(key, 5)
