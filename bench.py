@@ -28,14 +28,24 @@ _PEAK_FLOPS = {
     "TPU v4": 275e12,
     "TPU v6 lite": 918e12,  # v6e (Trillium)
 }
+# per-chip peak HBM bandwidth (bytes/s) — the BINDING resource for this
+# workload (stencils + scans + band solvers are traffic-bound; MFU
+# moves with the flop COUNT: the r4 NBASE shrink cut tflops 2.03->1.6
+# and "MFU" 1.03%->0.81% while throughput improved, VERDICT r4 #2)
+_PEAK_HBM = {
+    "TPU v5 lite": 819e9,  # v5e
+    "TPU v5": 2765e9,  # v5p
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,  # v6e
+}
 
 
-def _peak_for(device) -> float:
+def _peak_for(device, table=_PEAK_FLOPS, default=197e12) -> float:
     kind = getattr(device, "device_kind", "")
-    for key, val in _PEAK_FLOPS.items():
+    for key, val in table.items():
         if kind.startswith(key):
             return val
-    return 197e12
+    return default
 
 
 def main():
@@ -74,8 +84,10 @@ def main():
     out = multi_step(state, ml_params, sst, cosz)
     sync(out)
 
-    # XLA's own FLOP count for the compiled chunk (for MFU)
+    # XLA's own FLOP + HBM-traffic counts for the compiled chunk (for
+    # MFU and hbm_frac)
     flops_per_chunk = None
+    bytes_per_chunk = None
     try:
         cost = multi_step.lower(
             state, ml_params, sst, cosz
@@ -83,6 +95,9 @@ def main():
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_chunk = float(cost.get("flops", 0.0)) or None
+        bytes_per_chunk = (
+            float(cost.get("bytes accessed", 0.0)) or None
+        )
     except Exception:
         pass
 
@@ -109,6 +124,15 @@ def main():
         peak = _peak_for(jax.devices()[0])
         result["mfu"] = round(achieved / peak, 4)
         result["tflops"] = round(achieved / 1e12, 2)
+    if bytes_per_chunk:
+        # achieved HBM bandwidth fraction: XLA cost-model traffic of the
+        # compiled chunk (post-fusion: fusion parameters + outputs) per
+        # measured wall second over the chip's peak.  This is the number
+        # perf claims anchor on — see _PEAK_HBM note
+        bw = bytes_per_chunk * (n_calls / elapsed)
+        peak_bw = _peak_for(jax.devices()[0], _PEAK_HBM, 819e9)
+        result["hbm_frac"] = round(bw / peak_bw, 3)
+        result["hbm_gb_per_chunk"] = round(bytes_per_chunk / 1e9, 1)
 
     # PRODUCTION path (r3 verdict #1): the runfv3/run_segment code path —
     # ML-corrected run with prognostic surface, 3-hourly zarr
@@ -120,7 +144,25 @@ def main():
     # Skippable via FV3NET_BENCH_NO_PRODUCTION=1 if time-constrained.
     if os.environ.get("FV3NET_BENCH_NO_PRODUCTION", "0") != "1":
         try:
-            result["production_sypd"] = round(_production_sypd(), 2)
+            sypd_prod, phases, n_steps = _production_sypd()
+            result["production_sypd"] = round(sypd_prod, 2)
+            # auditable decomposition of the fused-chunk -> production
+            # gap (VERDICT r4 #1): wall ms/step spent pulling
+            # diagnostics through the tunnel, and the bytes moved
+            pull_s = sum(
+                phases.get(k, {}).get("total_seconds", 0.0)
+                for k in ("pull_transfer", "pull_concat_dispatch")
+            )
+            obs_s = phases.get("diag_observe", {}).get(
+                "total_seconds", 0.0
+            )
+            result["pull_ms_per_step"] = round(1e3 * pull_s / n_steps, 2)
+            result["observe_ms_per_step"] = round(
+                1e3 * obs_s / n_steps, 2
+            )
+            result["pull_mb"] = round(
+                phases.get("pull_bytes", 0.0) / 1e6, 1
+            )
         except Exception as e:  # noqa: BLE001
             result["production_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
@@ -172,13 +214,14 @@ def _production_sypd(hours: float = 120.0, chunk: int = 24) -> float:
     warm_cfg = dataclasses.replace(cfg, duration_seconds=chunk * 900.0)
     run_segment(warm_cfg, out + "_warm")
     t0 = _time.perf_counter()
-    run_segment(cfg, out)
+    loop = run_segment(cfg, out)
     elapsed = _time.perf_counter() - t0
     n_steps = int(cfg.duration_seconds // 900.0)
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(out + "_warm", ignore_errors=True)
     shutil.rmtree(model_dir, ignore_errors=True)
-    return (n_steps * 900.0 / elapsed) * 86400.0 / (365.0 * 86400.0)
+    sypd = (n_steps * 900.0 / elapsed) * 86400.0 / (365.0 * 86400.0)
+    return sypd, getattr(loop, "phase_report", {}), n_steps
 
 
 if __name__ == "__main__":

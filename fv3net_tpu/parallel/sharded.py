@@ -108,6 +108,20 @@ def shard_field2d(field, mesh: Mesh):
     )
 
 
+def shard_yx(field, mesh: Mesh):
+    """Shard the trailing (y, x) axes of an arbitrary-rank array (2-D
+    surface fields [6, ny, nx], Noah soil columns [nlayer, 6, ny, nx],
+    ...); rank < 2 replicates."""
+    import numpy as _np
+
+    nd = _np.ndim(field)
+    if nd < 2:
+        return replicate(field, mesh)
+    x_axis = FV_X_AXIS if FV_X_AXIS in mesh.axis_names else None
+    spec = P(*([None] * (nd - 2)), FV_AXIS, x_axis)
+    return jax.device_put(field, NamedSharding(mesh, spec))
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate (e.g. model parameters, ak/bk) across the mesh."""
     return jax.device_put(

@@ -25,6 +25,23 @@ _STATE_FILE = "state.npz"
 _META_FILE = "restart.json"
 
 
+def pull_state(state: ModelState) -> ModelState:
+    """The whole model state as HOST numpy arrays via ONE batched
+    device->host transfer — callers writing multiple restart formats
+    (save_state + save_fortran_restarts) share a single pull instead
+    of each re-transferring every field through the tunnel."""
+    import jax
+
+    from fv3net_tpu.runtime.diagnostics.manager import _pull_batch
+
+    leaves, treedef = jax.tree_util.tree_flatten(
+        (state.dycore, state.surface)
+    )
+    pulled = _pull_batch(leaves)
+    dycore, surface = jax.tree_util.tree_unflatten(treedef, pulled)
+    return ModelState(dycore=dycore, surface=surface)
+
+
 def save_state(state: ModelState, time: datetime.datetime, path: str) -> None:
     os.makedirs(path, exist_ok=True)
     d = state.dycore
@@ -41,10 +58,19 @@ def save_state(state: ModelState, time: datetime.datetime, path: str) -> None:
         arrays[f"tracer_{k}"] = v
     for k, v in state.surface.items():
         arrays[f"surface_{k}"] = v
-    # one pull per array, hoisted out of any per-tile loop; NOTE
-    # jax.device_get / copy_to_host_async hit a pathologically slow
-    # transfer path through the axon tunnel — np.asarray is the fast one
-    arrays = {k: np.asarray(v) for k, v in arrays.items()}
+    # ONE batched pull for the whole state (per-array np.asarray costs
+    # a tunnel round-trip each; NOTE jax.device_get /
+    # copy_to_host_async hit a pathologically slow transfer path
+    # through the axon tunnel — np.asarray on a device-concat is fast)
+    from fv3net_tpu.runtime.diagnostics.manager import _pull_batch
+
+    keys = list(arrays)
+    arrays = dict(zip(keys, _pull_batch([arrays[k] for k in keys])))
+    from fv3net_tpu.runtime import timing
+
+    timing.add_counter(
+        "restart_bytes", float(sum(a.nbytes for a in arrays.values()))
+    )
     np.savez(os.path.join(path, _STATE_FILE), **arrays)
     with open(os.path.join(path, _META_FILE), "w") as f:
         json.dump(

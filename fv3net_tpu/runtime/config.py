@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import typing
-from typing import Any, Dict, List, Mapping, Optional
+from typing import Any, Dict, List, Mapping, Optional, Sequence
 
 import yaml
 
@@ -313,6 +313,14 @@ class NamelistConfig:
     # surface_temperature so configured runs need not be aquaplanets
     # (e.g. "topography/c48"; fields also loadable from restarts)
     surface_data: Optional[str] = None
+    # device-mesh layout [py, px] for the intra-tile (y, x) spatial
+    # decomposition (the fv_core_nml ``layout`` analog; the reference
+    # runs 6*lx*ly MPI ranks — here py*px mesh devices shard all six
+    # tiles' (y, x) axes, tile axis unsharded, SURVEY §2.9).  [1, 1]
+    # = single device.  TimeLoop places its state on the mesh; every
+    # jitted chunk then partitions via jax.sharding + the explicit
+    # ppermute halo backend
+    layout: Sequence[int] = (1, 1)
     # radiation scheme for the IN-LOOP physics step: "gray" (Frierson),
     # "rrtmg" (real RRTMG band solvers), "synthband" (compact band
     # model).  The GFS runs band radiation; gray is the cheap default

@@ -62,6 +62,87 @@ def _host_sum(arrs):
     return s
 
 
+class _Packed:
+    """One observation's variables flattened to a single device buffer
+    by ONE jitted dispatch issued at OBSERVE time.  Execution is
+    in-order through the TPU tunnel, so an op enqueued at drain time
+    would wait behind every chunk dispatched since; packing immediately
+    places it right after the producing chunk, and the later drain's
+    np.asarray finds bytes already computed (r5 phase baseline: the
+    eager ravel/cast/concat chain at drain time cost ~0.4 s/drain in
+    dispatch round-trips alone)."""
+
+    __slots__ = ("names", "shapes", "dtypes", "buffer", "cast")
+
+    def __init__(self, names, shapes, dtypes, buffer, cast):
+        self.names = names
+        self.shapes = shapes
+        self.dtypes = dtypes
+        self.buffer = buffer
+        self.cast = cast
+
+    def unpack(self, buf: np.ndarray):
+        out = {}
+        off = 0
+        for name, shape in zip(self.names, self.shapes):
+            n = int(np.prod(shape))
+            piece = buf[off:off + n].reshape(shape)
+            if self.cast and piece.dtype != np.float32:
+                piece = piece.astype(np.float32)
+            out[name] = piece
+            off += n
+        return out
+
+
+def _pack_obs(snap: Dict, pull_dtype) -> Optional[_Packed]:
+    """Pack one observation {name: device array} into a _Packed, or
+    None when the arrays are not uniformly packable (mixed host arrays
+    or non-castable dtypes -> the legacy drain path handles them)."""
+    import jax.numpy as jnp
+
+    names = list(snap)
+    arrs = [snap[n] for n in names]
+    if not arrs or not all(isinstance(a, jax.Array) for a in arrs):
+        return None
+    pdt = jnp.dtype(pull_dtype) if pull_dtype is not None else None
+    cast = pdt is not None and all(
+        jnp.issubdtype(a.dtype, jnp.floating) for a in arrs
+    )
+    if cast:
+        target = str(pdt)
+    else:
+        if len({a.dtype for a in arrs}) != 1:
+            return None
+        target = str(arrs[0].dtype)
+    buffer = _concat_jit(len(arrs), target)(tuple(arrs))
+    return _Packed(
+        names, [a.shape for a in arrs], [a.dtype for a in arrs],
+        buffer, cast,
+    )
+
+
+def _concat_jit(n: int, dtype: str):
+    """Cached jitted ravel+cast+concat over an n-tuple of arrays (jit
+    retraces per shape signature; the executable cache makes repeated
+    drains one dispatch)."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    key = (n, dtype)
+    fn = _concat_jit._cache.get(key)
+    if fn is None:
+        fn = _jax.jit(
+            lambda xs: jnp.concatenate(
+                [jnp.ravel(x).astype(dtype) for x in xs]
+            )
+        )
+        _concat_jit._cache[key] = fn
+    return fn
+
+
+_concat_jit._cache = {}
+
+
 def _pull_batch(arrays, pull_dtype=None):
     """Device->host transfer of several arrays as ONE buffer.
 
@@ -89,6 +170,8 @@ def _pull_batch(arrays, pull_dtype=None):
                 dt = pdt
                 cast_idx.add(i)
             groups[dt].append(i)
+    from fv3net_tpu.runtime import timing
+
     out = list(arrays)
     for dt, idxs in groups.items():
         if len(idxs) < 2:
@@ -96,10 +179,17 @@ def _pull_batch(arrays, pull_dtype=None):
                 # still shrink the lone transfer: cast on device
                 out[idxs[0]] = arrays[idxs[0]].astype(dt)
             continue
-        flat = jnp.concatenate(
-            [jnp.ravel(arrays[i]).astype(dt) for i in idxs]
-        )
-        buf = np.asarray(flat)
+        with timing.phases.clock("pull_concat_dispatch"):
+            # ONE jitted dispatch for the whole ravel+cast+concat chain:
+            # eagerly, each op is its own device RPC — ~13 round-trips
+            # per drain through the TPU tunnel (measured 0.4 s/drain,
+            # r5 phase baseline)
+            flat = _concat_jit(len(idxs), str(dt))(
+                tuple(arrays[i] for i in idxs)
+            )
+        with timing.phases.clock("pull_transfer"):
+            buf = np.asarray(flat)
+        timing.add_counter("pull_bytes", float(buf.nbytes))
         off = 0
         for i in idxs:
             n = int(np.prod(arrays[i].shape))
@@ -110,7 +200,12 @@ def _pull_batch(arrays, pull_dtype=None):
             off += n
     result = []
     for i, a in enumerate(out):
-        a = np.asarray(a)
+        if isinstance(a, jax.Array):
+            with timing.phases.clock("pull_transfer"):
+                a = np.asarray(a)
+            timing.add_counter("pull_bytes", float(a.nbytes))
+        else:
+            a = np.asarray(a)
         if i in cast_idx and a.dtype != np.float32:
             # singleton group: pulled in pull_dtype without a concat
             a = a.astype(np.float32)
@@ -146,6 +241,10 @@ class DiagnosticFile:
         self._pull_buffer = max(1, int(pull_buffer))
         self._pull_dtype = pull_dtype
         self._pending: List[tuple] = []
+        # True: observe() only buffers/packs; the caller schedules the
+        # pulls via drain_ready() at a point where they overlap device
+        # compute (the production segmented loop)
+        self._defer_drains = False
 
     def observe(self, time: datetime.datetime,
                 diagnostics: Mapping[str, Quantity]) -> None:
@@ -153,18 +252,48 @@ class DiagnosticFile:
         if label is None:
             return
         present = [n for n in self._variables if n in diagnostics]
-        self._pending.append((
-            label,
-            {n: diagnostics[n].data for n in present},
-            {n: diagnostics[n].dims for n in present},
-        ))
+        snap = {n: diagnostics[n].data for n in present}
+        dims = {n: diagnostics[n].dims for n in present}
+        if not self._averaging and snap:
+            # pack NOW (one jitted dispatch, queued right behind the
+            # producing chunk — see _Packed); averaging files keep raw
+            # handles so the drain can device-sum each window first
+            packed = _pack_obs(snap, self._pull_dtype)
+            if packed is not None:
+                from fv3net_tpu.runtime import timing
+
+                timing.add_counter(
+                    "pack_bytes", float(packed.buffer.nbytes)
+                )
+                timing.add_counter("pack_count", 1)
+                snap = packed
+        self._pending.append((label, snap, dims))
+        if self._defer_drains:
+            return
         if len(self._pending) >= self._pull_buffer:
             self._drain()
 
-    def _drain(self) -> None:
+    def drain_ready(self) -> None:
+        """Drain buffered observations EXCEPT the newest one, whose
+        producing chunk is typically still computing — called by the
+        production loop right after observing a fresh chunk, so the
+        pulls (of finished chunks' buffers) overlap the in-flight
+        chunk's compute instead of blocking on it (in-order execution;
+        docs/performance.md r5)."""
+        if len(self._pending) > self._pull_buffer:
+            self._drain(keep_newest=True)
+
+    def _drain(self, keep_newest: bool = False) -> None:
         if not self._pending:
             return
-        pending, self._pending = self._pending, []
+        if keep_newest:
+            pending, self._pending = (
+                self._pending[:-1], self._pending[-1:]
+            )
+        else:
+            pending, self._pending = self._pending, []
+        if not pending:
+            return
         if self._averaging:
             # interval-average files: sum each window's buffered
             # observations ON DEVICE (one jitted dispatch, observation
@@ -217,19 +346,35 @@ class DiagnosticFile:
                 self._process(label, pulled, dims, count=count)
             return
         # instantaneous/subsampled files: every observation becomes its
-        # own zarr row — pull them all as ONE transfer (np.asarray, NOT
-        # jax.device_get: device_get's copy_to_host_async path is
-        # pathologically slow through the axon TPU tunnel)
-        flat = []
+        # own zarr row.  Pre-packed buffers are pulled INDIVIDUALLY —
+        # no drain-time device op: execution is in-order, so a concat
+        # enqueued now would wait behind the lookahead chunk dispatched
+        # after these observations, idling the host (and then the
+        # device) for a whole chunk's compute.  Each buffer pull only
+        # waits for its own (already finished) producer.  Legacy
+        # (unpacked) handles still go through one batched transfer
+        # (np.asarray, NOT jax.device_get: device_get's
+        # copy_to_host_async path is pathologically slow through the
+        # axon TPU tunnel).
+        from fv3net_tpu.runtime import timing
+
+        legacy = []
         for _, snap, _ in pending:
-            flat.extend(snap.values())
-        buf = _pull_batch(flat, self._pull_dtype)
+            if not isinstance(snap, _Packed):
+                legacy.extend(snap.values())
+        buf = _pull_batch(legacy, self._pull_dtype) if legacy else []
         i = 0
         for label, snap, dims in pending:
-            pulled = {}
-            for n in snap:
-                pulled[n] = buf[i]
-                i += 1
+            if isinstance(snap, _Packed):
+                with timing.phases.clock("pull_transfer"):
+                    host = np.asarray(snap.buffer)
+                timing.add_counter("pull_bytes", float(host.nbytes))
+                pulled = snap.unpack(host)
+            else:
+                pulled = {}
+                for n in snap:
+                    pulled[n] = buf[i]
+                    i += 1
             self._process(label, pulled, dims)
 
     def _process(self, label, pulled: Dict[str, np.ndarray],
@@ -287,10 +432,13 @@ class DiagnosticFile:
                     dims=dims,
                     fill_value="NaN",
                 )
-        for name, arr in mean.items():
-            za = self._store[name]
-            za.resize_time(t_index + 1)
-            za[(t_index,)] = arr.astype(np.float32, copy=False)
+        from fv3net_tpu.runtime import timing
+
+        with timing.phases.clock("zarr_write"):
+            for name, arr in mean.items():
+                za = self._store[name]
+                za.resize_time(t_index + 1)
+                za[(t_index,)] = arr.astype(np.float32, copy=False)
         self._stored_times.append(self._current_label)
         self._write_times()
         self._sums = {}
@@ -374,6 +522,16 @@ class DiagnosticsManager:
                     pull_dtype=getattr(cfg, "pull_dtype", None),
                 )
             )
+
+    def set_defer_drains(self, defer: bool) -> None:
+        for f in self.files:
+            if hasattr(f, "_defer_drains"):
+                f._defer_drains = defer
+
+    def drain_ready(self) -> None:
+        for f in self.files:
+            if hasattr(f, "drain_ready"):
+                f.drain_ready()
 
     def observe(self, time, diagnostics) -> None:
         if self._executor is None:

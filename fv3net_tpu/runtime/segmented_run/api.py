@@ -71,11 +71,13 @@ def run_segment(
     from fv3net_tpu.runtime import timing
 
     os.makedirs(output_dir, exist_ok=True)
+    timing.reset_phases()
     loop = TimeLoop(config)
     if restart_from is not None:
         state, time = load_state(os.path.join(restart_from, "RESTART"))
         loop.state = state
         loop.time = time
+        loop.reshard()  # restart arrays back onto the configured mesh
     diag_mgr = DiagnosticsManager(
         list(config.diagnostics) + list(config.fortran_diagnostics),
         loop.time,
@@ -94,16 +96,18 @@ def run_segment(
         else contextlib.nullcontext()
     )
     failure: Optional[BaseException] = None
+    # pull scheduling (docs/performance.md r5): observations are PACKED
+    # into single device buffers the moment a chunk yields (the pack op
+    # queues right behind its producing chunk — execution is in-order
+    # through the TPU tunnel), and the pulls of FINISHED chunks' buffers
+    # run while the freshly-dispatched chunk computes.  drain_ready/the
+    # scalar-flush slice always keep the newest entry buffered so no
+    # pull ever blocks on the in-flight chunk.
+    diag_mgr.set_defer_drains(True)
     with trace_ctx:
         it = iter(loop)
         step = 0
-        # one-step lookahead: dispatch the NEXT model step/chunk before
-        # pulling the previous one's diagnostics, so the device->host
-        # transfer + zarr write overlap the device compute (jax dispatch
-        # is asynchronous; through the TPU tunnel the pull costs about as
-        # much wall time as the compute itself)
-        pending = None
-        pending_scalars: list = []
+        scalars = metrics.ScalarBatcher()
         done = False
         while not done:
             with (
@@ -112,24 +116,27 @@ def run_segment(
                 else contextlib.nullcontext()
             ):
                 try:
-                    nxt = next(it, None)
+                    with timing.phases.clock("loop_dispatch"):
+                        nxt = next(it, None)
                     if nxt is None:
                         done = True
-                    if pending is not None:
-                        time, diags = pending
-                        diag_mgr.observe(time, diags)
-                        # scalar metrics: compute on device now, pull in
-                        # batches (one blocking pull per chunk costs a
-                        # tunnel round-trip comparable to the compute)
-                        pending_scalars.append(
-                            (time,)
-                            + metrics.globally_average_2d_diagnostics_async(
+                    else:
+                        time, diags = nxt
+                        with timing.phases.clock("diag_observe"):
+                            diag_mgr.observe(time, diags)
+                        # global means ride along in-graph
+                        # (__global_means__): batch the handles on
+                        # device, pulled once ready (ScalarBatcher)
+                        names_, vec = (
+                            metrics.globally_average_2d_diagnostics_async(
                                 diags, area
                             )
                         )
-                        if len(pending_scalars) >= 8:
-                            metrics.flush_scalar_logs(pending_scalars)
-                    pending = nxt
+                        scalars.append(time, names_, vec)
+                    with timing.phases.clock("diag_observe"):
+                        diag_mgr.drain_ready()
+                    with timing.phases.clock("scalar_flush"):
+                        scalars.flush_ready()
                 except Exception as e:  # noqa: BLE001
                     # segment-level coarse recovery (reference
                     # append.py:66-74: a nonzero model exit is a warning
@@ -143,18 +150,29 @@ def run_segment(
                     failure = e
                     break
             step += 1
-        metrics.flush_scalar_logs(pending_scalars)
-    diag_mgr.close()
+        with timing.phases.clock("scalar_flush"):
+            scalars.close()
+    with timing.phases.clock("diag_observe"):
+        diag_mgr.close()
     if failure is not None and step == 0:
         # nothing completed: there is no meaningful partial segment
         raise failure
     restart_dir = os.path.join(output_dir, "RESTART")
-    save_state(loop.state, loop.time, restart_dir)
-    # also the reference's per-category/per-tile NetCDF layout, so
-    # reference-side tooling can consume this run's restarts directly
-    from fv3net_tpu.runtime.checkpoint import save_fortran_restarts
+    with timing.phases.clock("restart_write"):
+        # ONE batched pull shared by both restart writers
+        from fv3net_tpu.runtime.checkpoint import (
+            pull_state,
+            save_fortran_restarts,
+        )
 
-    save_fortran_restarts(loop.state, loop.time, restart_dir, loop.grid)
+        host_state = pull_state(loop.state)
+        save_state(host_state, loop.time, restart_dir)
+        # also the reference's per-category/per-tile NetCDF layout, so
+        # reference-side tooling can consume this run's restarts
+        # directly
+        save_fortran_restarts(host_state, loop.time, restart_dir,
+                              loop.grid)
+    loop.phase_report = timing.phase_report()
     return loop
 
 

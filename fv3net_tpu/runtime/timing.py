@@ -59,6 +59,38 @@ class Timer:
         self._active.clear()
 
 
+# Module-level phase accumulator for the production segmented-run path
+# (VERDICT r4 #1: the bench artifact must carry an auditable
+# decomposition of the gap between the bare fused chunk and
+# run_segment).  run_segment resets it at entry; DiagnosticFile /
+# metrics / checkpoint writers accumulate into it.  perf_counter pairs
+# at chunk granularity cost ~nothing, so it is always on.
+phases = Timer()
+counters: Dict[str, float] = {}
+
+
+def add_counter(name: str, value: float) -> None:
+    counters[name] = counters.get(name, 0.0) + value
+
+
+def reset_phases() -> None:
+    phases.reset()
+    counters.clear()
+
+
+def phase_report() -> Dict:
+    rep = {
+        name: {
+            "total_seconds": round(total, 4),
+            "hits": phases.hits[name],
+        }
+        for name, total in phases.times.items()
+    }
+    for k, v in counters.items():
+        rep[k] = v
+    return rep
+
+
 def log_times(timer: Timer, label: str = "cumulative_timings") -> Dict:
     """JSON timing report (the loop.py:439-455 analog; min/max/mean
     degenerate to the single-host value without an MPI communicator)."""

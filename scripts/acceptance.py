@@ -185,6 +185,16 @@ def case_held_suarez(npx=24, npz=20, days=60):
 
 
 def case_coupled_soak(npx=48, npz=32, days=30):
+    """Coupled soak over REAL land (idealized continents + topography):
+    the r4 soak ran bucket_land on an all-ocean aquaplanet, so its
+    soil-moisture row trivially never moved (VERDICT r4 #4).  Now:
+    catalog `topography/cN` supplies the land mask / mountains / sgh,
+    per-day soil-moisture statistics are recorded at 5 decimals, and
+    the land water ledger -- rho*dW = accumulated (P - E - R), exact per
+    step in physics/land.py -- is closed END-TO-END through the fused
+    production chunk via its in-scan chunk_accumulated_* fluxes."""
+    import datetime as _dt
+
     from fv3net_tpu.runtime.config import get_config
     from fv3net_tpu.runtime import TimeLoop, names
 
@@ -192,7 +202,7 @@ def case_coupled_soak(npx=48, npz=32, days=30):
         "namelist": {
             "npx": npx, "npz": npz, "dt_atmos": 900.0, "n_split": 2,
             "radiation": "rrtmg", "slab_ocean": True, "sea_ice": True,
-            "bucket_land": True,
+            "bucket_land": True, "surface_data": f"topography/c{npx}",
         },
         "duration_seconds": days * 86400.0,
         "fused_chunk_steps": 24,
@@ -201,6 +211,10 @@ def case_coupled_soak(npx=48, npz=32, days=30):
     loop = TimeLoop(cfg)
     g = loop._g
     area = jnp.asarray(g.area)
+    land = loop.state.surface[names.MASK] > 0.5
+    la = jnp.where(land, area, 0.0)
+    la_sum = float(la.sum())
+    assert la_sum > 0.0, "soak surface_data supplied no land points"
 
     def total_air_mass(state):
         # total column mass: exactly conserved by the dycore+physics
@@ -215,31 +229,105 @@ def case_coupled_soak(npx=48, npz=32, days=30):
         w = state.dycore.delp * area[:, None]
         return float((T * w).sum() / w.sum())
 
+    @jax.jit
+    def _ledger_add(acc, p, e, r):
+        return tuple(a + jnp.where(land, v, 0.0)
+                     for a, v in zip(acc, (p, e, r)))
+
+    @jax.jit
+    def _day_stats(soil, t_top):
+        wl = jnp.where(land, soil, jnp.nan)
+        mean = jnp.nansum(jnp.where(land, soil * la, 0.0)) / la_sum
+        var = jnp.nansum(
+            jnp.where(land, (soil - mean) ** 2 * la, 0.0)) / la_sum
+        ttop = (t_top * area).sum() / area.sum()
+        return (jnp.nanmin(wl), jnp.nanmax(wl), mean,
+                jnp.sqrt(var), ttop)
+
     m0 = total_air_mass(loop.state)
     T0 = mean_T(loop.state)
+    w0 = loop.state.surface["soil_moisture"]
+    acc = tuple(jnp.zeros_like(w0) for _ in range(3))
+    start_time = _dt.datetime.fromisoformat(cfg.initial_time)
+    steps_per_day = int(86400.0 / 900.0)
+    daily = []
     t0 = time.perf_counter()
-    for _ in loop:
-        pass
+    step = 0
+    for _, diags in loop:
+        prev = step
+        step = int(round(
+            (loop.time - start_time).total_seconds() / 900.0))
+        for key in ("chunk_accumulated_PRATEsfc",
+                    "chunk_accumulated_evaporation",
+                    "chunk_accumulated_RUNOFFsfc"):
+            assert key in diags, f"fused chunk did not emit {key}"
+        acc = _ledger_add(
+            acc,
+            diags["chunk_accumulated_PRATEsfc"].data,
+            diags["chunk_accumulated_evaporation"].data,
+            diags["chunk_accumulated_RUNOFFsfc"].data,
+        )
+        if step // steps_per_day != prev // steps_per_day:
+            from fv3net_tpu.runtime.derived_state import DerivedState
+            st = DerivedState(loop.state, g)
+            stats = _day_stats(
+                loop.state.surface["soil_moisture"],
+                jnp.asarray(st["air_temperature"].data)[:, 0],
+            )
+            daily.append([round(float(v), 5) for v in stats])
     wall = time.perf_counter() - t0
     m1 = total_air_mass(loop.state)
     T1 = mean_T(loop.state)
     tsfc = np.asarray(loop.state.surface[names.TSFC])
     ice = np.asarray(loop.state.surface["ice_thickness"])
-    soil = np.asarray(loop.state.surface["soil_moisture"])
+    # ledger closure per land point: rho*(W_end - W_0) = P - E - R
+    # accumulated through the fused scan (f32 accumulators; tolerance
+    # budgets ~3000 adds of roundoff against the total throughput)
+    from fv3net_tpu.physics.land import RHO_WATER
+    w1 = loop.state.surface["soil_moisture"]
+    dw = RHO_WATER * jnp.where(land, w1 - w0, 0.0)
+    flux = acc[0] - acc[1] - acc[2]
+    p_land = float((acc[0] * la).sum() / la_sum)  # kg/m^2 over the run
+    closure = float(jnp.max(jnp.abs(dw - flux)))
+    soil_rows = np.array(daily, dtype=np.float64)
+    ttop_series = soil_rows[:, 4] if len(daily) else np.zeros(0)
+    # d<T_top>/dt over the final third of the run (K/day): the
+    # equilibration criterion for the calibrated k-tables (r4 #5)
+    tail = ttop_series[-max(2, len(ttop_series) // 3):]
+    ttop_rate = (
+        float(np.polyfit(np.arange(len(tail)), tail, 1)[0])
+        if len(tail) >= 2 else float("nan")
+    )
     return {
         "air_mass_rel_drift": float(abs(m1 - m0) / m0),
         "mean_T_day0_K": round(T0, 2),
-        "mean_T_day30_K": round(T1, 2),
+        f"mean_T_day{days}_K": round(T1, 2),
         "mean_T_drift_K": round(T1 - T0, 2),
         "tsfc_range_K": [round(float(tsfc.min()), 1),
                          round(float(tsfc.max()), 1)],
         "ice_thickness_max_m": round(float(ice.max()), 2),
-        "soil_moisture_range_m": [round(float(soil.min()), 3),
-                                  round(float(soil.max()), 3)],
+        "soil_day1_min_max_mean_std_m":
+            list(soil_rows[0, :4]) if len(daily) else None,
+        f"soil_day{days}_min_max_mean_std_m":
+            list(soil_rows[-1, :4]) if len(daily) else None,
+        "land_water_ledger_max_abs_err_kg_m2": round(closure, 4),
+        "land_precip_total_kg_m2": round(p_land, 2),
+        "ttop_day1_K": round(float(ttop_series[0]), 2)
+        if len(daily) else None,
+        f"ttop_day{days}_K": round(float(ttop_series[-1]), 2)
+        if len(daily) else None,
+        "ttop_tail_trend_K_per_day": round(ttop_rate, 4),
         "all_finite": bool(np.isfinite(np.asarray(
             loop.state.dycore.pt)).all()),
         "wall_seconds": round(wall, 1),
     }
+
+
+def case_coupled_soak_90():
+    """90-day sponge-off soak (VERDICT r4 #5): where the gradient-
+    calibrated synthetic k-tables settle -- top-layer T trend over the
+    final month plus the same land/ledger norms."""
+    return case_coupled_soak(days=90)
 
 
 ROWS = [
@@ -255,16 +343,26 @@ ROWS = [
     ("Held-Suarez spin-up (C24, 60 d)", case_held_suarez,
      "midlatitude westerlies exceed 15 m/s and keep growing toward the "
      "HS94 climatology (full equilibration needs ~200 d)"),
-    ("Coupled 30-day soak (C48, RRTMG+ocean+ice+land)",
+    ("Coupled 30-day soak (C48, RRTMG+ocean+ice+continents)",
      case_coupled_soak,
      "air-mass drift < 1e-5, |mean-T drift| < 3 K/month, "
-     "Tsfc within [200, 350] K, all fields finite"),
+     "Tsfc within [200, 350] K, soil moisture EVOLVING (day-30 spread "
+     "> 0.01 m), land water ledger closed (< 0.5 kg/m2 against ~100 "
+     "kg/m2 precip), all fields finite"),
+    ("Coupled 90-day soak (C48, sponge-off equilibration)",
+     case_coupled_soak_90,
+     "|d<T_top>/dt| < 0.1 K/day over the final month, |mean-T drift| "
+     "< 1 K over days 30-90, all fields finite"),
 ]
 
 
-def main(outfile="docs/acceptance.md"):
+def main(outfile="docs/acceptance.md", only=None):
+    rows = [
+        r for r in ROWS
+        if only is None or only.lower() in r[0].lower()
+    ]
     results = []
-    for name, fn, expected in ROWS:
+    for name, fn, expected in rows:
         t0 = time.perf_counter()
         try:
             res = fn()
@@ -274,6 +372,22 @@ def main(outfile="docs/acceptance.md"):
         print(json.dumps({"case": name, "result": res,
                           "seconds": round(el, 1)}), flush=True)
         results.append((name, expected, res))
+
+    # persist per-case results so a partial rerun (``only``) merges into
+    # the full table instead of wiping the other rows
+    sidecar = outfile + ".json"
+    store = {}
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            store = json.load(f)
+    for name, expected, res in results:
+        store[name] = {"expected": expected, "result": res}
+    with open(sidecar, "w") as f:
+        json.dump(store, f, indent=1)
+    results = [
+        (name, store[name]["expected"], store[name]["result"])
+        for name, _, _ in ROWS if name in store
+    ]
 
     lines = [
         "# Scientific acceptance table",

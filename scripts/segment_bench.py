@@ -68,6 +68,21 @@ def _train_tiny_ml(npz: int, model_dir: str):
     fit.dump(model, model_dir)  # registry dump: writes the 'name' tag
 
 
+def _zarr_rows(out_dir):
+    import os
+
+    from fv3net_tpu.core import zarrio
+
+    rows = {}
+    for name in os.listdir(out_dir):
+        if name.endswith(".zarr"):
+            ds = zarrio.open_zarr(os.path.join(out_dir, name))
+            rows[name] = {
+                k: list(ds[k].shape) for k in list(ds)[:6]
+            }
+    return rows
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "gray"
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 12
@@ -137,6 +152,8 @@ def main():
                 "fused": loop.fusable(),
                 "steps": n_steps,
                 "wall_s": round(elapsed, 1),
+                "phases": getattr(loop, "phase_report", {}),
+                "zarr_rows": _zarr_rows(out),
             }
         )
     )

@@ -124,6 +124,93 @@ def test_driver_runs_on_loaded_tables(tmp_path):
         assert bool(jnp.isfinite(out[name]).all()), name
 
 
+def _driver_state(C=4, L=8):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    ptop, psfc = 30.0e2, 1000.0e2  # Pa
+    pedge = np.linspace(ptop, psfc, L + 1)
+    play = 0.5 * (pedge[:-1] + pedge[1:])
+    dp = np.tile(np.diff(pedge), (C, 1))
+    return {
+        "air_temperature": jnp.asarray(
+            np.tile(288.0 - 40.0 * (1.0 - play / psfc), (C, 1)),
+            jnp.float32,
+        ),
+        "pressure_thickness_of_atmospheric_layer": jnp.asarray(
+            dp, jnp.float32
+        ),
+        "specific_humidity": jnp.asarray(
+            rng.uniform(1e-4, 5e-3, (C, L)), jnp.float32
+        ),
+        "cloud_water_mixing_ratio": jnp.zeros((C, L), jnp.float32),
+        "surface_temperature": jnp.full((C,), 290.0, jnp.float32),
+        "latitude": jnp.asarray(np.deg2rad([0.0, 20.0, -35.0, 60.0])),
+        "longitude": jnp.zeros((C,)),
+        "land_sea_mask": jnp.zeros((C,), jnp.float32),
+    }
+
+
+def test_foreign_seed_lookup_dir_feeds_through(tmp_path):
+    """Measured-data onboarding gate (VERDICT r4 #7): a reference-layout
+    lookup directory with FOREIGN content (different random seed than
+    the shipped synthetic tables) must validate, drive one radiation
+    step to finite fluxes, and demonstrably govern the result — the
+    driver may not fall back to any baked-in synthetic assumption.
+    reference: external/radiation/radiation/config.py:4-5 (the GCS
+    download this replaces), io.py:29-257."""
+    import datetime
+
+    import jax.numpy as jnp
+
+    from fv3net_tpu.physics.radiation.rrtmg import validate as rval
+    from fv3net_tpu.physics.radiation.wrapper import (
+        Radiation,
+        RadiationConfig,
+    )
+
+    foreign = str(tmp_path / "foreign")
+    rio.dump_lw(rtables.make_lw_tables(seed=7), foreign)
+    rio.dump_sw(rtables.make_sw_tables(seed=8), foreign)
+    # the validator accepts any reference-layout dir, not just the
+    # shipped seeds
+    assert rval.validate_lookup_dir(foreign) == []
+
+    state = _driver_state()
+    t0 = datetime.datetime(2016, 7, 1, 12)
+    rad_foreign = Radiation(
+        RadiationConfig(scheme="rrtmg", lookup_dir=foreign), 900.0
+    )
+    rad_foreign.init_driver()
+    out_foreign = rad_foreign(t0, state)
+    key = "total_sky_downward_longwave_flux_at_surface_python"
+    assert bool(jnp.isfinite(out_foreign[key]).all())
+
+    # the shipped synthetic tables give a DIFFERENT answer: proves the
+    # on-disk content flows through to the solvers
+    rad_default = Radiation(RadiationConfig(scheme="rrtmg"), 900.0)
+    rad_default.init_driver()
+    out_default = rad_default(t0, state)
+    assert (
+        float(jnp.max(jnp.abs(out_foreign[key] - out_default[key])))
+        > 1e-3
+    )
+
+    # and a dir dumped FROM the default tables reproduces the default
+    # bit-for-bit: the loader neither rescales nor re-synthesizes
+    default_dir = str(tmp_path / "default")
+    rio.dump_lw(rtables.make_lw_tables(), default_dir)
+    rio.dump_sw(rtables.make_sw_tables(), default_dir)
+    rad_rt = Radiation(
+        RadiationConfig(scheme="rrtmg", lookup_dir=default_dir), 900.0
+    )
+    rad_rt.init_driver()
+    out_rt = rad_rt(t0, state)
+    np.testing.assert_array_equal(
+        np.asarray(out_rt[key]), np.asarray(out_default[key])
+    )
+
+
 def test_validate_lookup_dir_accepts_roundtrip_and_rejects_corruption(
     tmp_path,
 ):

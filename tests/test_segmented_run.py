@@ -58,6 +58,91 @@ def test_create_append_restart(tmp_path):
     assert not np.array_equal(np.asarray(s1.dycore.pt), np.asarray(s2.dycore.pt))
 
 
+@pytest.mark.slow
+def test_segmented_run_matches_on_mesh(tmp_path):
+    """The ACTUAL `runfv3 append` path on a device mesh (VERDICT r4 #6):
+    two appended segments — restart write -> resume -> zarr diagnostics
+    — with namelist layout [2, 4] must match the single-device run
+    (end state + on-disk diagnostics) within the documented
+    cross-program FMA-reassociation budget.  reference:
+    runtime/segmented_run/append.py:17-88 + the 6*lx*ly-rank MPI
+    layout of fv_core_nml."""
+    import copy
+
+    import jax
+
+    from fv3net_tpu.parallel import halo
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 (virtual) devices")
+
+    cfg = {
+        "namelist": {
+            "npx": 8, "npz": 8, "dt_atmos": 900.0, "n_split": 2,
+            "radiation": "gray", "slab_ocean": True,
+        },
+        "duration_seconds": 3600.0,
+        "initial_time": "2016-08-01T00:00:00",
+        "fused_chunk_steps": 2,
+        "diagnostics": [
+            {
+                "name": "diags.zarr",
+                "variables": ["air_temperature", "surface_pressure"],
+                "times": {"kind": "every"},
+            }
+        ],
+    }
+
+    # single-device reference FIRST (the mesh run registers a global
+    # active halo mesh; restore it after)
+    url1 = str(tmp_path / "single")
+    api.create(url1, cfg)
+    api.append_segment(url1)
+    seg1 = api.append_segment(url1)
+
+    cfg_mesh = copy.deepcopy(cfg)
+    cfg_mesh["namelist"]["layout"] = [2, 4]
+    url2 = str(tmp_path / "mesh")
+    saved_mesh = halo.active_mesh()
+    try:
+        api.create(url2, cfg_mesh)
+        api.append_segment(url2)
+        seg2 = api.append_segment(url2)
+    finally:
+        halo.set_active_mesh(saved_mesh)
+
+    s1, t1 = load_state(os.path.join(seg1, "RESTART"))
+    s2, t2 = load_state(os.path.join(seg2, "RESTART"))
+    assert t1 == t2
+    np.testing.assert_allclose(
+        np.asarray(s2.dycore.pt), np.asarray(s1.dycore.pt),
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s2.dycore.delp), np.asarray(s1.dycore.delp),
+        rtol=2e-4,
+    )
+    # wind: the field that exposed the auto-SPMD halo miscompile —
+    # always assert it in sharded equivalence (CLAUDE.md r3)
+    np.testing.assert_allclose(
+        np.asarray(s2.dycore.wind), np.asarray(s1.dycore.wind),
+        atol=2e-3,
+    )
+    # on-disk diagnostics match across both segments
+    for seg_a, seg_b in ((seg1, seg2),):
+        da = zarrio.open_zarr(os.path.join(seg_a, "diags.zarr"))
+        db = zarrio.open_zarr(os.path.join(seg_b, "diags.zarr"))
+        assert da["air_temperature"].shape == db["air_temperature"].shape
+        np.testing.assert_allclose(
+            db["air_temperature"].values, da["air_temperature"].values,
+            rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            db["surface_pressure"].values, da["surface_pressure"].values,
+            rtol=2e-4,
+        )
+
+
 def test_cli_create(tmp_path):
     from fv3net_tpu.runtime.segmented_run.cli import main
 

@@ -4,6 +4,12 @@ virtual 8-device CPU mesh)."""
 import numpy as np
 import pytest
 import jax
+
+# x64 ON so the f64 sharded-tolerance control below is a real float64
+# run (repo convention: module-level True; pytest collection makes the
+# alphabetically-last module-level setting govern the whole suite, and
+# it must be True — see CLAUDE.md r2 learnings)
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 from fv3net_tpu.grid.geometry import make_grid
@@ -37,11 +43,11 @@ def test_halo_append_matches_under_sharding():
 @requires_devices
 def test_dynamics_step_matches_under_sharding():
     grid = make_grid(8)
-    g = GridArrays.from_grid(grid)
+    g = GridArrays.from_grid(grid, dtype=dtype)
     state, ak, bk = init_state(grid, nz=8, perturbation=3.0)
     cfg = DycoreConfig(dt=900.0, n_split=1)
-    akj = jnp.asarray(ak, jnp.float32)
-    bkj = jnp.asarray(bk, jnp.float32)
+    akj = jnp.asarray(ak, dtype)
+    bkj = jnp.asarray(bk, dtype)
 
     out_single = dynamics_step(state, g, akj, bkj, cfg)
 
@@ -163,11 +169,11 @@ def test_flagship_shaped_fused_step_matches_under_2d_sharding():
     from fv3net_tpu.runtime.loop import aquaplanet_sst
 
     grid = make_grid(16)
-    g = GridArrays.from_grid(grid)
+    g = GridArrays.from_grid(grid, dtype=dtype)
     state, ak, bk = init_state(grid, nz=16, perturbation=2.0)
     state = add_nonhydrostatic_fields(state)
-    akj = jnp.asarray(ak, jnp.float32)
-    bkj = jnp.asarray(bk, jnp.float32)
+    akj = jnp.asarray(ak, dtype)
+    bkj = jnp.asarray(bk, dtype)
     dyn_cfg = DycoreConfig(
         dt=450.0, n_split=2, kord=9, advection_order=4, diff_coef=0.004,
         divergence_damp_coef=0.06, hydrostatic=False,
@@ -176,9 +182,9 @@ def test_flagship_shaped_fused_step_matches_under_2d_sharding():
     phys_cfg = PhysicsConfig(
         radiation_scheme="rrtmg", convection_scheme="mass_flux"
     )
-    sst = aquaplanet_sst(g.lat).astype(jnp.float32)
+    sst = aquaplanet_sst(g.lat).astype(dtype)
     cosz = jnp.clip(jnp.cos(g.lat) * jnp.cos(g.lon), 0.0, 1.0).astype(
-        jnp.float32
+        dtype
     )
 
     step = build_fused_step(g, akj, bkj, dyn_cfg, phys_cfg)
@@ -218,12 +224,12 @@ def test_nonhydrostatic_step_matches_under_sharding():
     from fv3net_tpu.dycore import add_nonhydrostatic_fields
 
     grid = make_grid(8)
-    g = GridArrays.from_grid(grid)
+    g = GridArrays.from_grid(grid, dtype=dtype)
     state, ak, bk = init_state(grid, nz=8, perturbation=3.0)
     state = add_nonhydrostatic_fields(state)
     cfg = DycoreConfig(dt=900.0, n_split=1, hydrostatic=False)
-    akj = jnp.asarray(ak, jnp.float32)
-    bkj = jnp.asarray(bk, jnp.float32)
+    akj = jnp.asarray(ak, dtype)
+    bkj = jnp.asarray(bk, dtype)
 
     out_single = dynamics_step(state, g, akj, bkj, cfg)
 
@@ -305,6 +311,34 @@ def test_production_chunk_matches_under_sharding(tmp_path):
     (2, 4) mesh vs one device, plus a write_sharded diagnostics drain
     (r3 verdict #2; reference parallel-IO semantics:
     runtime/diagnostics/manager.py:58-60)."""
+    _production_chunk_comparison(
+        tmp_path, jnp.float32,
+        pt=dict(rtol=2e-6, atol=2e-5), delp=dict(rtol=2e-6),
+        wind=dict(atol=2e-4), tsfc=dict(atol=1e-4),
+        precip=dict(atol=1e-7),
+    )
+
+
+@requires_devices
+def test_production_chunk_f64_control_collapses_tolerance(tmp_path):
+    """f64-CPU control for the sharded-equivalence budget (VERDICT r4
+    #9): the f32 tolerances above absorb cross-program FMA
+    reassociation noise (~1e-7 relative per step, amplified
+    chaotically).  Rerunning the SAME production chunk with both
+    programs at float64 must collapse the disagreement by ~9 orders —
+    evidencing that the f32 budget measures reassociation, not a halo
+    or collective bug.  reference exactness expectation: pace.util
+    halo updates are bitwise (SURVEY §2.9)."""
+    _production_chunk_comparison(
+        tmp_path, jnp.float64,
+        pt=dict(rtol=1e-12, atol=1e-11), delp=dict(rtol=1e-12),
+        wind=dict(atol=1e-10), tsfc=dict(atol=1e-11),
+        precip=dict(atol=1e-14),
+    )
+
+
+def _production_chunk_comparison(tmp_path, dtype, pt, delp, wind, tsfc,
+                                 precip):
     from fv3net_tpu.core import zarrio
     from fv3net_tpu.core.dataset import Dataset
     from fv3net_tpu.core.quantity import Quantity
@@ -374,9 +408,10 @@ def test_production_chunk_matches_under_sharding(tmp_path):
     ml_stepper = PureMLStepper(ml, timestep=900.0)
 
     grid = make_grid(npx)
-    g = GridArrays.from_grid(grid)
-    state, ak, bk = init_state(grid, npz, perturbation=1.0)
-    sst = aquaplanet_sst(g.lat).astype(jnp.float32)
+    g = GridArrays.from_grid(grid, dtype=dtype)
+    state, ak, bk = init_state(grid, npz, perturbation=1.0,
+                               dtype=dtype)
+    sst = aquaplanet_sst(g.lat).astype(dtype)
     surface = {
         names.TSFC: sst,
         names.SST: sst,
@@ -385,16 +420,16 @@ def test_production_chunk_matches_under_sharding(tmp_path):
         names.TOTAL_PRECIP: jnp.zeros_like(sst),
     }
     cosz = jnp.clip(jnp.cos(g.lat) * jnp.cos(g.lon), 0.0, 1.0).astype(
-        jnp.float32
+        dtype
     )
     prescribed = (
         {
             names.SST: jnp.broadcast_to(sst, (n_steps, *sst.shape))
-            + jnp.zeros((n_steps, *sst.shape), jnp.float32)
+            + jnp.zeros((n_steps, *sst.shape), dtype)
         },
     )
-    akj = jnp.asarray(ak, jnp.float32)
-    bkj = jnp.asarray(bk, jnp.float32)
+    akj = jnp.asarray(ak, dtype)
+    bkj = jnp.asarray(bk, dtype)
 
     with no_explicit_halo():
         chunk1 = build_fused_production_chunk(
@@ -439,21 +474,15 @@ def test_production_chunk_matches_under_sharding(tmp_path):
         state_s, surface_s, sharded.shard_field2d(cosz, mesh), presc_s
     )
 
+    np.testing.assert_allclose(np.asarray(d_s.pt), d1.pt, **pt)
+    np.testing.assert_allclose(np.asarray(d_s.delp), d1.delp, **delp)
+    np.testing.assert_allclose(np.asarray(d_s.wind), d1.wind, **wind)
     np.testing.assert_allclose(
-        np.asarray(d_s.pt), d1.pt, rtol=2e-6, atol=2e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(d_s.delp), d1.delp, rtol=2e-6
-    )
-    np.testing.assert_allclose(
-        np.asarray(d_s.wind), d1.wind, atol=2e-4
-    )
-    np.testing.assert_allclose(
-        np.asarray(s_s[names.TSFC]), s1[names.TSFC], atol=1e-4
+        np.asarray(s_s[names.TSFC]), s1[names.TSFC], **tsfc
     )
     np.testing.assert_allclose(
         np.asarray(raw_s[names.TOTAL_PRECIP]),
-        raw1[names.TOTAL_PRECIP], atol=1e-7,
+        raw1[names.TOTAL_PRECIP], **precip,
     )
 
     # sharded parallel-IO drain: per-shard zarr writes, global readback
