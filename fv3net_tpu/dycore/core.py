@@ -192,6 +192,15 @@ class DycoreConfig:
     # Fortran ``conserve=.true.`` branch).  0 disables
     tau_rayleigh: float = 0.0  # days
     rf_cutoff: float = 750.0  # Pa
+    # sponge-layer damping boost for the TOP TWO layers (fv3gfs-fortran
+    # fv_core_nml ``d2_bg_k1``/``d2_bg_k2``): vertically-propagating
+    # stationary/gravity waves steepen and break against the rigid model
+    # top; FV3's standard remedy is strongly enhanced del-2 divergence
+    # damping there.  Values are the nondim coefficient applied AT
+    # layers 0/1 in place of divergence_damp_coef (0 = no boost).  The
+    # del-2 wind/Tv damping is boosted to the same coefficients.
+    d2_bg_k1: float = 0.0
+    d2_bg_k2: float = 0.0
 
 
 def _ext(field, h: int = 1):
@@ -479,7 +488,12 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     # (separate per-field exchanges measured 1.35x slower; see the
     # transport halo note above)
     halo_fields = [phi_mid, jnp.log(p_for_pgf)]
-    if cfg.divergence_damp_coef > 0.0:
+    div_damp_on = (
+        cfg.divergence_damp_coef > 0.0
+        or cfg.d2_bg_k1 > 0.0
+        or cfg.d2_bg_k2 > 0.0
+    )
+    if div_damp_on:
         div = _divergence(
             vn_y * g.edge_len_y[:, None], vn_x * g.edge_len_x[:, None],
             g.area[:, None],
@@ -510,14 +524,38 @@ def _substep(state: DycoreState, g: GridArrays, cfg: DycoreConfig, dt: float):
     wind_new = wind_adv + dt * (pgf + cor)
 
     # ---- divergence damping ---------------------------------------------
-    if cfg.divergence_damp_coef > 0.0:
-        nu_d = cfg.divergence_damp_coef * g.area.mean() / dt
+    if div_damp_on:
+        # per-level coefficient: base everywhere, boosted in the top two
+        # sponge layers (fv3gfs-fortran d2_bg_k1/d2_bg_k2 — the standard
+        # remedy for vertically-propagating waves breaking against the
+        # rigid model top)
+        nz = delp.shape[1]
+        coef = jnp.full((nz,), cfg.divergence_damp_coef, delp.dtype)
+        if cfg.d2_bg_k1 > 0.0:
+            coef = coef.at[0].set(
+                max(cfg.d2_bg_k1, cfg.divergence_damp_coef)
+            )
+        if cfg.d2_bg_k2 > 0.0 and nz > 1:
+            coef = coef.at[1].set(
+                max(cfg.d2_bg_k2, cfg.divergence_damp_coef)
+            )
+        # gradient is [3, 6, nz, ny, nx]
+        nu_d = coef[None, None, :, None, None] * g.area.mean() / dt
         wind_new = wind_new + dt * nu_d * _lsq_gradient(ext2[:, i_div], g)
 
     # ---- del-2 damping --------------------------------------------------
     if cfg.diff_coef > 0.0:
         dx2 = g.area.mean()  # ~ dx^2
-        nu = cfg.diff_coef * dx2 / dt
+        # sponge boost in the top two layers (d2_bg_k1/k2): breaking
+        # mountain waves are rotational as well as divergent, so the
+        # top sponge must damp the full wind, not just its divergence
+        nzv = delp.shape[1]
+        dcoef = jnp.full((nzv,), cfg.diff_coef, delp.dtype)
+        if cfg.d2_bg_k1 > 0.0:
+            dcoef = dcoef.at[0].set(max(cfg.d2_bg_k1, cfg.diff_coef))
+        if cfg.d2_bg_k2 > 0.0 and nzv > 1:
+            dcoef = dcoef.at[1].set(max(cfg.d2_bg_k2, cfg.diff_coef))
+        nu = dcoef[None, :, None, None] * dx2 / dt  # [1, nz, 1, 1]
         wind_new = wind_new + dt * jnp.stack(
             [_del2(wind_e1[c], g, nu) for c in range(3)]
         )

@@ -94,6 +94,21 @@ class PhysicsConfig:
     top_sponge_pa: float = 10000.0
     top_sponge_days: float = 0.0
     top_sponge_tref: float = 235.0
+    # stratospheric EDDY damping: relax T toward its instantaneous
+    # per-level GLOBAL MEAN above ``strat_eddy_damp_pa`` (linear ramp
+    # to p=0) with timescale ``strat_eddy_damp_days``.  Unlike the
+    # retired top_sponge this does NOT touch the level-mean temperature
+    # — the radiative calibration still governs <T>(p) — it only damps
+    # meridional structure/waves, standing in for the scale-selective
+    # radiative damping (tau_rad ~ 5-10 d, Dickinson 1973) that the
+    # synthetic k-tables' weak Planck-feedback anisotropy cannot
+    # supply.  Without it, multi-week coupled soaks over topography
+    # build an unbounded lower-stratospheric jet (thermal wind of the
+    # unchecked polar-night gradient) that breaks the model at days
+    # ~22-26 (r5 soak_debug bisection: top sponges only move the
+    # breaking level below themselves).  0 disables.
+    strat_eddy_damp_days: float = 1.0
+    strat_eddy_damp_pa: float = 25000.0
 
 
 def _zlast(x):
@@ -220,6 +235,19 @@ def physics_step(
         )
         rate = w_sp * (dt / (cfg.top_sponge_days * 86400.0))
         T = T + rate * (cfg.top_sponge_tref - T)
+
+    if cfg.strat_eddy_damp_days > 0:
+        # relax toward the per-level global mean (see PhysicsConfig
+        # note): mean-preserving eddy damping of the stratosphere.
+        # Plain cell mean over the cube (bounded-area-ratio cells) —
+        # this is a damping closure, not a conservation statement
+        w_ed = jnp.clip(
+            (cfg.strat_eddy_damp_pa - pmid) / cfg.strat_eddy_damp_pa,
+            0.0, 1.0,
+        )
+        t_bar = T.mean(axis=tuple(range(T.ndim - 1)))  # [nz]
+        rate = w_ed * (dt / (cfg.strat_eddy_damp_days * 86400.0))
+        T = T + rate * (t_bar - T)
 
     # ---- surface fluxes -------------------------------------------------
     wind_sfc = wind[..., -1]

@@ -269,6 +269,23 @@ class NamelistConfig:
     hord: int = 4
     # nondim del-2 divergence damping (FV3's d2_bg role)
     d2_div: float = 0.06
+    # sponge-layer damping boost (divergence AND del-2 wind/Tv) for the
+    # top two layers (fv_core_nml d2_bg_k1/d2_bg_k2).  ON by default:
+    # multi-week coupled soaks over resolved topography break
+    # stationary waves against the rigid model top (top-layer winds
+    # 40 -> 260 m/s by day ~22, r5 soak_debug).  VALUES ARE
+    # STABILITY-BOUNDED: the damping is explicit forward-Euler del-2,
+    # stable only for coef*(corner distortion ~1.5) < 1/4 — 0.2 (the
+    # fv3gfs default) blew up at a tile edge within 2 days here
+    d2_bg_k1: float = 0.12
+    d2_bg_k2: float = 0.06
+    # stratospheric mean-preserving eddy damping (physics/driver.py
+    # PhysicsConfig.strat_eddy_damp_*): relax T toward its per-level
+    # global mean above this pressure with this timescale.  Stands in
+    # for the radiative eddy damping the synthetic k-tables lack;
+    # 0 days disables
+    strat_eddy_damp_days: float = 1.0
+    strat_eddy_damp_pa: float = 25000.0
     # energy-conserving vertical remap (FV3's te_map)
     remap_te: bool = True
     hydrostatic: bool = True
@@ -281,8 +298,13 @@ class NamelistConfig:
     # coupled soak green, docs/acceptance.md).  The deep cutoff reflects
     # this build's LOW model top (3 hPa): fv3gfs uses 750 Pa against
     # ~60 Pa tops, the same top few layers
-    tau: float = 1.0
-    rf_cutoff: float = 3000.0
+    tau: float = 0.5
+    # deepened r5: with a 3 hPa top the breaking level of polar-night
+    # stationary waves sits at 10-150 hPa depending on where shallower
+    # sponges end (soak_debug bisection); the log-p sin^2 ramp from
+    # 200 hPa gives tau_eff ~90 d at 150 hPa (tropospheric jets
+    # untouched), ~4 d at 50 hPa, ~1.4 d at 14 hPa
+    rf_cutoff: float = 20000.0
     # prognostic mixed-layer surface temperature (physics/slab_ocean.py)
     # instead of fixed aquaplanet SST
     slab_ocean: bool = False

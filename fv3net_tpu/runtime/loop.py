@@ -202,6 +202,8 @@ class TimeLoop:
             diff_coef=nml.diff_coef,
             advection_order=nml.hord,
             divergence_damp_coef=nml.d2_div,
+            d2_bg_k1=nml.d2_bg_k1,
+            d2_bg_k2=nml.d2_bg_k2,
             remap_te=nml.remap_te,
             hydrostatic=nml.hydrostatic,
             tau_rayleigh=nml.tau,
@@ -223,6 +225,8 @@ class TimeLoop:
             convection_scheme=nml.convection,
             stratospheric_h2o=nml.stratospheric_h2o,
             microphysics_scheme=nml.microphysics,
+            strat_eddy_damp_days=nml.strat_eddy_damp_days,
+            strat_eddy_damp_pa=nml.strat_eddy_damp_pa,
         )
         self._radiation_fn = None
         if nml.radiation != "gray":
