@@ -304,7 +304,12 @@ class NamelistConfig:
     # sponges end (soak_debug bisection); the log-p sin^2 ramp from
     # 200 hPa gives tau_eff ~90 d at 150 hPa (tropospheric jets
     # untouched), ~4 d at 50 hPa, ~1.4 d at 14 hPa
-    rf_cutoff: float = 20000.0
+    # 300 hPa final (r5): the 200-hPa ramp arrested the 14-hPa breaking
+    # but a momentum-flux-driven jet re-grew at ~150 hPa (+1.5 m/s/day,
+    # NaN by day ~55 of the 90-day soak); the 300-hPa ramp (tau_eff
+    # ~9 d at 150 hPa, ~125 d at 250 hPa) bounds it — 90-day soak
+    # finite with wmax oscillating 60-90 m/s
+    rf_cutoff: float = 30000.0
     # prognostic mixed-layer surface temperature (physics/slab_ocean.py)
     # instead of fixed aquaplanet SST
     slab_ocean: bool = False
