@@ -109,6 +109,14 @@ class PhysicsConfig:
     # breaking level below themselves).  0 disables.
     strat_eddy_damp_days: float = 1.0
     strat_eddy_damp_pa: float = 25000.0
+    # bulk TOA calibration of the synthetic k-distributions: the
+    # production solar constant is 1368.22 * solcon_scale.  Measured
+    # (scripts/toa_balance.py, C48 coupled day-0 climate): OLR 313.4
+    # vs 322.1 W/m^2 absorbed solar -> +8.7 W/m^2 net heating, which
+    # the water-vapor feedback amplified into a +6 K/month coupled
+    # drift; 0.973 zeros the initial imbalance.  The f64 oracle path
+    # (RRTMGConfig default) is untouched
+    solcon_scale: float = 0.973
 
 
 def _zlast(x):

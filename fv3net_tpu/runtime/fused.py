@@ -74,7 +74,9 @@ def _build_radiation_fn(phys_cfg: PhysicsConfig) -> Optional[Callable]:
             RRTMGDriver,
         )
 
-        driver = RRTMGDriver(RRTMGConfig())
+        driver = RRTMGDriver(
+            RRTMGConfig(solcon=1368.22 * phys_cfg.solcon_scale)
+        )
     else:
         from fv3net_tpu.physics.radiation.driver import (
             DriverConfig,
